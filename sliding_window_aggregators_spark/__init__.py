@@ -1,0 +1,24 @@
+"""sliding_window_aggregators_spark — a PySpark-native sliding-window
+aggregation (SWAG) engine.
+
+A from-scratch re-expression of the capabilities of
+IBM/sliding-window-aggregators (reference read-only at /root/reference)
+as an idiomatic PySpark engine:
+
+- ``functions``: the aggregation-monoid library (lift/combine/lower/
+  inverse), vectorized over NumPy columns (reference:
+  cpp/src/AggregationFunctions.hpp).
+- ``operators``: window-maintenance kernels — bulk/vectorized
+  Two-Stacks, SubtractOnEvict, the ordered out-of-order state
+  (FiBA-equivalent), plus per-op parity algorithms (reference:
+  cpp/src/{TwoStacks,TwoStacksLite,DABALite,SubtractOnEvict,ReCalc,
+  FiBA}.hpp) and DataFrame-level batch operators.
+- ``sources``: deterministic transcript synthesizer (the BASELINE
+  input_hint table) and test-table loaders.
+- ``plans``: batch query library exposed through ``__spark_entry__.py``
+  (windowed aggregates, dedup, similarity search, text analysis).
+- ``streaming``: Structured Streaming shell — stateful sliding windows
+  via applyInPandasWithState, stream-stream join, exactly-once sink.
+"""
+
+__version__ = "0.1.0"

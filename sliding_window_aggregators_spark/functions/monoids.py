@@ -1,0 +1,731 @@
+"""The aggregation-monoid library, vectorized over NumPy columns.
+
+Re-expresses the reference's aggregation functions
+(``cpp/src/AggregationFunctions.hpp:13-617``) as *columnar* monoids: a
+``Partial`` is a dict of equally-shaped NumPy arrays (one per partial
+field), so every ``lift`` / ``combine`` / ``accumulate`` / ``lower`` is a
+whole-batch vector operation — no per-row Python in any hot path (the
+BASELINE input_hint mandates vectorized pandas/Arrow UDFs throughout).
+
+Each monoid mirrors the reference triple ``(In, Partial, Out)`` plus
+``lift`` / ``combine`` / ``lower`` / ``identity`` and optionally
+``inverse_combine`` (cpp/src/AggregationFunctions.hpp:13-41 is the
+canonical shape; the Rust port names the algebra explicitly in
+rust/src/ops/mod.rs:52-73 — ``AggregateMonoid`` vs ``AggregateGroup``).
+
+Sequence axis convention: ``accumulate``/``raccumulate`` fold along
+``axis`` over the *scalar* fields; fields with trailing payload
+dimensions (Bloom's 512-byte bitset) keep those trailing dims.
+``accumulate`` is the inclusive left-fold prefix scan
+(``A_i = p_0 ⊕ … ⊕ p_i``); ``raccumulate`` is the *order-preserving*
+suffix scan (``S_i = p_i ⊕ … ⊕ p_{n-1}``) — the vectorized form of the
+two-stacks "flip" (cpp/src/ImplicitTwoStacksLite.hpp:60-77).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+Partial = dict  # dict[str, np.ndarray]
+
+# ---------------------------------------------------------------------------
+# Partial helpers (columnar structs)
+# ---------------------------------------------------------------------------
+
+
+def p_len(p: Partial) -> int:
+    return len(next(iter(p.values())))
+
+
+def p_concat(*ps: Partial) -> Partial:
+    keys = ps[0].keys()
+    return {k: np.concatenate([p[k] for p in ps]) for k in keys}
+
+
+def p_take(p: Partial, idx) -> Partial:
+    return {k: v[idx] for k, v in p.items()}
+
+
+def p_slice(p: Partial, start: int, stop: int | None = None) -> Partial:
+    return {k: v[start:stop] for k, v in p.items()}
+
+
+def p_reverse(p: Partial, axis: int = 0) -> Partial:
+    return {k: np.flip(v, axis=axis) for k, v in p.items()}
+
+
+def p_where(cond: np.ndarray, a: Partial, b: Partial) -> Partial:
+    out = {}
+    for k in a:
+        c = cond
+        av, bv = a[k], b[k]
+        if av.ndim > c.ndim:  # trailing payload dims (bloom bits)
+            c = c.reshape(c.shape + (1,) * (av.ndim - c.ndim))
+        out[k] = np.where(c, av, bv)
+    return out
+
+
+def p_copy(p: Partial) -> Partial:
+    return {k: np.array(v, copy=True) for k, v in p.items()}
+
+
+def _shift_prev(arr: np.ndarray, axis: int, fill) -> np.ndarray:
+    """arr shifted +1 along axis, first slot = fill."""
+    out = np.roll(arr, 1, axis=axis)
+    sl = [slice(None)] * arr.ndim
+    sl[axis] = 0
+    out[tuple(sl)] = fill
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Monoid base
+# ---------------------------------------------------------------------------
+
+
+class Monoid:
+    """Base class: an associative operator packaged as lift/combine/lower.
+
+    Mirrors cpp/src/AggregationFunctions.hpp:13-41 (Sum is the canonical
+    instance). Subclasses set:
+
+    - ``name``
+    - ``invertible``  — has ``inverse_combine`` (an ``AggregateGroup``,
+      rust/src/ops/mod.rs:62-73); enables SubtractOnEvict.
+    - ``commutative`` — ``raccumulate`` may be implemented by reversal.
+    - ``idempotent``  — ``combine(a, a) == a``; enables overlapping
+      sparse-table range folds.
+    """
+
+    name: str = "monoid"
+    invertible: bool = False
+    commutative: bool = True
+    idempotent: bool = False
+
+    # --- required API ---
+    def lift(self, values: np.ndarray) -> Partial:
+        raise NotImplementedError
+
+    def identity(self, n: int = 1) -> Partial:
+        raise NotImplementedError
+
+    def combine(self, a: Partial, b: Partial) -> Partial:
+        raise NotImplementedError
+
+    def lower(self, p: Partial) -> np.ndarray:
+        raise NotImplementedError
+
+    def accumulate(self, p: Partial, axis: int = 0) -> Partial:
+        raise NotImplementedError
+
+    # --- derived API ---
+    def inverse_combine(self, a: Partial, b: Partial) -> Partial:
+        raise NotImplementedError(f"{self.name} is not invertible")
+
+    def raccumulate(self, p: Partial, axis: int = 0) -> Partial:
+        """Order-preserving suffix scan: S_i = p_i ⊕ p_{i+1} ⊕ … ."""
+        if not self.commutative:
+            raise NotImplementedError(
+                f"{self.name}: non-commutative monoid must override raccumulate"
+            )
+        return p_reverse(self.accumulate(p_reverse(p, axis), axis), axis)
+
+    def reduce(self, p: Partial) -> Partial:
+        """Fold a 1-D partial batch into a length-1 partial."""
+        if p_len(p) == 0:
+            return self.identity(1)
+        acc = self.accumulate(p, axis=0)
+        return p_take(acc, slice(-1, None))
+
+    def lift_reduce(self, values: np.ndarray) -> Partial:
+        return self.reduce(self.lift(np.asarray(values)))
+
+    # --- scalar conveniences (tests / stepwise parity algorithms) ---
+    def lift1(self, v) -> Partial:
+        return self.lift(np.asarray([v]))
+
+    def lower1(self, p: Partial):
+        out = self.lower(p)
+        return out[0] if getattr(out, "ndim", 0) else out
+
+
+# ---------------------------------------------------------------------------
+# Scalar monoids
+# ---------------------------------------------------------------------------
+
+
+class Sum(Monoid):
+    """Windowed sum (cpp/src/AggregationFunctions.hpp:13-47); invertible."""
+
+    name = "sum"
+    invertible = True
+
+    def __init__(self, dtype=np.float64):
+        self.dtype = np.dtype(dtype)
+
+    def lift(self, values):
+        return {"v": np.asarray(values, dtype=self.dtype)}
+
+    def identity(self, n=1):
+        return {"v": np.zeros(n, dtype=self.dtype)}
+
+    def combine(self, a, b):
+        return {"v": a["v"] + b["v"]}
+
+    def inverse_combine(self, a, b):
+        return {"v": a["v"] - b["v"]}
+
+    def lower(self, p):
+        return p["v"]
+
+    def accumulate(self, p, axis=0):
+        return {"v": np.cumsum(p["v"], axis=axis, dtype=self.dtype)}
+
+
+class Count(Sum):
+    """Count = Sum over lift(row)=1 (the SURVEY §2.A turn-count lift)."""
+
+    name = "count"
+
+    def __init__(self):
+        super().__init__(np.int64)
+
+    def lift(self, values):
+        return {"v": np.ones(len(np.asarray(values)), dtype=np.int64)}
+
+
+class Max(Monoid):
+    """Windowed max (cpp/src/AggregationFunctions.hpp:49-84); identity is the
+    dtype's minimum (INT_MIN specialization at hpp:84)."""
+
+    name = "max"
+    idempotent = True
+
+    def __init__(self, dtype=np.float64):
+        self.dtype = np.dtype(dtype)
+        self._id = (
+            np.iinfo(self.dtype).min
+            if np.issubdtype(self.dtype, np.integer)
+            else -np.inf
+        )
+
+    def lift(self, values):
+        return {"v": np.asarray(values, dtype=self.dtype)}
+
+    def identity(self, n=1):
+        return {"v": np.full(n, self._id, dtype=self.dtype)}
+
+    def combine(self, a, b):
+        return {"v": np.maximum(a["v"], b["v"])}
+
+    def lower(self, p):
+        return p["v"]
+
+    def accumulate(self, p, axis=0):
+        return {"v": np.maximum.accumulate(p["v"], axis=axis)}
+
+
+class Min(Monoid):
+    """Windowed min (dual of Max)."""
+
+    name = "min"
+    idempotent = True
+
+    def __init__(self, dtype=np.float64):
+        self.dtype = np.dtype(dtype)
+        self._id = (
+            np.iinfo(self.dtype).max
+            if np.issubdtype(self.dtype, np.integer)
+            else np.inf
+        )
+
+    def lift(self, values):
+        return {"v": np.asarray(values, dtype=self.dtype)}
+
+    def identity(self, n=1):
+        return {"v": np.full(n, self._id, dtype=self.dtype)}
+
+    def combine(self, a, b):
+        return {"v": np.minimum(a["v"], b["v"])}
+
+    def lower(self, p):
+        return p["v"]
+
+    def accumulate(self, p, axis=0):
+        return {"v": np.minimum.accumulate(p["v"], axis=axis)}
+
+
+class Mean(Monoid):
+    """Windowed mean; Partial {sum, n}, 0-safe lower
+    (cpp/src/AggregationFunctions.hpp:86-140)."""
+
+    name = "mean"
+    invertible = True
+
+    def lift(self, values):
+        v = np.asarray(values, dtype=np.float64)
+        return {"sum": v, "n": np.ones(len(v), dtype=np.int64)}
+
+    def identity(self, n=1):
+        return {"sum": np.zeros(n), "n": np.zeros(n, dtype=np.int64)}
+
+    def combine(self, a, b):
+        return {"sum": a["sum"] + b["sum"], "n": a["n"] + b["n"]}
+
+    def inverse_combine(self, a, b):
+        return {"sum": a["sum"] - b["sum"], "n": a["n"] - b["n"]}
+
+    def lower(self, p):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = p["sum"] / p["n"]
+        return np.where(p["n"] == 0, 0.0, out)  # lower of empty = Out() = 0
+
+    def accumulate(self, p, axis=0):
+        return {
+            "sum": np.cumsum(p["sum"], axis=axis),
+            "n": np.cumsum(p["n"], axis=axis),
+        }
+
+
+class GeometricMean(Monoid):
+    """Geometric mean; Partial {Σlog (f64), n}; lower replicates the
+    reference's float32 rounding exactly — ``expf((float)(Σlog/(float)n))``
+    (cpp/src/AggregationFunctions.hpp:173-175)."""
+
+    name = "geomean"
+    invertible = True
+
+    def lift(self, values):
+        v = np.asarray(values, dtype=np.float64)
+        return {"logsum": np.log(v), "n": np.ones(len(v), dtype=np.int64)}
+
+    def identity(self, n=1):
+        return {"logsum": np.zeros(n), "n": np.zeros(n, dtype=np.int64)}
+
+    def combine(self, a, b):
+        return {"logsum": a["logsum"] + b["logsum"], "n": a["n"] + b["n"]}
+
+    def inverse_combine(self, a, b):
+        return {"logsum": a["logsum"] - b["logsum"], "n": a["n"] - b["n"]}
+
+    def lower(self, p):
+        n = p["n"]
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            # double Σlog divided by FLOAT n, truncated to float, expf —
+            # bit-matching hpp:173-175.
+            t = (p["logsum"] / n.astype(np.float32)).astype(np.float32)
+            geo = np.exp(t).astype(np.float32)
+        return np.where(n == 0, np.float32(0.0), geo).astype(np.float64)
+
+    def accumulate(self, p, axis=0):
+        return {
+            "logsum": np.cumsum(p["logsum"], axis=axis),
+            "n": np.cumsum(p["n"], axis=axis),
+        }
+
+
+class SampleStdDev(Monoid):
+    """Sample standard deviation; Partial {sum, sq, n}; lower uses the
+    reference's naive sum-of-squares formula
+    sqrt((sq − sum²/n)/(n−1)) (cpp/src/AggregationFunctions.hpp:229)."""
+
+    name = "stddev"
+    invertible = True
+
+    def lift(self, values):
+        v = np.asarray(values, dtype=np.float64)
+        return {"sum": v, "sq": v * v, "n": np.ones(len(v), dtype=np.int64)}
+
+    def identity(self, n=1):
+        return {"sum": np.zeros(n), "sq": np.zeros(n), "n": np.zeros(n, dtype=np.int64)}
+
+    def combine(self, a, b):
+        return {
+            "sum": a["sum"] + b["sum"],
+            "sq": a["sq"] + b["sq"],
+            "n": a["n"] + b["n"],
+        }
+
+    def inverse_combine(self, a, b):
+        return {
+            "sum": a["sum"] - b["sum"],
+            "sq": a["sq"] - b["sq"],
+            "n": a["n"] - b["n"],
+        }
+
+    def lower(self, p):
+        n = p["n"].astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            var = (p["sq"] - (p["sum"] * p["sum"]) / n) / (n - 1.0)
+            return np.sqrt(var)
+
+    def accumulate(self, p, axis=0):
+        return {
+            "sum": np.cumsum(p["sum"], axis=axis),
+            "sq": np.cumsum(p["sq"], axis=axis),
+            "n": np.cumsum(p["n"], axis=axis),
+        }
+
+
+class ArgMax(Monoid):
+    """Value whose lifted key is max; ties → the EARLIER (left) operand wins
+    (``a.max >= b.max → a``, cpp/src/AggregationFunctions.hpp:297).
+    Non-commutative because of the tie-break."""
+
+    name = "argmax"
+    commutative = False
+    idempotent = True
+
+    def __init__(self, arg_dtype=np.int64):
+        self.arg_dtype = np.dtype(arg_dtype)
+
+    def lift(self, values):
+        """values: structured — pass (args, keys) tuple or 2-col array."""
+        args, keys = values
+        return {
+            "arg": np.asarray(args, dtype=self.arg_dtype),
+            "key": np.asarray(keys, dtype=np.float64),
+        }
+
+    def identity(self, n=1):
+        # reference identity = {In(), Comparable()} i.e. zeros (hpp:315);
+        # we use -inf key so empty loses every comparison deterministically.
+        return {
+            "arg": np.zeros(n, dtype=self.arg_dtype),
+            "key": np.full(n, -np.inf),
+        }
+
+    def combine(self, a, b):
+        keep_a = a["key"] >= b["key"]
+        return p_where(keep_a, a, b)
+
+    def lower(self, p):
+        return p["arg"]
+
+    def _scan(self, p, axis, ties_new_wins):
+        key = p["key"]
+        cm = np.maximum.accumulate(key, axis=axis)
+        prev = _shift_prev(cm, axis, -np.inf)
+        new = (key >= prev) if ties_new_wins else (key > prev)
+        # first element always "new"
+        sl = [slice(None)] * key.ndim
+        sl[axis] = 0
+        new[tuple(sl)] = True
+        ar_shape = [1] * key.ndim
+        ar_shape[axis] = key.shape[axis]
+        col = np.arange(key.shape[axis]).reshape(ar_shape)
+        idx = np.where(new, col, -1)
+        idx = np.maximum.accumulate(idx, axis=axis)
+        arg = np.take_along_axis(p["arg"], idx, axis=axis)
+        return {"arg": arg, "key": cm}
+
+    def accumulate(self, p, axis=0):
+        # prefix fold-left: on tie the earlier element wins → strict >
+        return self._scan(p, axis, ties_new_wins=False)
+
+    def raccumulate(self, p, axis=0):
+        # suffix fold-left: earliest-in-original wins ⇒ in reversed order the
+        # *later-seen* (i.e. earlier original) wins ties → >=
+        rev = p_reverse(p, axis)
+        return p_reverse(self._scan(rev, axis, ties_new_wins=True), axis)
+
+
+class MinCount(Monoid):
+    """Count of occurrences of the window min; Partial {n, min} with the
+    n = −1 identity sentinel (cpp/src/AggregationFunctions.hpp:446-503)."""
+
+    name = "mincount"
+
+    def __init__(self, dtype=np.float64):
+        self.dtype = np.dtype(dtype)
+        self._minid = (
+            np.iinfo(self.dtype).max
+            if np.issubdtype(self.dtype, np.integer)
+            else np.inf
+        )
+
+    def lift(self, values):
+        v = np.asarray(values, dtype=self.dtype)
+        return {"min": v, "n": np.ones(len(v), dtype=np.int64)}
+
+    def identity(self, n=1):
+        # reference identity = {-1, In()} (hpp:503); combine branches on n<0.
+        return {"min": np.full(n, self._minid, dtype=self.dtype),
+                "n": np.full(n, -1, dtype=np.int64)}
+
+    def combine(self, a, b):
+        a_id, b_id = a["n"] < 0, b["n"] < 0
+        mn = np.minimum(a["min"], b["min"])
+        n = np.where(
+            a["min"] < b["min"], a["n"],
+            np.where(a["min"] > b["min"], b["n"], a["n"] + b["n"]),
+        )
+        n = np.where(a_id, b["n"], np.where(b_id, a["n"], n))
+        mn = np.where(a_id, b["min"], np.where(b_id, a["min"], mn))
+        return {"min": mn, "n": n}
+
+    def lower(self, p):
+        return p["n"]
+
+    def accumulate(self, p, axis=0):
+        """Segment-scan: running min + running count of elements equal to it.
+
+        Valid for partial batches with no identity sentinels (all lifted
+        or combined real partials) — the only case kernels scan.
+        """
+        m, n = p["min"], p["n"]
+        cm = np.minimum.accumulate(m, axis=axis)
+        prev = _shift_prev(cm, axis, 0)  # fill irrelevant: col0 forced start
+        is_start = cm < prev
+        sl0 = [slice(None)] * m.ndim
+        sl0[axis] = 0
+        is_start[tuple(sl0)] = True
+        contrib = n * (m == cm)
+        cs = np.cumsum(contrib, axis=axis)
+        base_at = cs - contrib  # prefix sum strictly before each position
+        ar_shape = [1] * m.ndim
+        ar_shape[axis] = m.shape[axis]
+        col = np.arange(m.shape[axis]).reshape(ar_shape)
+        sidx = np.maximum.accumulate(np.where(is_start, col, -1), axis=axis)
+        base = np.take_along_axis(base_at, sidx, axis=axis)
+        return {"min": cm, "n": cs - base}
+
+
+class RelativeVariation(Monoid):
+    """(max − min)/max; Partial {min, max}
+    (cpp/src/AggregationFunctions.hpp:554-617)."""
+
+    name = "relvar"
+    idempotent = True
+
+    def __init__(self, dtype=np.float64):
+        self.dtype = np.dtype(dtype)
+        if np.issubdtype(self.dtype, np.integer):
+            self._lo, self._hi = np.iinfo(self.dtype).max, np.iinfo(self.dtype).min
+        else:
+            self._lo, self._hi = np.inf, -np.inf
+
+    def lift(self, values):
+        v = np.asarray(values, dtype=self.dtype)
+        return {"min": v.copy(), "max": v.copy()}
+
+    def identity(self, n=1):
+        return {"min": np.full(n, self._lo, dtype=self.dtype),
+                "max": np.full(n, self._hi, dtype=self.dtype)}
+
+    def combine(self, a, b):
+        return {"min": np.minimum(a["min"], b["min"]),
+                "max": np.maximum(a["max"], b["max"])}
+
+    def lower(self, p):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return (p["max"] - p["min"]) / p["max"].astype(np.float64)
+
+    def accumulate(self, p, axis=0):
+        return {"min": np.minimum.accumulate(p["min"], axis=axis),
+                "max": np.maximum.accumulate(p["max"], axis=axis)}
+
+
+# ---------------------------------------------------------------------------
+# BloomFilter — bit-for-bit parity with the reference
+# ---------------------------------------------------------------------------
+
+# glibc rand() sequence after srand(1001): the reference salts its K=4 hash
+# functions with exactly these draws (cpp/src/AggregationFunctions.hpp:367
+# srand(1001) + 4× rand()). Computed once from glibc (TYPE_3 additive
+# generator) and pinned here for platform-independent parity.
+_BLOOM_SALTS = np.array(
+    [469353932, 2078239751, 916013951, 1943028792], dtype=np.uint64
+)
+
+
+def _bloom_mix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """uint64 mixer, replicating cpp/src/AggregationFunctions.hpp:361-366."""
+    a = a.astype(np.uint64, copy=False)
+    b = b.astype(np.uint64, copy=False)
+    with np.errstate(over="ignore"):
+        i1 = b >> np.uint64(32)
+        i2 = b & np.uint64((1 << 32) - 1)
+        return (
+            a
+            ^ (a << np.uint64(7))
+            ^ (i1 * (a >> np.uint64(3)))
+            ^ (~((a << np.uint64(11)) + (i2 ^ (a >> np.uint64(5)))))
+        )
+
+
+class BloomFilter(Monoid):
+    """Windowed Bloom membership sketch: N=4096 bits, K=4 salted hashes,
+    combine = OR, lower = test(bit 0)
+    (cpp/src/AggregationFunctions.hpp:321-377). Partial = (…, 512) uint8."""
+
+    name = "bloom"
+    idempotent = True
+    NBYTES = 512  # 4096 bits
+
+    def lift(self, values):
+        v = np.asarray(values)
+        # C++ casts In → size_t; replicate two's-complement for negatives
+        v64 = v.astype(np.int64).astype(np.uint64)
+        hv = _bloom_mix(np.full(len(v64), 101, dtype=np.uint64), v64)
+        bits = np.zeros((len(v64), self.NBYTES), dtype=np.uint8)
+        rows = np.arange(len(v64))
+        for salt in _BLOOM_SALTS:
+            h2 = _bloom_mix(hv, np.uint64(salt))
+            pos = (h2 % np.uint64(4096)).astype(np.int64)
+            np.bitwise_or.at(bits, (rows, pos >> 3), (1 << (pos & 7)).astype(np.uint8))
+        return {"bits": bits}
+
+    def identity(self, n=1):
+        return {"bits": np.zeros((n, self.NBYTES), dtype=np.uint8)}
+
+    def combine(self, a, b):
+        return {"bits": np.bitwise_or(a["bits"], b["bits"])}
+
+    def lower(self, p):
+        # lower = bitset.test(0) (hpp:347-350): bit 0 of byte 0
+        return (p["bits"][..., 0] & 1).astype(np.int64)
+
+    def accumulate(self, p, axis=0):
+        return {"bits": np.bitwise_or.accumulate(p["bits"], axis=axis)}
+
+
+# ---------------------------------------------------------------------------
+# Collect — the order-sensitivity witness (object-array partials; test paths)
+# ---------------------------------------------------------------------------
+
+
+def _obj_array(items) -> np.ndarray:
+    out = np.empty(len(items), dtype=object)
+    for i, it in enumerate(items):
+        out[i] = it
+    return out
+
+
+class Collect(Monoid):
+    """Windowed order-preserving list of values
+    (cpp/src/AggregationFunctions.hpp:379-443). Partials are tuples in
+    object arrays; used as the ORDER WITNESS in tests, not in hot paths
+    (kernels special-case collect: the window contents ARE the answer)."""
+
+    name = "collect"
+    commutative = False
+    invertible = True  # inverse_combine removes elements (hpp:426)
+
+    def lift(self, values):
+        return {"ls": _obj_array([(v,) for v in np.asarray(values).tolist()])}
+
+    def identity(self, n=1):
+        return {"ls": _obj_array([()] * n)}
+
+    def combine(self, a, b):
+        av, bv = a["ls"], b["ls"]
+        av, bv = np.broadcast_arrays(av, bv)
+        return {"ls": _obj_array([x + y for x, y in zip(av.tolist(), bv.tolist())])}
+
+    def inverse_combine(self, a, b):
+        # list.remove semantics: drop first occurrence of each item of b
+        out = []
+        for x, y in zip(a["ls"].tolist(), np.broadcast_to(b["ls"], a["ls"].shape).tolist()):
+            lx = list(x)
+            for item in y:
+                lx.remove(item)
+            out.append(tuple(lx))
+        return {"ls": _obj_array(out)}
+
+    def lower(self, p):
+        return _obj_array([list(t) for t in p["ls"].tolist()])
+
+    def accumulate(self, p, axis=0):
+        if p["ls"].ndim != 1:
+            raise NotImplementedError("collect accumulate is 1-D (test-only)")
+        acc, out = (), []
+        for t in p["ls"].tolist():
+            acc = acc + t
+            out.append(acc)
+        return {"ls": _obj_array(out)}
+
+    def raccumulate(self, p, axis=0):
+        if p["ls"].ndim != 1:
+            raise NotImplementedError
+        acc, out = (), []
+        for t in reversed(p["ls"].tolist()):
+            acc = t + acc
+            out.append(acc)
+        return {"ls": _obj_array(out[::-1])}
+
+
+class BusyLoop(Monoid):
+    """Synthetic CPU-heavy combine for benchmark stressing
+    (cpp/src/AggregationFunctions.hpp:505-552). Bench payload only."""
+
+    name = "busyloop"
+    invertible = True
+
+    def lift(self, values):
+        return {"v": np.asarray(values, dtype=np.int64)}
+
+    def identity(self, n=1):
+        return {"v": np.zeros(n, dtype=np.int64)}
+
+    @staticmethod
+    def _busy(num_loop: np.ndarray) -> np.ndarray:
+        out = np.empty(len(num_loop), dtype=np.int64)
+        for i, nl in enumerate(num_loop):  # bench payload: intentionally heavy
+            dummy = 1.0
+            for j in range(int(nl)):
+                dummy += 1.0 / ((1 + j) % 1000000)
+            out[i] = int(dummy)
+        return out
+
+    def combine(self, a, b):
+        s = a["v"] + b["v"]
+        num_loop = 100 + (s % 11)
+        return {"v": s + self._busy(np.atleast_1d(num_loop)) % 16}
+
+    def inverse_combine(self, a, b):
+        return {"v": a["v"] - b["v"]}
+
+    def lower(self, p):
+        return p["v"]
+
+    def accumulate(self, p, axis=0):
+        v = p["v"]
+        if v.ndim != 1:
+            raise NotImplementedError
+        out = np.empty_like(v)
+        acc = None
+        for i in range(len(v)):
+            acc = v[i] if acc is None else int(
+                self.combine({"v": np.array([acc])}, {"v": v[i : i + 1]})["v"][0]
+            )
+            out[i] = acc
+        return {"v": out}
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+
+def registry(dtype=np.float64) -> dict[str, Monoid]:
+    """All §2.A monoids keyed by name (SURVEY.md §2.A table)."""
+    return {
+        "sum": Sum(dtype),
+        "count": Count(),
+        "max": Max(dtype),
+        "min": Min(dtype),
+        "mean": Mean(),
+        "geomean": GeometricMean(),
+        "stddev": SampleStdDev(),
+        "argmax": ArgMax(),
+        "mincount": MinCount(dtype),
+        "relvar": RelativeVariation(dtype),
+        "bloom": BloomFilter(),
+        "collect": Collect(),
+        "busyloop": BusyLoop(),
+    }
+
+
+def get_monoid(name: str, dtype=np.float64) -> Monoid:
+    return registry(dtype)[name]

@@ -1,0 +1,12 @@
+from .kernels import (  # noqa: F401
+    FlatTree,
+    SlidingCountWindow,
+    SubtractOnEvictKernel,
+    TwoStacksKernel,
+    interval_fold,
+    sliding_partials,
+    sliding_reduce,
+    sliding_time_window,
+)
+from .ordered import OrderedAggState  # noqa: F401
+from .stepwise import ALGORITHMS, make  # noqa: F401

@@ -1,0 +1,464 @@
+"""Vectorized sliding-window kernels — the engine's physical operators.
+
+These are the Spark-first re-expressions of the reference's
+window-maintenance algorithms (SURVEY.md §2.B). The unit of work is a
+*batch* (an Arrow/pandas chunk inside ``applyInPandas`` /
+``applyInPandasWithState``), so every kernel is bulk-first: the
+reference's per-element ``insert``/``evict``/``query``
+(cpp/src/TwoStacksLite.hpp:35-64) becomes a handful of NumPy
+``ufunc.accumulate`` scans per batch.
+
+Kernels:
+
+- :func:`sliding_reduce` — one-shot block-decomposed two-stacks over a
+  whole array (the classic "suffix-scan per block ⊕ prefix-scan per
+  block" trick; the vectorized form of the flip in
+  cpp/src/ImplicitTwoStacksLite.hpp:60-77).
+- :class:`TwoStacksKernel` — *persistent* vectorized Two-Stacks Lite
+  (cpp/src/TwoStacksLite.hpp:23-77): amortized O(1)/row across
+  micro-batches even when the window is much larger than the batch.
+- :class:`SubtractOnEvictKernel` — O(1)/row running total for invertible
+  monoids (cpp/src/SubtractOnEvict.hpp:20-64).
+- :class:`SlidingCountWindow` — strategy dispatcher (block vs persistent
+  two-stacks vs SOE).
+- :func:`interval_fold` — per-row variable-bound range folds (time-based
+  windows): prefix-difference for groups, overlapping sparse table for
+  idempotent monoids, tree walk otherwise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions.monoids import (
+    Monoid,
+    Partial,
+    p_concat,
+    p_len,
+    p_slice,
+    p_take,
+    p_where,
+)
+
+# ---------------------------------------------------------------------------
+# Block-decomposed one-shot sliding reduce (stateless)
+# ---------------------------------------------------------------------------
+
+
+def sliding_partials(monoid: Monoid, p: Partial, w: int) -> Partial:
+    """Partial batch → sliding-window partials: out_i = fold of the last
+    min(i+1, w) partials, in stream order.
+
+    Block decomposition: split into blocks of w; S = per-block suffix scan,
+    F = per-block prefix scan; a window [s, i] spans ≤ 2 blocks, so
+    out_i = S[s] ⊕ F[i] (or just F[i] when s and i share a block).
+    O(n) total with two vectorized scans — no per-row Python.
+    """
+    n = p_len(p)
+    if n == 0:
+        return p
+    if w <= 1:
+        return p
+    nblocks = -(-n // w)
+    pad = nblocks * w - n
+    padded = p_concat(p, monoid.identity(pad)) if pad else p
+    blocked = {k: v.reshape((nblocks, w) + v.shape[1:]) for k, v in padded.items()}
+    F = monoid.accumulate(blocked, axis=1)
+    S = monoid.raccumulate(blocked, axis=1)
+    F = {k: v.reshape((nblocks * w,) + v.shape[2:]) for k, v in F.items()}
+    S = {k: v.reshape((nblocks * w,) + v.shape[2:]) for k, v in S.items()}
+
+    i = np.arange(n)
+    s = np.maximum(0, i - w + 1)
+    same_block = (s // w) == (i // w)
+    Fi = p_take(F, i)
+    if bool(same_block.all()):
+        return Fi
+    combined = monoid.combine(p_take(S, s), Fi)
+    return p_where(same_block, Fi, combined)
+
+
+def sliding_reduce(monoid: Monoid, values: np.ndarray, w: int) -> np.ndarray:
+    """Lowered sliding-window aggregate over raw values (batch one-shot)."""
+    return monoid.lower(sliding_partials(monoid, monoid.lift(values), w))
+
+
+# ---------------------------------------------------------------------------
+# Persistent vectorized Two-Stacks Lite
+# ---------------------------------------------------------------------------
+
+
+class TwoStacksKernel:
+    """Persistent Two-Stacks Lite over NumPy arrays, bulk-driven.
+
+    State (the vectorized analogue of cpp/src/TwoStacksLite.hpp:29-33):
+
+    - ``front_vals`` — raw partials of the flipped segment, time order.
+    - ``front_agg``  — suffix aggregates: front_agg[k] = vals[k] ⊕ … ⊕
+      vals[L-1] (what each front-stack entry caches, TwoStacksLite.hpp:49).
+    - ``front_pos``  — index of the current oldest (evict = += 1).
+    - ``back``       — list of partial chunks appended since last flip.
+    - ``back_sum``   — length-1 partial: fold of all back chunks
+      (``_backSum``, TwoStacksLite.hpp:38).
+
+    ``push_bulk(P)`` implements, per incoming partial: *if size == w:
+    evict-oldest; insert; emit query()* — the steady-state tick of
+    cpp/src/benchmark_core.h:111-117 — processing whole spans between
+    flips with vectorized gathers (≈ m/w + 2 Python iterations/batch).
+    """
+
+    def __init__(self, monoid: Monoid, w: int):
+        assert w >= 1
+        self.m = monoid
+        self.w = w
+        self.front_vals: Partial | None = None
+        self.front_agg: Partial | None = None
+        self.front_pos = 0
+        self.back: list[Partial] = []
+        self.back_len = 0
+        self.back_sum: Partial = monoid.identity(1)
+
+    @property
+    def size(self) -> int:
+        f = 0 if self.front_vals is None else p_len(self.front_vals) - self.front_pos
+        return f + self.back_len
+
+    def _flip(self) -> None:
+        chunks = self.back
+        if self.front_vals is not None and self.front_pos < p_len(self.front_vals):
+            raise AssertionError("flip with non-empty front")
+        vals = p_concat(*chunks) if len(chunks) > 1 else chunks[0]
+        self.front_vals = vals
+        self.front_agg = self.m.raccumulate(vals, axis=0)
+        self.front_pos = 0
+        self.back = []
+        self.back_len = 0
+        self.back_sum = self.m.identity(1)
+
+    def _front_total(self) -> Partial:
+        """Fold of the whole remaining front (identity when empty)."""
+        if self.front_vals is None or self.front_pos >= p_len(self.front_vals):
+            return self.m.identity(1)
+        return p_take(self.front_agg, slice(self.front_pos, self.front_pos + 1))
+
+    def query_partial(self) -> Partial:
+        return self.m.combine(self._front_total(), self.back_sum)
+
+    def push_bulk(self, p: Partial) -> Partial:
+        """Per row: evict-if-full, insert, query. Returns per-row partials."""
+        m, w = self.m, self.w
+        n = p_len(p)
+        if n == 0:
+            return p
+        outs: list[Partial] = []
+        j = 0
+        while j < n:
+            remaining = n - j
+            if self.size < w:
+                # growing phase: no evictions until the window fills
+                take = min(remaining, w - self.size)
+                chunk = p_slice(p, j, j + take)
+                acc = m.accumulate(chunk, axis=0)
+                run = m.combine(
+                    {k: np.broadcast_to(v, acc[k].shape) for k, v in self.back_sum.items()},
+                    acc,
+                )
+                front_tot = self._front_total()
+                outs.append(
+                    m.combine(
+                        {k: np.broadcast_to(v, run[k].shape) for k, v in front_tot.items()},
+                        run,
+                    )
+                )
+                self.back.append(chunk)
+                self.back_len += take
+                self.back_sum = p_take(run, slice(take - 1, take))
+                j += take
+                continue
+            # steady state: each row evicts one from the front
+            front_avail = (
+                0 if self.front_vals is None else p_len(self.front_vals) - self.front_pos
+            )
+            if front_avail == 0:
+                self._flip()
+                continue
+            take = min(remaining, front_avail)
+            chunk = p_slice(p, j, j + take)
+            acc = m.accumulate(chunk, axis=0)
+            run = m.combine(
+                {k: np.broadcast_to(v, acc[k].shape) for k, v in self.back_sum.items()},
+                acc,
+            )
+            # after k+1 evictions the front contributes front_agg[pos+k+1]
+            lo = self.front_pos + 1
+            idx = np.arange(lo, lo + take)
+            L = p_len(self.front_vals)
+            valid = idx < L
+            idx_c = np.minimum(idx, L - 1)
+            fa = p_take(self.front_agg, idx_c)
+            ident = self.m.identity(take)
+            fa = p_where(valid, fa, ident)
+            outs.append(m.combine(fa, run))
+            self.front_pos += take
+            self.back.append(chunk)
+            self.back_len += take
+            self.back_sum = p_take(run, slice(take - 1, take))
+            j += take
+        return outs[0] if len(outs) == 1 else p_concat(*outs)
+
+
+# ---------------------------------------------------------------------------
+# SubtractOnEvict (invertible fast path)
+# ---------------------------------------------------------------------------
+
+
+class SubtractOnEvictKernel:
+    """O(1)/row sliding window for invertible monoids — running total plus a
+    ring buffer of the live window (cpp/src/SubtractOnEvict.hpp:20-64;
+    the Rust type-level guard is rust/tests/trybuild_soe_max.fail).
+    """
+
+    def __init__(self, monoid: Monoid, w: int):
+        if not monoid.invertible:
+            raise TypeError(
+                f"SubtractOnEvict requires an invertible monoid, got {monoid.name}"
+            )
+        self.m = monoid
+        self.w = w
+        self.ring: Partial = monoid.identity(w)  # slots, filled circularly
+        self.head = 0  # next slot to evict/overwrite
+        self.size = 0
+        self.total: Partial = monoid.identity(1)
+
+    def push_bulk(self, p: Partial) -> Partial:
+        m, w = self.m, self.w
+        n = p_len(p)
+        if n == 0:
+            return p
+        # positions each incoming row lands on (and evicts from, when full)
+        slots = (self.head + np.arange(n)) % w
+        acc_in = m.accumulate(p, axis=0)
+        # evicted partials: rows that overwrite a live slot
+        evict_mask = (self.size + np.arange(n)) >= w
+        evicted = p_take(self.ring, slots)
+        # rows overwriting a slot already written THIS batch evict the batch
+        # row that wrote it (happens when n > w): that row is i - w
+        intra = np.arange(n) - w
+        intra_valid = intra >= 0
+        if intra_valid.any():
+            evicted = p_where(
+                intra_valid, p_take(p, np.maximum(intra, 0)), evicted
+            )
+        ident = m.identity(n)
+        evicted = p_where(evict_mask, evicted, ident)
+        acc_ev = m.accumulate(evicted, axis=0)
+        tot = {k: np.broadcast_to(v, acc_in[k].shape) for k, v in self.total.items()}
+        out = m.inverse_combine(m.combine(tot, acc_in), acc_ev)
+        # write the batch into the ring (last w rows win)
+        keep = np.arange(max(0, n - w), n)
+        for k in self.ring:
+            self.ring[k][slots[keep]] = p[k][keep]
+        self.total = p_take(out, slice(n - 1, n))
+        self.size = min(w, self.size + n)
+        self.head = int((self.head + n) % w)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Strategy dispatcher
+# ---------------------------------------------------------------------------
+
+
+class SlidingCountWindow:
+    """Count-based sliding window over a keyed stream of batches.
+
+    Emits, for every input row, the aggregate of the last ``w`` rows
+    (fewer during warm-up) — the reference's FIFO query loop
+    (cpp/src/benchmark_core.h:96-121). Strategy:
+
+    - invertible monoid → :class:`SubtractOnEvictKernel` (O(1)/row);
+    - ``w`` ≤ first-batch size → stateless block kernel over a raw tail
+      (O(m + w)/batch, zero Python loops);
+    - else → persistent :class:`TwoStacksKernel` (amortized O(1)/row).
+    """
+
+    def __init__(self, monoid: Monoid, w: int, strategy: str = "auto"):
+        self.m = monoid
+        self.w = w
+        self.strategy = strategy
+        self._impl = None
+        self._tail: Partial | None = None  # block strategy state
+
+    def _choose(self, first_batch_len: int) -> str:
+        if self.strategy != "auto":
+            return self.strategy
+        if self.m.invertible and self.m.name != "collect":
+            return "soe"
+        if self.w <= max(first_batch_len, 4096):
+            return "block"
+        return "twostacks"
+
+    def process(self, values: np.ndarray) -> np.ndarray:
+        p = self.m.lift(values)
+        return self.m.lower(self.process_partials(p))
+
+    def process_partials(self, p: Partial) -> Partial:
+        if self._impl is None:
+            strat = self._choose(p_len(p))
+            if strat == "soe":
+                self._impl = SubtractOnEvictKernel(self.m, self.w)
+            elif strat == "twostacks":
+                self._impl = TwoStacksKernel(self.m, self.w)
+            else:
+                self._impl = "block"
+                self._tail = self.m.identity(0)
+        if self._impl == "block":
+            arr = p_concat(self._tail, p) if p_len(self._tail) else p
+            out = sliding_partials(self.m, arr, self.w)
+            ntail = p_len(self._tail)
+            n = p_len(arr)
+            keep = max(0, n - (self.w - 1))
+            self._tail = p_slice(arr, keep, None)
+            return p_slice(out, ntail, None)
+        return self._impl.push_bulk(p)
+
+
+# ---------------------------------------------------------------------------
+# Variable-bound range folds (time-based windows)
+# ---------------------------------------------------------------------------
+
+
+def _prefix_diff_fold(m: Monoid, p: Partial, starts, ends) -> Partial:
+    acc = m.accumulate(p, axis=0)
+    nonempty = ends > starts
+    hi = p_take(acc, np.maximum(ends - 1, 0))
+    hi = p_where(nonempty, hi, m.identity(len(starts)))
+    lo_valid = nonempty & (starts > 0)
+    lo = p_take(acc, np.maximum(starts - 1, 0))
+    lo = p_where(lo_valid, lo, m.identity(len(starts)))
+    return m.inverse_combine(hi, lo)
+
+
+def _sparse_table_fold(m: Monoid, p: Partial, starts, ends) -> Partial:
+    """Overlapping range fold — idempotent monoids only."""
+    n = p_len(p)
+    levels = [p]
+    k = 1
+    while (1 << k) <= n:
+        prev = levels[-1]
+        half = 1 << (k - 1)
+        sz = n - (1 << k) + 1
+        levels.append(
+            m.combine(p_slice(prev, 0, sz), p_slice(prev, half, half + sz))
+        )
+        k += 1
+    length = ends - starts
+    ks = np.floor(np.log2(np.maximum(length, 1))).astype(np.int64)
+    out = m.identity(len(starts))
+    for kk in range(len(levels)):
+        sel = ks == kk
+        if not sel.any():
+            continue
+        half = 1 << kk
+        a = p_take(levels[kk], starts[sel])
+        b = p_take(levels[kk], np.maximum(ends[sel] - half, 0))
+        res = m.combine(a, b)
+        for key in out:
+            out[key][sel] = res[key]
+    empty = length <= 0
+    if empty.any():
+        out = p_where(~empty, out, m.identity(len(starts)))
+    return out
+
+
+def _tree_fold(m: Monoid, p: Partial, starts, ends) -> Partial:
+    """Order-preserving segment-tree walk (general monoids; O(q log n)
+    Python — used for non-invertible non-idempotent ops in tests/oracles)."""
+    tree = FlatTree(m, p)
+    outs = [tree.range_fold(int(s), int(e)) for s, e in zip(starts, ends)]
+    return p_concat(*outs) if outs else m.identity(0)
+
+
+class FlatTree:
+    """FlatFAT-style complete binary tree of partials
+    (cpp/src/Reactive.hpp:9-160 keeps the same implicit-array tree;
+    here it is built bottom-up with one vectorized combine per level)."""
+
+    def __init__(self, m: Monoid, p: Partial):
+        self.m = m
+        self.n = p_len(p)
+        self.levels = [p]
+        cur = p
+        while p_len(cur) > 1:
+            ln = p_len(cur)
+            even = p_take(cur, np.arange(0, ln - 1, 2))
+            odd = p_take(cur, np.arange(1, ln, 2))
+            nxt = m.combine(even, odd)
+            if ln % 2:
+                nxt = p_concat(nxt, p_slice(cur, ln - 1, ln))
+            self.levels.append(nxt)
+            cur = nxt
+
+    def range_fold(self, lo: int, hi: int) -> Partial:
+        """Fold p[lo:hi) preserving order (non-commutative safe)."""
+        m = self.m
+        if hi <= lo:
+            return m.identity(1)
+        left_parts: list[Partial] = []
+        right_parts: list[Partial] = []
+        lvl = 0
+        while lo < hi:
+            cur = self.levels[lvl]
+            if lo & 1:
+                left_parts.append(p_slice(cur, lo, lo + 1))
+                lo += 1
+            if hi & 1:
+                hi -= 1
+                right_parts.append(p_slice(cur, hi, hi + 1))
+            lo >>= 1
+            hi >>= 1
+            lvl += 1
+            if lvl >= len(self.levels):
+                break
+        acc = m.identity(1)
+        for part in left_parts:
+            acc = m.combine(acc, part)
+        for part in reversed(right_parts):
+            acc = m.combine(acc, part)
+        return acc
+
+
+def interval_fold(m: Monoid, p: Partial, starts: np.ndarray, ends: np.ndarray) -> Partial:
+    """out_q = fold of p[starts_q : ends_q) — strategy by monoid traits."""
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    if p_len(p) == 0 or len(starts) == 0:
+        return m.identity(len(starts))
+    if m.invertible and m.commutative:
+        return _prefix_diff_fold(m, p, starts, ends)
+    if m.idempotent and m.commutative:
+        return _sparse_table_fold(m, p, starts, ends)
+    return _tree_fold(m, p, starts, ends)
+
+
+def sliding_time_window(
+    m: Monoid,
+    ts: np.ndarray,
+    p: Partial,
+    duration,
+    inclusive_start: bool = True,
+) -> Partial:
+    """Per-row event-time window: out_i = fold over rows with
+    ts ∈ [ts_i − duration, ts_i] (``inclusive_start``) or
+    (ts_i − duration, ts_i] — the reference's data loop evicts while
+    ``youngest − oldest > duration`` i.e. KEEPS ts ≥ youngest − duration
+    (cpp/src/benchmark_core.h:584-590), matching inclusive_start=True.
+
+    ``ts`` must be sorted ascending. Duplicate timestamps all fall in
+    every window touching that instant (searchsorted side='right').
+    """
+    ts = np.asarray(ts)
+    side = "left" if inclusive_start else "right"
+    starts = np.searchsorted(ts, ts - duration, side=side)
+    ends = np.arange(1, len(ts) + 1)
+    return interval_fold(m, p, starts, ends)

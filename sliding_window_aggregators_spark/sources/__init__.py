@@ -1,0 +1,2 @@
+from .transcripts import transcripts_pandas, transcripts_spark  # noqa: F401
+from .session import get_spark  # noqa: F401

@@ -1,0 +1,62 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Tuned for correctness-at-scale first: AQE on (runtime shuffle coalescing
+and skew-join splitting stand in for manual tuning at 100 TB),
+Arrow-batched Python UDF transport, and a shuffle-partition count sized
+for the local harness (the 1000-executor deployment overrides
+``spark.sql.shuffle.partitions`` / relies on AQE's coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors — the local-mode equivalent of
+    ``spark-submit --py-files swag.zip`` (BASELINE north_rule launch shape).
+    Idempotent per session."""
+    if getattr(spark, "_swag_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(tempfile.mkdtemp(prefix="swag_pyfiles_"), "swag_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, root))
+    spark.sparkContext.addPyFile(zpath)
+    spark._swag_shipped = True
+
+
+def get_spark(app: str = "swag-spark", cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle = shuffle_partitions or max(32, cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
