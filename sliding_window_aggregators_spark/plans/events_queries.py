@@ -1,0 +1,479 @@
+"""Windowed-aggregate queries over the ``events`` table — the SWAG surface.
+
+Each query exists in two forms: a Spark callable ``(spark, sf_dir) →
+DataFrame`` and (where ANSI-SQL-expressible) a DuckDB oracle string over
+the same parquet — the engine-level analogue of the reference's
+ReCalc differential tests (cpp/src/test.cc:45-140).
+
+Determinism discipline: every aggregate that could differ across engines
+by float summation order is computed over ``cents`` (exact int64 =
+round(value·100)), so sums/maxes/means/stddevs are bit-identical doubles
+in Spark and DuckDB; genuinely float aggregates (geomean) are rounded.
+
+Mapping to reference ops (SURVEY.md §2.A): sum/max/mean/stddev/argmax/
+mincount/relvar/collect/bloom over ROWS w=100 frames ≡ benchmark_driver's
+FIFO window (cpp/src/benchmark_core.h:96-121 with w=100 as in
+cpp/src/test.cc:83-101); RANGE 1h ≡ data_benchmark's duration windows
+(cpp/src/benchmark_core.h:577-591); tumbling/session/as-of join are the
+north_rule streaming additions evaluated here in batch form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.batch import sliding_rows_kernel, sliding_time_kernel, with_cents
+
+W = 100  # the reference test window (cpp/src/test.cc:83)
+HOUR_US = 3_600_000_000
+
+# shared DuckDB fragments
+_CENTS = "cast(round(value * 100) as bigint)"
+_WIN = (
+    "window w as (partition by user_id order by ts, event_id "
+    "rows between 99 preceding and current row)"
+)
+_EV = "(select *, {cents} as cents from events)".format(cents=_CENTS)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_cents(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _w_rows():
+    return (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(W - 1), 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-path queries (built-in Spark window functions; JVM codegen)
+# ---------------------------------------------------------------------------
+
+
+def q_sliding_sum(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    return df.select(
+        "user_id", "event_id", F.sum("cents").over(_w_rows()).alias("wsum_cents")
+    )
+
+
+def q_sliding_max(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    return df.select(
+        "user_id", "event_id", F.max("cents").over(_w_rows()).alias("wmax_cents")
+    )
+
+
+def q_sliding_mean(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    return df.select(
+        "user_id",
+        "event_id",
+        (
+            F.sum("cents").over(_w_rows()).cast("double")
+            / F.count(F.lit(1)).over(_w_rows())
+        ).alias("wmean_cents"),
+    )
+
+
+def q_sliding_geomean(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    return df.select(
+        "user_id",
+        "event_id",
+        F.round(F.exp(F.avg(F.log("value")).over(_w_rows())), 6).alias("wgeomean"),
+    )
+
+
+def q_sliding_argmax(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn(
+        "k", F.col("cents") * 10_000_000 + F.col("event_id")
+    )
+    return df.select(
+        "user_id",
+        "event_id",
+        F.expr("max_by(event_id, k)").over(_w_rows()).alias("warg_event"),
+    )
+
+
+def q_sliding_collect(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    return df.select(
+        "user_id",
+        "event_id",
+        F.array_join(F.collect_list("cents").over(_w_rows()), ",").alias("wlist"),
+    )
+
+
+ORACLE_SLIDING_SUM = f"""
+select user_id, event_id, sum(cents) over w as wsum_cents
+from {_EV} {_WIN}
+"""
+
+ORACLE_SLIDING_MAX = f"""
+select user_id, event_id, max(cents) over w as wmax_cents
+from {_EV} {_WIN}
+"""
+
+ORACLE_SLIDING_MEAN = f"""
+select user_id, event_id,
+       cast(sum(cents) over w as double) / (count(*) over w) as wmean_cents
+from {_EV} {_WIN}
+"""
+
+ORACLE_SLIDING_GEOMEAN = f"""
+select user_id, event_id, round(exp(avg(ln(value)) over w), 6) as wgeomean
+from events {_WIN}
+"""
+
+ORACLE_SLIDING_ARGMAX = f"""
+select user_id, event_id, arg_max(event_id, cents * 10000000 + event_id) over w as warg_event
+from {_EV} {_WIN}
+"""
+
+ORACLE_SLIDING_COLLECT = f"""
+select user_id, event_id, array_to_string(list(cents) over w, ',') as wlist
+from {_EV} {_WIN}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Kernel-path queries (vectorized SWAG kernels through applyInPandas)
+# ---------------------------------------------------------------------------
+
+
+def q_kernel_sum(spark, sf_dir):
+    """Sliding sum via the SubtractOnEvict kernel (invertible fast path,
+    cpp/src/SubtractOnEvict.hpp:20-64)."""
+    df = _events(spark, sf_dir)
+    out = sliding_rows_kernel(
+        df, "user_id", ["ts", "event_id"], "cents", "sum", W,
+        out="wsum_cents", id_cols=["user_id", "event_id"], int_values=True,
+    )
+    return out.withColumn("wsum_cents", F.col("wsum_cents").cast("long"))
+
+
+def q_kernel_max(spark, sf_dir):
+    """Sliding max via the Two-Stacks kernel (no inverse exists:
+    cpp/src/TwoStacksLite.hpp:23-77)."""
+    df = _events(spark, sf_dir)
+    out = sliding_rows_kernel(
+        df, "user_id", ["ts", "event_id"], "cents", "max", W,
+        out="wmax_cents", id_cols=["user_id", "event_id"], int_values=True,
+    )
+    return out.withColumn("wmax_cents", F.col("wmax_cents").cast("long"))
+
+
+def q_kernel_mincount(spark, sf_dir):
+    """Count of window-min occurrences — no Spark built-in; the MinCount
+    monoid (cpp/src/AggregationFunctions.hpp:446-503) through the kernel."""
+    df = _events(spark, sf_dir)
+    return sliding_rows_kernel(
+        df, "user_id", ["ts", "event_id"], "cents", "mincount", W,
+        out="wmincount", id_cols=["user_id", "event_id"], int_values=True,
+    )
+
+
+def q_kernel_relvar(spark, sf_dir):
+    """(max−min)/max over the window (RelativeVariation,
+    cpp/src/AggregationFunctions.hpp:554-617)."""
+    df = _events(spark, sf_dir)
+    return sliding_rows_kernel(
+        df, "user_id", ["ts", "event_id"], "cents", "relvar", W,
+        out="wrelvar", id_cols=["user_id", "event_id"], int_values=True,
+    )
+
+
+def q_kernel_stddev(spark, sf_dir):
+    """Sample stddev with the reference's exact naive formula
+    (cpp/src/AggregationFunctions.hpp:229) over exact integer cents —
+    bit-identical to the same formula in SQL."""
+    df = _events(spark, sf_dir)
+    return sliding_rows_kernel(
+        df, "user_id", ["ts", "event_id"], "cents", "stddev", W,
+        out="wstddev_cents", id_cols=["user_id", "event_id"], int_values=False,
+    )
+
+
+def q_kernel_argmax(spark, sf_dir):
+    """ArgMax through the kernel (ties → earlier,
+    cpp/src/AggregationFunctions.hpp:297; keys made unique so the SQL
+    oracle agrees regardless of tie rule)."""
+    df = _events(spark, sf_dir).withColumn(
+        "k", F.col("cents") * 10_000_000 + F.col("event_id")
+    )
+    return sliding_rows_kernel(
+        df, "user_id", ["ts", "event_id"], "k", "argmax", W,
+        out="warg_event", id_cols=["user_id", "event_id"],
+    )
+
+
+def q_kernel_bloom(spark, sf_dir):
+    """Windowed Bloom sketch (cpp/src/AggregationFunctions.hpp:321-377),
+    bit-for-bit with the reference's salted hashes; lower = test(bit 0).
+    Not ANSI-SQL-expressible → rows-only driver check + pytest parity."""
+    df = _events(spark, sf_dir)
+    return sliding_rows_kernel(
+        df, "user_id", ["ts", "event_id"], "cents", "bloom", W,
+        out="wbloom_bit0", id_cols=["user_id", "event_id"], int_values=True,
+    )
+
+
+ORACLE_KERNEL_SUM = ORACLE_SLIDING_SUM
+ORACLE_KERNEL_MAX = ORACLE_SLIDING_MAX
+
+ORACLE_KERNEL_MINCOUNT = f"""
+with t as (
+  select user_id, event_id, cents,
+         row_number() over (partition by user_id order by ts, event_id) as rn
+  from {_EV}
+),
+j as (
+  select a.user_id as user_id, a.event_id as event_id, b.cents as bc
+  from t a join t b
+    on a.user_id = b.user_id and b.rn between a.rn - 99 and a.rn
+),
+mm as (select *, min(bc) over (partition by user_id, event_id) as mn from j)
+select user_id, event_id, count(*) filter (bc = mn) as wmincount
+from mm group by user_id, event_id
+"""
+
+ORACLE_KERNEL_RELVAR = f"""
+select user_id, event_id,
+       cast(max(cents) over w - min(cents) over w as double)
+         / (max(cents) over w) as wrelvar
+from {_EV} {_WIN}
+"""
+
+ORACLE_KERNEL_STDDEV = f"""
+select user_id, event_id,
+  case when count(*) over w < 2 then null else
+    sqrt((sum(cents * cents) over w
+          - (cast(sum(cents) over w as double) * sum(cents) over w)
+            / (count(*) over w))
+         / (count(*) over w - 1))
+  end as wstddev_cents
+from {_EV} {_WIN}
+"""
+
+ORACLE_KERNEL_ARGMAX = ORACLE_SLIDING_ARGMAX
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows: RANGE frame / tumbling / session / as-of join
+# ---------------------------------------------------------------------------
+
+
+def q_time_range_sum(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    # ts is TIMESTAMP_NTZ in the parquet; session TZ is UTC so casting to
+    # TIMESTAMP is lossless and matches DuckDB's epoch_us of the naive ts
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-HOUR_US, 0)
+    )
+    return df.select(
+        "user_id", "event_id", F.sum("cents").over(w).alias("hsum_cents")
+    )
+
+
+def q_time_range_sum_kernel(spark, sf_dir):
+    """The same event-time window through the kernel's interval fold
+    (≡ timestamped FIFO wrappers, cpp/src/TimestampedTwoStacksLite.hpp:27-94,
+    with the admit/evict loop of cpp/src/benchmark_core.h:577-591)."""
+    df = _events(spark, sf_dir)
+    out = sliding_time_kernel(
+        df, "user_id", "ts", "cents", "sum", HOUR_US,
+        out="hsum_cents", id_cols=["user_id", "event_id"],
+    )
+    return out.withColumn("hsum_cents", F.col("hsum_cents").cast("long"))
+
+
+ORACLE_TIME_RANGE_SUM = f"""
+select user_id, event_id, sum(cents) over w as hsum_cents
+from {_EV}
+window w as (partition by user_id order by epoch_us(ts)
+             range between 3600000000 preceding and current row)
+"""
+
+
+def q_tumbling_hour(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    return (
+        df.groupBy("user_id", F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("bucket_start"),
+            "n_events",
+            "sum_cents",
+            "max_cents",
+        )
+    )
+
+
+ORACLE_TUMBLING_HOUR = f"""
+select user_id, date_trunc('hour', ts) as bucket_start,
+       count(*) as n_events, sum(cents) as sum_cents, max(cents) as max_cents
+from {_EV}
+group by 1, 2
+"""
+
+
+def q_session_30m(spark, sf_dir):
+    """Session windows, 30-minute gap (north_rule addition; no reference
+    counterpart — F.session_window end = last event + gap)."""
+    df = _events(spark, sf_dir)
+    return (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("sum_cents"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
+ORACLE_SESSION_30M = f"""
+with o as (
+  select user_id, ts, cents,
+         lag(ts) over (partition by user_id order by ts, event_id) as prev_ts
+  from {_EV}
+),
+flg as (
+  select *, case when prev_ts is null
+                   or ts - prev_ts > interval 30 minute then 1 else 0 end as news
+  from o
+),
+g as (
+  select *, sum(news) over (partition by user_id order by ts
+                            rows unbounded preceding) as sid
+  from flg
+)
+select user_id, min(ts) as session_start,
+       max(ts) + interval 30 minute as session_end,
+       count(*) as n_events, sum(cents) as sum_cents
+from g group by user_id, sid
+"""
+
+
+def q_asof_join(spark, sf_dir):
+    """Per signup: first purchase by the same user within 1 hour — the
+    batch form of the north_rule's stream-stream interval join (user turn
+    joined to following assistant/tool turns)."""
+    df = _events(spark, sf_dir)
+    s = df.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_id"), F.col("ts").alias("s_ts")
+    )
+    p = df.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("cents").alias("p_cents"),
+    )
+    j = s.join(
+        p,
+        (s.user_id == p.p_user)
+        & (p.p_ts >= s.s_ts)
+        & (p.p_ts <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return j.groupBy("user_id", "signup_id").agg(
+        F.min("p_ts").alias("first_purchase_ts"),
+        F.count("p_cents").alias("purchases_1h"),
+        F.coalesce(F.sum("p_cents"), F.lit(0)).alias("purchase_cents_1h"),
+    )
+
+
+ORACLE_ASOF_JOIN = f"""
+with e as (select * from {_EV}),
+s as (select user_id, event_id as signup_id, ts as s_ts from e
+      where event_type = 'signup'),
+p as (select user_id as p_user, ts as p_ts, cents as p_cents from e
+      where event_type = 'purchase')
+select s.user_id as user_id, s.signup_id as signup_id,
+       min(p.p_ts) as first_purchase_ts,
+       count(p.p_cents) as purchases_1h,
+       coalesce(sum(p.p_cents), 0) as purchase_cents_1h
+from s left join p
+  on s.user_id = p.p_user and p.p_ts >= s.s_ts
+ and p.p_ts <= s.s_ts + interval 1 hour
+group by 1, 2
+"""
+
+
+def q_user_stats(spark, sf_dir):
+    """Whole-key aggregate — the ReCalc/groupBy baseline
+    (cpp/src/ReCalc.hpp:20-55 degenerate window = everything)."""
+    df = _events(spark, sf_dir)
+    return df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+        F.max("cents").alias("max_cents"),
+        F.min("cents").alias("min_cents"),
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("mean_cents"),
+    )
+
+
+ORACLE_USER_STATS = f"""
+select user_id, count(*) as n_events, sum(cents) as sum_cents,
+       max(cents) as max_cents, min(cents) as min_cents,
+       cast(sum(cents) as double) / count(*) as mean_cents
+from {_EV} group by 1
+"""
+
+
+QUERIES = {
+    "sliding_sum_w100": q_sliding_sum,
+    "sliding_max_w100": q_sliding_max,
+    "sliding_mean_w100": q_sliding_mean,
+    "sliding_geomean_w100": q_sliding_geomean,
+    "sliding_argmax_w100": q_sliding_argmax,
+    "sliding_collect_w100": q_sliding_collect,
+    "kernel_sum_w100": q_kernel_sum,
+    "kernel_max_w100": q_kernel_max,
+    "kernel_mincount_w100": q_kernel_mincount,
+    "kernel_relvar_w100": q_kernel_relvar,
+    "kernel_stddev_w100": q_kernel_stddev,
+    "kernel_argmax_w100": q_kernel_argmax,
+    "kernel_bloom_w100": q_kernel_bloom,
+    "time_range_sum_1h": q_time_range_sum,
+    "time_range_sum_1h_kernel": q_time_range_sum_kernel,
+    "tumbling_sum_1h": q_tumbling_hour,
+    "session_30m": q_session_30m,
+    "asof_join_signup_purchase": q_asof_join,
+    "user_stats": q_user_stats,
+}
+
+ORACLES = {
+    "sliding_sum_w100": ORACLE_SLIDING_SUM,
+    "sliding_max_w100": ORACLE_SLIDING_MAX,
+    "sliding_mean_w100": ORACLE_SLIDING_MEAN,
+    "sliding_geomean_w100": ORACLE_SLIDING_GEOMEAN,
+    "sliding_argmax_w100": ORACLE_SLIDING_ARGMAX,
+    "sliding_collect_w100": ORACLE_SLIDING_COLLECT,
+    "kernel_sum_w100": ORACLE_KERNEL_SUM,
+    "kernel_max_w100": ORACLE_KERNEL_MAX,
+    "kernel_mincount_w100": ORACLE_KERNEL_MINCOUNT,
+    "kernel_relvar_w100": ORACLE_KERNEL_RELVAR,
+    "kernel_stddev_w100": ORACLE_KERNEL_STDDEV,
+    "kernel_argmax_w100": ORACLE_KERNEL_ARGMAX,
+    # kernel_bloom_w100: rows-only (sketch; pytest-verified vs reference hash)
+    "time_range_sum_1h": ORACLE_TIME_RANGE_SUM,
+    "time_range_sum_1h_kernel": ORACLE_TIME_RANGE_SUM,
+    "tumbling_sum_1h": ORACLE_TUMBLING_HOUR,
+    "session_30m": ORACLE_SESSION_30M,
+    "asof_join_signup_purchase": ORACLE_ASOF_JOIN,
+    "user_stats": ORACLE_USER_STATS,
+}
