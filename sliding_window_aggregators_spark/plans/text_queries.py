@@ -1,0 +1,433 @@
+"""Training-data pipeline operators over the ``documents`` table:
+deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash), text
+analysis (token counting, quality scoring, language-ID heuristic,
+rolling-hash fingerprinting).
+
+Every hash is derived from md5 (identical in Spark and DuckDB), and all
+scoring arithmetic runs over exact integers before one final double
+division, so each SQL-expressible query is bit-identical across engines.
+
+Scale shape (100 TB): shingle explosion + groupBy is a single shuffle on
+the shingle; candidate generation joins only within LSH bands/buckets
+(never the full cross product); the doc-side tables (signatures) stay
+columnar and broadcastable when small.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+_P = 2_147_483_647  # 2^31 − 1
+_N_HASH = 16
+_BANDS = 4  # 4 bands × 4 rows
+# deterministic permutation constants (affine hashes mod P); products stay
+# within int64 because the base hash is reduced mod P first
+_A = [(1_103_515_245 * (i + 1) * 2 + 1) % _P for i in range(_N_HASH)]
+_B = [(12_345 + 987_654_321 * i) % _P for i in range(_N_HASH)]
+
+_JACCARD_TAU = 0.2
+
+# base hash of a shingle: first 8 hex chars of md5 → uint32 → mod P
+_DUCK_H = "(('0x' || substr(md5(g), 1, 8))::BIGINT % {p})".format(p=_P)
+_SPARK_H = f"(cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint) % {_P})"
+
+_DUCK_SHINGLES = """
+with toks as (
+  select doc_id, string_split(text, ' ') as t from documents
+),
+tri as (
+  select doc_id, array_to_string(t[i:i+2], ' ') as g
+  from toks, lateral (select unnest(range(1, greatest(len(t) - 1, 1))) as i)
+),
+sh as (select distinct doc_id, g from tri)
+"""
+
+_SPARK_TRI_EXPR = (
+    "case when size(t) >= 3 then "
+    "transform(sequence(1, size(t) - 2), "
+    "i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), element_at(t, i+2))) "
+    "else array() end"
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _shingles(spark, sf_dir):
+    """Distinct word-3-gram shingles per doc (the MinHash/Jaccard base)."""
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("t", F.split("text", " "))
+        .withColumn("g", F.explode(F.expr(_SPARK_TRI_EXPR)))
+        .select("doc_id", "g")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: md5(text) groups; keeper = min doc_id of the group."""
+    df = _docs(spark, sf_dir).withColumn("h", F.md5("text"))
+    keep = df.groupBy("h").agg(
+        F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return (
+        df.join(keep, "h")
+        .select("doc_id", "keeper_id", "group_size",
+                (F.col("doc_id") != F.col("keeper_id")).alias("is_duplicate"))
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+with h as (select doc_id, md5(text) as h from documents),
+k as (select h, min(doc_id) as keeper_id, count(*) as group_size from h group by h)
+select doc_id, keeper_id, group_size, doc_id <> keeper_id as is_duplicate
+from h join k using (h)
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Word-3-gram Jaccard pairs ≥ τ: explode distinct shingles, self-join
+    on shingle (never the doc cross product), |A∩B| by count, union by
+    inclusion-exclusion. Integer counts → one double division → exact."""
+    sh = _shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sa"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double") / (F.col("sa") + F.col("sb") - F.col("inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= _JACCARD_TAU)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = f"""
+{_DUCK_SHINGLES},
+sizes as (select doc_id, count(*) as sz from sh group by doc_id),
+inter as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as i
+  from sh a join sh b on a.g = b.g and a.doc_id < b.doc_id
+  group by 1, 2
+)
+select doc_a, doc_b,
+       round(cast(i as double) / (sa.sz + sb.sz - i), 6) as jaccard
+from inter
+join sizes sa on sa.doc_id = doc_a
+join sizes sb on sb.doc_id = doc_b
+where round(cast(i as double) / (sa.sz + sb.sz - i), 6) >= {_JACCARD_TAU}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash (16 affine hashes mod 2^31−1 of the shingle md5) → 4 bands
+    of 4 → candidate pairs sharing ≥ 1 band. Pure integer math, identical
+    in the SQL oracle. At scale the band join touches only same-signature
+    buckets (shingle→minhash→band→bucket-join; no cross product)."""
+    sh = _shingles(spark, sf_dir).withColumn("h", F.expr(_SPARK_H))
+    aggs = [
+        F.min(F.expr(f"({a}L * h + {b}L) % {_P}")).alias(f"mh{i}")
+        for i, (a, b) in enumerate(zip(_A, _B))
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    rows_per_band = _N_HASH // _BANDS
+    bands = None
+    for b in range(_BANDS):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *[F.col(c).cast("string") for c in cols]).alias("sig"),
+        )
+        bands = band if bands is None else bands.unionAll(band)
+    x = bands.alias("x")
+    y = bands.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def _minhash_oracle() -> str:
+    mh = ",\n    ".join(
+        f"min(({a} * h + {b}) % {_P}) as mh{i}"
+        for i, (a, b) in enumerate(zip(_A, _B))
+    )
+    rows_per_band = _N_HASH // _BANDS
+    band_selects = "\n  union all\n".join(
+        "select doc_id, {b} as band, concat_ws('_', {cols}) as sig from sig".format(
+            b=b,
+            cols=", ".join(
+                f"cast(mh{b * rows_per_band + r} as varchar)" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+{_DUCK_SHINGLES},
+hashed as (select doc_id, {_DUCK_H} as h from sh),
+sig as (select doc_id, {mh} from hashed group by doc_id),
+bands as (
+  {band_selects}
+)
+select distinct x.doc_id as doc_a, y.doc_id as doc_b
+from bands x join bands y
+  on x.band = y.band and x.sig = y.sig and x.doc_id < y.doc_id
+"""
+
+
+ORACLE_DEDUP_MINHASH_LSH = _minhash_oracle()
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIM_BITS = 32  # 8 hex chars of md5 → 32-bit token hash
+
+
+def q_simhash(spark, sf_dir):
+    """32-bit SimHash fingerprint per document: per-token md5-derived hash,
+    each bit votes ±count, sign → fingerprint bit. Emitted as the bigint
+    value of the bit vector."""
+    toks = (
+        _docs(spark, sf_dir)
+        .withColumn("tok", F.explode(F.split("text", " ")))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "h", F.expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)")
+        )
+    )
+    bit_votes = [
+        F.sum(
+            F.when(F.expr(f"(h >> {b}) % 2 = 1"), F.col("cnt")).otherwise(-F.col("cnt"))
+        ).alias(f"v{b}")
+        for b in range(_SIM_BITS)
+    ]
+    votes = toks.groupBy("doc_id").agg(*bit_votes)
+    fp = None
+    for b in range(_SIM_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return votes.select("doc_id", fp.alias("simhash32"))
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n    ".join(
+        f"sum(case when (h >> {b}) % 2 = 1 then cnt else -cnt end) as v{b}"
+        for b in range(_SIM_BITS)
+    )
+    fp = " + ".join(
+        f"(case when v{b} > 0 then {2 ** b}::BIGINT else 0 end)" for b in range(_SIM_BITS)
+    )
+    return f"""
+with toks as (
+  select doc_id, unnest(string_split(text, ' ')) as tok from documents
+),
+cnts as (select doc_id, tok, count(*) as cnt from toks group by 1, 2),
+hashed as (
+  select doc_id, cnt, ('0x' || substr(md5(tok), 1, 8))::BIGINT as h from cnts
+),
+votes as (select doc_id, {votes} from hashed group by doc_id)
+select doc_id, {fp} as simhash32 from votes
+"""
+
+
+ORACLE_SIMHASH = _simhash_oracle()
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_token_stats(spark, sf_dir):
+    df = _docs(spark, sf_dir).withColumn("t", F.split("text", " "))
+    return df.select(
+        "doc_id",
+        F.length("text").alias("n_chars2"),
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_uniq_tokens"),
+    )
+
+
+ORACLE_TOKEN_STATS = """
+select doc_id, length(text) as n_chars2,
+       len(string_split(text, ' ')) as n_tokens,
+       len(list_distinct(string_split(text, ' '))) as n_uniq_tokens
+from documents
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Deterministic quality heuristic: length saturation + lexical
+    diversity + mean token length (ints → one double expression)."""
+    df = _docs(spark, sf_dir).withColumn("t", F.split("text", " "))
+    n_chars = F.length("text").cast("double")
+    n_tok = F.size("t").cast("double")
+    n_uniq = F.size(F.array_distinct("t")).cast("double")
+    score = F.round(
+        0.4 * F.least(F.lit(1.0), n_chars / 400.0)
+        + 0.3 * (n_uniq / n_tok)
+        + 0.3 * F.least(F.lit(1.0), (n_chars / n_tok) / 10.0),
+        6,
+    )
+    return df.select("doc_id", score.alias("quality"))
+
+
+ORACLE_QUALITY_SCORE = """
+with t as (
+  select doc_id, cast(length(text) as double) as nc,
+         cast(len(string_split(text, ' ')) as double) as nt,
+         cast(len(list_distinct(string_split(text, ' '))) as double) as nu
+  from documents
+)
+select doc_id,
+       round(0.4 * least(1.0, nc / 400.0)
+             + 0.3 * (nu / nt)
+             + 0.3 * least(1.0, (nc / nt) / 10.0), 6) as quality
+from t
+"""
+
+
+_STOP = ["the", "a", "of", "and", "to"]
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-ratio language-ID heuristic (n-gram-free variant): ratio of
+    English stopword tokens; ≥ 2% → 'en' else 'unk'."""
+    df = _docs(spark, sf_dir).withColumn("t", F.split("text", " "))
+    stop_arr = F.array(*[F.lit(s) for s in _STOP])
+    n_stop = F.size(F.filter("t", lambda x: F.array_contains(stop_arr, x)))
+    ratio = F.round(n_stop.cast("double") / F.size("t"), 6)
+    return df.select(
+        "doc_id",
+        ratio.alias("stopword_ratio"),
+        F.when(ratio >= 0.02, F.lit("en")).otherwise(F.lit("unk")).alias("pred_lang"),
+        "lang",
+    )
+
+
+ORACLE_LANG_ID = """
+with t as (
+  select doc_id, lang, string_split(text, ' ') as toks from documents
+),
+r as (
+  select doc_id, lang,
+         round(cast(len(list_filter(toks, x -> x in ('the','a','of','and','to')))
+                    as double) / len(toks), 6) as stopword_ratio
+  from t
+)
+select doc_id, stopword_ratio,
+       case when stopword_ratio >= 0.02 then 'en' else 'unk' end as pred_lang, lang
+from r
+"""
+
+
+# ---------------------------------------------------------------------------
+# rolling-hash fingerprint (vectorized pandas kernel; rows-only check)
+# ---------------------------------------------------------------------------
+
+_FP_BASE = np.uint64(1_000_003)
+_FP_MASK = np.uint64((1 << 61) - 1)
+
+
+def rolling_fingerprint(texts: pd.Series) -> np.ndarray:
+    """Polynomial rolling hash of each text mod 2^61−1, fully vectorized:
+    pad to a char matrix, Horner by column (O(max_len) vector steps)."""
+    arr = texts.fillna("").to_numpy(dtype=object)
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.int64)
+    lens = np.array([len(s) for s in arr])
+    mx = int(lens.max()) if len(lens) else 0
+    mat = np.zeros((len(arr), mx), dtype=np.uint64)
+    for i, s in enumerate(arr):  # byte-copy only; math below is columnar
+        b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+        mat[i, : len(b)] = b
+    h = np.zeros(len(arr), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in range(mx):
+            live = c < lens
+            nh = (h * _FP_BASE + mat[:, c]) % _FP_MASK
+            h = np.where(live, nh, h)
+    return h.astype(np.int64)
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Rolling-hash fingerprints via mapInPandas (the multimodal/binary
+    column plumbing pattern: Arrow batches in, vectorized numpy, Arrow
+    out). Not SQL-expressible (modular exponentiation) → rows-only check;
+    pytest verifies against a pure-Python oracle."""
+    df = _docs(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "fingerprint": rolling_fingerprint(pdf["text"])}
+            )
+
+    return df.select("doc_id", "text").mapInPandas(gen, "doc_id long, fingerprint long")
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "simhash32": q_simhash,
+    "token_stats": q_token_stats,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
+    "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
+    "simhash32": ORACLE_SIMHASH,
+    "token_stats": ORACLE_TOKEN_STATS,
+    "quality_score": ORACLE_QUALITY_SCORE,
+    "lang_id": ORACLE_LANG_ID,
+    # doc_fingerprint: rows-only (modpow not ANSI-SQL); pytest oracle
+}
