@@ -1,0 +1,126 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line
+{"metric", "value", "unit": "sec", "queries": {...}, "sf": ...}.
+
+Also reports (extra keys) the SWAG kernel throughput grid — sustained
+turns/sec for window sizes spanning the reference benchmark_driver's
+2^2..2^22 range (experiments/run_fifo.py:5-30) over the synthetic
+transcripts stream — mirroring BASELINE.md's protocol (throughput =
+events / core runtime, warm-up excluded, anti-DCE sink on every query
+result per cpp/src/benchmark_core.h:28-42,112).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "sliding_sum_w100",
+    "sliding_geomean_w100",
+    "kernel_sum_w100",
+    "kernel_max_w100",
+    "kernel_mincount_w100",
+    "kernel_bloom_w100",
+    "time_range_sum_1h",
+    "time_range_sum_1h_kernel",
+    "tumbling_sum_1h",
+    "session_30m",
+    "asof_join_signup_purchase",
+    "user_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "simhash32",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "embed_neardup_lsh",
+]
+
+# window grid: a sample of benchmark_driver's 2^2..2^22 (full grid in
+# bench_scaling.py / BENCH/BASELINE.md)
+KERNEL_GRID = [2**2, 2**6, 2**10, 2**14, 2**18, 2**22]
+KERNEL_OPS = ["sum", "geomean", "bloom"]
+KERNEL_N = 2**22  # turns per measurement
+
+
+def kernel_throughput() -> dict:
+    """Pure-kernel turns/sec (the executor-core inner loop the Spark job
+    runs per partition): steady-state evict+insert+query per turn over the
+    reference value stream, vectorized in micro-batches of 64k rows."""
+    import numpy as np
+
+    from sliding_window_aggregators_spark.functions import get_monoid
+    from sliding_window_aggregators_spark.operators import SlidingCountWindow
+
+    vals = (1 + (np.arange(KERNEL_N) % 101)).astype(float)
+    out = {}
+    sink = 0.0  # anti-DCE accumulator (benchmark_core.h:28-42)
+    for op in KERNEL_OPS:
+        n = KERNEL_N if op != "bloom" else KERNEL_N // 8
+        data = vals[:n] if op != "bloom" else vals[:n].astype(int)
+        for w in KERNEL_GRID:
+            m = get_monoid(op)
+            k = SlidingCountWindow(m, w)
+            # warm-up: fill the window before the clock starts
+            # (benchmark_core.h:100-109)
+            warm = min(w, n // 2)
+            k.process(data[:warm])
+            t0 = time.perf_counter()
+            step = 65536
+            i = warm
+            while i < n:
+                res = k.process(data[i : i + step])
+                sink += float(res[-1] if res.dtype.kind == "f" else res[-1])
+                i += step
+            dt = time.perf_counter() - t0
+            out[f"{op}_w{w}"] = round((n - warm) / dt, 1)
+    out["_anti_dce"] = sink
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entry
+    from sliding_window_aggregators_spark.sources import get_spark
+
+    spark = get_spark(app="swag-bench", cpus=cpus)
+    qs = entry.queries()
+    times = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()  # forces full execution; count is the anti-DCE sink
+        dt = time.perf_counter() - t0
+        times[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    kt = kernel_throughput()
+    result = {
+        "metric": "headline_suite_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+        "kernel_turns_per_sec": kt,
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -369,22 +369,24 @@ from r
 # rolling-hash fingerprint (vectorized pandas kernel; rows-only check)
 # ---------------------------------------------------------------------------
 
+# Mersenne prime modulus 2^31−1 with a base < 2^20 keeps every Horner
+# step's product < 2^52 — exact in uint64, no overflow before the mod
 _FP_BASE = np.uint64(1_000_003)
-_FP_MASK = np.uint64((1 << 61) - 1)
+_FP_MASK = np.uint64((1 << 31) - 1)
 
 
 def rolling_fingerprint(texts: pd.Series) -> np.ndarray:
-    """Polynomial rolling hash of each text mod 2^61−1, fully vectorized:
+    """Polynomial rolling hash of each text mod 2^31−1, fully vectorized:
     pad to a char matrix, Horner by column (O(max_len) vector steps)."""
     arr = texts.fillna("").to_numpy(dtype=object)
     if len(arr) == 0:
         return np.empty(0, dtype=np.int64)
-    lens = np.array([len(s) for s in arr])
+    encoded = [s.encode("utf-8") for s in arr]
+    lens = np.array([len(b) for b in encoded])  # BYTE lengths (utf-8 safe)
     mx = int(lens.max()) if len(lens) else 0
     mat = np.zeros((len(arr), mx), dtype=np.uint64)
-    for i, s in enumerate(arr):  # byte-copy only; math below is columnar
-        b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
-        mat[i, : len(b)] = b
+    for i, b in enumerate(encoded):  # byte-copy only; math below is columnar
+        mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
     h = np.zeros(len(arr), dtype=np.uint64)
     with np.errstate(over="ignore"):
         for c in range(mx):

@@ -1,0 +1,168 @@
+"""Structured Streaming shell: stateful sliding-window aggregation.
+
+The streaming re-expression of the reference's event loop
+(cpp/src/benchmark_core.h:564-638 — admit, insert, evict-by-duration,
+query) as an ``applyInPandasWithState`` kernel over the transcripts
+stream, keyed by ``conv_id``:
+
+- each micro-batch per key = FiBA ``bulkInsert`` (FiBA.hpp:1866-1918)
+  into the :class:`~..operators.ordered.OrderedAggState`;
+- watermark/duration expiry = ``bulkEvict`` (FiBA.hpp:1746-1835);
+- one output row per input turn = ``query()`` after that turn's insert,
+  computed vectorially for the whole batch via the interval fold;
+- late rows older than ``youngest − duration`` are dropped — the
+  reference's primitive watermark (cpp/src/benchmark_core.h:577).
+
+Scale design (10^12 turns): the only shuffle is groupBy(conv_id [+ salt
+bucket]); state per key is O(rows inside the duration window) in Arrow-
+friendly arrays; skew is defused by ``salt_buckets`` — a conv's turns
+split deterministically into ``(conv_id, bucket)`` sub-streams for the
+aggregates that distribute over disjoint sub-streams (sum/count-style),
+re-merged downstream.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.monoids import get_monoid
+from ..operators.kernels import sliding_time_window
+from ..operators.ordered import OrderedAggState
+
+STATE_SCHEMA = "blob binary"
+
+
+def sliding_agg_stream(
+    df: DataFrame,
+    *,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    value_expr: str = "length(text)",
+    monoid_name: str = "sum",
+    duration: str = "10 minutes",
+    watermark: str = "1 minute",
+    out_col: str = "wagg",
+) -> DataFrame:
+    """Per-turn sliding event-time aggregate over a streaming DataFrame.
+
+    Emits one row per turn: (key, ts, agg of the key's rows with
+    ts ∈ [ts − duration, ts] seen so far, in event-time order within each
+    micro-batch)."""
+    dur_us = _interval_us(duration)
+    monoid = get_monoid(monoid_name)
+
+    out_type = {"sum": "double", "count": "bigint", "max": "double",
+                "min": "double", "mean": "double", "geomean": "double",
+                "mincount": "bigint", "relvar": "double", "bloom": "bigint",
+                "stddev": "double"}[monoid_name]
+    out_schema = f"{key} string, {ts_col} timestamp, {out_col} {out_type}"
+
+    def fn(
+        key_tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = OrderedAggState.loads(bytes(state.get[0]), monoid)
+        else:
+            st = OrderedAggState(monoid)
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            ts = pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+            vals = pdf["__v"].to_numpy()
+            # late-data policy (benchmark_core.h:577): drop rows older than
+            # youngest-so-far − duration
+            youngest = st.youngest()
+            if youngest is not None:
+                keep = ts >= (int(youngest) - dur_us)
+                pdf, ts, vals = pdf[keep], ts[keep], vals[keep]
+            if len(ts) == 0:
+                continue
+            st.bulk_insert(ts, monoid.lift(vals))
+            # per-turn query: fold over state rows in [t−dur, t] for each
+            # arriving turn — vectorized interval fold over the full state
+            lo = np.searchsorted(st.ts, ts - dur_us, side="left")
+            hi = np.searchsorted(st.ts, ts, side="right")
+            from ..operators.kernels import interval_fold
+
+            res = monoid.lower(interval_fold(monoid, st.partials, lo, hi))
+            outs.append(
+                pd.DataFrame(
+                    {key: key_tuple[0], ts_col: pdf[ts_col].to_numpy(), out_col: res}
+                )
+            )
+            # expiry: state only needs rows within duration of the youngest
+            st.bulk_evict(int(st.youngest()) - dur_us - 1)
+        state.update((bytearray(st.dumps()),))
+        if outs:
+            yield pd.concat(outs)
+
+    prepared = df.withColumn("__v", F.expr(value_expr)).withWatermark(ts_col, watermark)
+    return (
+        prepared.groupBy(key)
+        .applyInPandasWithState(
+            fn, out_schema, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def salted_repartition(df: DataFrame, key: str = "conv_id", buckets: int = 8,
+                       salt_col: str = "bucket") -> DataFrame:
+    """Deterministic hot-key salting (north_rule): split each key's stream
+    into ``buckets`` sub-streams on a stable row hash, then repartition on
+    (key, bucket). Valid for aggregates that distribute over disjoint
+    sub-streams (sum/count/max/min/bloom — any commutative monoid whose
+    final merge is one combine across buckets)."""
+    salted = df.withColumn(
+        salt_col, F.pmod(F.xxhash64(F.col(key), F.col("turn_idx")), F.lit(buckets))
+    )
+    return salted.repartition(F.col(key), F.col(salt_col))
+
+
+def tumbling_stream(df: DataFrame, ts_col: str = "ts", size: str = "1 hour",
+                    key: str = "conv_id", value_expr: str = "length(text)",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Aligned tumbling window aggregate (built-in path — dynamic fill/
+    drain analogue of cpp/src/benchmark_core.h:149-183)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(key, F.window(ts_col, size).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.expr(value_expr)).alias("sum_val"),
+        )
+        .select(key, F.col("win.start").alias("win_start"),
+                F.col("win.end").alias("win_end"), "n_turns", "sum_val")
+    )
+
+
+def session_stream(df: DataFrame, ts_col: str = "ts", gap: str = "30 minutes",
+                   key: str = "conv_id", watermark: str = "10 minutes") -> DataFrame:
+    """Session windows with an inactivity gap (north_rule addition)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(key, F.session_window(ts_col, gap).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(key, F.col("s.start").alias("session_start"),
+                F.col("s.end").alias("session_end"), "n_turns")
+    )
+
+
+def _interval_us(text: str) -> int:
+    n, unit = text.split()
+    mult = {
+        "second": 1_000_000, "seconds": 1_000_000,
+        "minute": 60_000_000, "minutes": 60_000_000,
+        "hour": 3_600_000_000, "hours": 3_600_000_000,
+        "day": 86_400_000_000, "days": 86_400_000_000,
+    }[unit]
+    return int(n) * mult

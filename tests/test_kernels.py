@@ -1,0 +1,131 @@
+"""Vectorized kernel lockstep tests — the pytest port of the reference's
+differential scenario matrix (cpp/src/test.cc:45-336, FIXTURES.md §F2/F3):
+every kernel strategy against a brute-force trailing-window recompute on
+the reference value stream."""
+
+import numpy as np
+import pytest
+
+from sliding_window_aggregators_spark.functions import get_monoid
+from sliding_window_aggregators_spark.operators import (
+    SlidingCountWindow,
+    sliding_partials,
+    sliding_reduce,
+    sliding_time_window,
+)
+from conftest import ref_stream
+
+N = 3000
+VALS = ref_stream(N)
+RNG = np.random.default_rng(42)
+RVALS = RNG.integers(1, 50, N).astype(float)
+BATCHES = [7, 1, 250, 903, 0, 1839, N]  # uneven micro-batches (prefix-summed)
+
+
+def brute(m, values, w):
+    return [
+        m.lower1(m.lift_reduce(values[max(0, i - w + 1) : i + 1]))
+        for i in range(len(values))
+    ]
+
+
+def ac(a, b):
+    return np.allclose(a, b, rtol=1e-9, equal_nan=True)
+
+
+MONOIDS = ["sum", "max", "min", "mean", "geomean", "stddev", "mincount", "relvar", "count", "bloom"]
+WINDOWS = [1, 2, 4, 100, 519, 3000, 5000]
+
+
+@pytest.mark.parametrize("name", MONOIDS)
+def test_one_shot_sliding_reduce(name):
+    m = get_monoid(name)
+    data = RVALS if name in ("mincount", "relvar") else VALS
+    if name == "bloom":
+        data = data.astype(int)
+    for w in WINDOWS:
+        assert ac(sliding_reduce(m, data, w).tolist(), brute(m, data, w)), w
+
+
+@pytest.mark.parametrize("name", MONOIDS)
+def test_batched_strategies(name):
+    m = get_monoid(name)
+    data = RVALS if name in ("mincount", "relvar") else VALS
+    if name == "bloom":
+        data = data.astype(int)
+    strategies = (["soe"] if m.invertible else []) + ["block", "twostacks"]
+    for w in [1, 4, 100, 519, 5000]:
+        exp = brute(m, data, w)
+        for strat in strategies:
+            k = SlidingCountWindow(m, w, strategy=strat)
+            got, i = [], 0
+            for sz in BATCHES:
+                got.extend(k.process(data[i : i + sz]).tolist())
+                i += sz
+            assert ac(got, exp), (name, w, strat)
+
+
+def test_argmax_kernels_tie_earlier_wins():
+    m = get_monoid("argmax")
+    args = np.arange(N)
+    keys = RNG.integers(1, 10, N).astype(float)  # dense ties
+
+    def brute_argmax(w):
+        return [
+            int(args[max(0, i - w + 1) + int(np.argmax(keys[max(0, i - w + 1) : i + 1]))])
+            for i in range(N)
+        ]
+
+    for w in [1, 4, 100, 519]:
+        exp = brute_argmax(w)
+        got = m.lower(sliding_partials(m, m.lift((args, keys)), w)).tolist()
+        assert got == exp, ("one-shot", w)
+        for strat in ["twostacks", "block"]:
+            k = SlidingCountWindow(m, w, strategy=strat)
+            got2, i = [], 0
+            for sz in BATCHES:
+                got2.extend(
+                    m.lower(
+                        k.process_partials(m.lift((args[i : i + sz], keys[i : i + sz])))
+                    ).tolist()
+                )
+                i += sz
+            assert got2 == exp, (strat, w)
+
+
+@pytest.mark.parametrize("name", ["sum", "max", "mincount", "geomean", "argmax"])
+def test_time_window_interval_fold(name):
+    """Event-time windows (≡ timestamped wrappers + the data_benchmark
+    admit/evict loop, cpp/src/benchmark_core.h:577-591; test.cc:650-715)."""
+    m = get_monoid(name)
+    ts = np.cumsum(RNG.integers(1, 4, N))
+    if name == "argmax":
+        p = m.lift((np.arange(N), RVALS))
+    else:
+        p = m.lift(RVALS)
+    for dur in [0, 5, 50, 1000]:
+        got = m.lower(sliding_time_window(m, ts, p, dur)).tolist()
+        exp = []
+        for i in range(N):
+            mask = ts[: i + 1] >= ts[i] - dur
+            if name == "argmax":
+                idx = np.nonzero(mask)[0]
+                exp.append(int(idx[np.argmax(RVALS[idx])]))
+            else:
+                exp.append(m.lower1(m.lift_reduce(RVALS[: i + 1][mask])))
+        assert ac(got, exp) if name != "argmax" else got == exp, (name, dur)
+
+
+def test_sawtooth_block_vs_brute():
+    """Sawtooth fill/drain (test.cc:240-336): emulated at the bulk level by
+    re-running fresh kernels per rep — drain semantics are covered by the
+    stepwise algorithms; here we pin the refill boundary behavior."""
+    m = get_monoid("mincount")
+    for w in [519, 1921]:
+        data = ref_stream(w)
+        exp = brute(m, data, w)
+        for strat in ["block", "twostacks"]:
+            for rep in range(3):
+                k = SlidingCountWindow(m, w, strategy=strat)
+                got = k.process(data).tolist()
+                assert got == exp, (w, strat, rep)

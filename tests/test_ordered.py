@@ -1,0 +1,147 @@
+"""OOO ordered-state tests — the pytest port of the reference's
+out-of-order / bulk / range-query suites (cpp/src/test.cc:442-647,
+cpp/src/bulk_test.cc, FIXTURES.md §F4-F6)."""
+
+from collections import Counter
+
+import numpy as np
+
+from sliding_window_aggregators_spark.functions import get_monoid
+from sliding_window_aggregators_spark.operators import OrderedAggState
+
+RNG = np.random.default_rng(42)
+
+
+def test_duplicate_ts_multiset():
+    """at(ts) equals a multiset count under random duplicate inserts
+    (test.cc:442-474)."""
+    m = get_monoid("count")
+    st = OrderedAggState(m)
+    oracle = Counter()
+    for _rep in range(5):
+        ts = RNG.integers(0, 50, 200)
+        st.bulk_insert(ts, m.lift(ts))
+        oracle.update(ts.tolist())
+        for t in range(50):
+            p = st.at(t)
+            assert (0 if p is None else int(p["v"][0])) == oracle[t]
+
+
+def test_random_scatter_collect_order():
+    """Scattered unique inserts; Collect is the order witness
+    (test.cc:550-615)."""
+    m = get_monoid("collect")
+    st = OrderedAggState(m)
+    seen = {}
+    for i in range(300):
+        t = int(i + RNG.integers(0, 11 * 50))
+        while t in seen:
+            t += 1
+        seen[t] = float(i)
+        st.insert(t, m.lift1(float(i)))
+    assert st.query() == [seen[t] for t in sorted(seen)]
+
+
+def test_random_scatter_bloom_vs_map_walk():
+    m = get_monoid("bloom")
+    st = OrderedAggState(m)
+    vals = {}
+    for i in range(200):
+        t = int(i + RNG.integers(0, 11 * 50))
+        while t in vals:
+            t += 1
+        vals[t] = i
+        st.insert(t, m.lift1(i))
+    brute = m.lift_reduce(np.array([vals[t] for t in sorted(vals)]))
+    assert np.array_equal(st.query_partial()["bits"], brute["bits"])
+
+
+def test_bulk_evict_survivors_exclusive_inclusive():
+    """bulkEvict(t) leaves exactly (minTime, maxTime]
+    (bulk_test.cc:249-294), and follow-up inserts still work."""
+    m = get_monoid("collect")
+    st = OrderedAggState(m)
+    ts = np.sort(RNG.choice(100000, 500, replace=False))
+    st.bulk_insert(ts, m.lift(ts.astype(float)))
+    cut = int(ts[250])
+    st.bulk_evict(cut)
+    assert st.query() == [float(t) for t in ts if t > cut]
+    st.insert(cut + 1_000_000, m.lift1(-1.0))
+    assert st.query() == [float(t) for t in ts if t > cut] + [-1.0]
+
+
+def test_bulk_insert_fixed_pattern():
+    """Fixed bulks with interleavings (bulk_test.cc:39-77 shape)."""
+    m = get_monoid("collect")
+    st = OrderedAggState(m)
+    init = [1, 500, 1000, 1500]
+    st.bulk_insert(np.array(init), m.lift(np.array(init, dtype=float)))
+    bulk1 = [5, 507, 509, 511, 515, 516, 517, 518, 1700, 1701, 1702, 1703]
+    st.bulk_insert(np.array(bulk1), m.lift(np.array(bulk1, dtype=float)))
+    expected = sorted(init + bulk1)
+    assert st.query() == [float(t) for t in expected]
+
+
+def test_range_query_all_pairs_inclusive():
+    """rangeQuery(t_i, t_j) inclusive of both endpoints equals a brute
+    fold for every i ≤ j (test.cc:618-647, window 50+2)."""
+    m = get_monoid("sum")
+    st = OrderedAggState(m)
+    ts = np.cumsum(RNG.integers(1, 4, 52))
+    vals = RNG.integers(1, 100, 52).astype(float)
+    st.bulk_insert(ts, m.lift(vals))
+    for i in range(52):
+        for j in range(i, 52):
+            assert st.range_query(ts[i], ts[j]) == float(vals[i : j + 1].sum())
+
+
+def test_range_query_noncommutative():
+    m = get_monoid("argmax")
+    st = OrderedAggState(m)
+    ts = np.cumsum(RNG.integers(1, 4, 52))
+    keys = RNG.integers(1, 10, 52).astype(float)
+    st.bulk_insert(ts, m.lift((np.arange(52), keys)))
+    for i in range(0, 52, 3):
+        for j in range(i, 52, 5):
+            assert st.range_query(ts[i], ts[j]) == int(i + np.argmax(keys[i : j + 1]))
+
+
+def test_ooo_displaced_block_steady():
+    """Permanent out-of-orderness: displaced prefix block then steady
+    evict/insert (cpp/src/benchmark_core.h:185-247)."""
+    m = get_monoid("sum")
+    st = OrderedAggState(m)
+    w, d, iters = 100, 25, 2000
+    live = set()
+    for t in list(range(iters - d, iters)) + list(range(0, w - d)):
+        st.insert(t, m.lift1(1.0))
+        live.add(t)
+    for step in range(500):
+        st.evict_oldest()
+        live.remove(min(live))
+        t = w - d + step
+        st.insert(t, m.lift1(1.0))
+        live.add(t)
+        assert st.query() == float(len(live))
+
+
+def test_targeted_evict_and_at():
+    """evict(t) + at(t) (FiBA.hpp:1691-1743, 1661; test.cc:476-522)."""
+    m = get_monoid("sum")
+    st = OrderedAggState(m)
+    for t in [10, 20, 30]:
+        st.insert(t, m.lift1(float(t)))
+    assert st.evict(20)
+    assert st.at(20) is None
+    assert not st.evict(20)
+    assert st.query() == 40.0
+
+
+def test_serde_roundtrip():
+    m = get_monoid("mean")
+    st = OrderedAggState(m)
+    ts = np.arange(100)
+    st.bulk_insert(ts, m.lift(ts.astype(float)))
+    st2 = OrderedAggState.loads(st.dumps(), m)
+    assert st2.query() == st.query()
+    assert st2.range_query(10, 20) == st.range_query(10, 20)

@@ -1,0 +1,106 @@
+"""End-to-end Spark integration: kernels through applyInPandas vs Spark's
+own SQL windows on the transcripts table, plus a sample of the driver
+queries vs their DuckDB oracles at sf0.001."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sliding_window_aggregators_spark.functions import get_monoid
+from sliding_window_aggregators_spark.operators import SlidingCountWindow
+from sliding_window_aggregators_spark.operators.batch import sliding_rows_kernel
+from sliding_window_aggregators_spark.sources import transcripts_spark
+
+SF_DIR = os.environ.get("SWAG_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return transcripts_spark(spark, 5000, 100).withColumn(
+        "len", F.length("text")
+    ).cache()
+
+
+@pytest.mark.parametrize("w", [4, 100])
+def test_kernel_vs_sql_window_on_transcripts(spark, transcripts, w):
+    """The M1 triangle (SURVEY.md §7): count-based sliding sum of text
+    length per conversation, kernel vs Window.rowsBetween — same rows."""
+    got = sliding_rows_kernel(
+        transcripts, "conv_id", ["ts", "turn_idx"], "len", "sum", w,
+        out="wsum", id_cols=["conv_id", "turn_idx"], int_values=True,
+    )
+    win = (
+        Window.partitionBy("conv_id").orderBy("ts", "turn_idx").rowsBetween(-(w - 1), 0)
+    )
+    exp = transcripts.select(
+        "conv_id", "turn_idx", F.sum("len").over(win).alias("wsum")
+    )
+    g = got.alias("g")
+    e = exp.alias("e")
+    n_bad = (
+        g.join(e, ["conv_id", "turn_idx"])
+        .where("g.wsum <> e.wsum")
+        .count()
+    )
+    assert n_bad == 0
+    assert got.count() == 5000
+
+
+def test_per_turn_text_equality_under_stable_ordering(spark, transcripts):
+    """input_hint invariant: per-turn text equality under stable
+    (conv_id, turn_idx) ordering after a kernel round trip."""
+    def ident(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["turn_idx"], kind="mergesort")
+        k = SlidingCountWindow(get_monoid("count"), 10)
+        pdf = pdf.copy()
+        pdf["wcount"] = k.process(pdf["turn_idx"].to_numpy()).astype("int64")
+        return pdf[["conv_id", "turn_idx", "text", "wcount"]]
+
+    out = (
+        transcripts.groupBy("conv_id")
+        .applyInPandas(ident, "conv_id string, turn_idx int, text string, wcount long")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    src = (
+        transcripts.select("conv_id", "turn_idx", "text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert out["text"].tolist() == src["text"].tolist()
+    assert (out.groupby("conv_id")["wcount"].max() <= 10).all()
+
+
+QUERY_SAMPLE = [
+    "kernel_sum_w100",
+    "kernel_mincount_w100",
+    "session_30m",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+]
+
+
+@pytest.mark.parametrize("name", QUERY_SAMPLE)
+def test_driver_queries_vs_duckdb(spark, name):
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entry
+    from tools.check_oracles import compare, duck_con
+
+    con = duck_con(SF_DIR)
+    sdf = entry.queries()[name](spark, SF_DIR)
+    assert compare(name, sdf, con, entry.oracle_sql()[name])
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entry
+
+    df = entry.entry(spark)
+    assert df.count() > 0

@@ -1,0 +1,94 @@
+"""Per-op algorithm lockstep vs the ReCalc oracle — the pytest port of
+cpp/src/test.cc:45-440 (steady-state, sawtooth, thirds scenarios) for
+the invertible ops of test.cc:718-721 and non-invertible of 729-732."""
+
+import numpy as np
+import pytest
+
+from sliding_window_aggregators_spark.functions import get_monoid
+from sliding_window_aggregators_spark.operators.stepwise import ALGORITHMS, make
+from conftest import approx_eq
+
+INVERTIBLE = ["sum", "mean", "stddev", "collect"]
+NON_INVERTIBLE = ["mincount", "argmax", "max", "geomean"]
+ALGS = ["two_stacks", "two_stacks_lite", "daba_lite"]
+
+
+def lockstep(alg_name, mname, ticks, w):
+    alg = make(alg_name, get_monoid(mname))
+    oracle = make("recalc", get_monoid(mname))
+    for i in range(ticks):
+        v = 1 + (i % 101)
+        if mname == "argmax":
+            v = (i, 1 + (i % 101))
+        if alg.size() == w:
+            alg.evict()
+            oracle.evict()
+        alg.insert(v)
+        oracle.insert(v)
+        assert alg.size() == oracle.size()
+        assert approx_eq(alg.query(), oracle.query()), (alg_name, mname, w, i)
+
+
+@pytest.mark.parametrize("alg", ALGS)
+@pytest.mark.parametrize("mname", INVERTIBLE + NON_INVERTIBLE)
+def test_steady_state_w100(alg, mname):
+    """Steady-state loop, window 100 (test.cc:83-101 scaled down)."""
+    lockstep(alg, mname, 2000, 100)
+
+
+@pytest.mark.parametrize("mname", INVERTIBLE)
+def test_soe_steady_state(mname):
+    lockstep("soe", mname, 2000, 100)
+
+
+def test_soe_rejects_non_invertible():
+    """Mirrors the compile-fail rust/tests/trybuild_soe_max.fail."""
+    with pytest.raises(TypeError):
+        make("soe", get_monoid("max"))
+
+
+@pytest.mark.parametrize("alg", ALGS)
+@pytest.mark.parametrize("w", [519, 1921])
+@pytest.mark.parametrize("mname", ["mincount", "collect"])
+def test_sawtooth(alg, w, mname):
+    """Fill to w, drain to empty, ×3 (test.cc:240-336)."""
+    m_alg = make(alg, get_monoid(mname))
+    oracle = make("recalc", get_monoid(mname))
+    i = 0
+    for _rep in range(3):
+        for _ in range(w):
+            v = 1 + (i % 101)
+            i += 1
+            m_alg.insert(v)
+            oracle.insert(v)
+            assert approx_eq(m_alg.query(), oracle.query())
+        while oracle.size():
+            m_alg.evict()
+            oracle.evict()
+            assert approx_eq(m_alg.query(), oracle.query())
+
+
+@pytest.mark.parametrize("alg", ALGS)
+@pytest.mark.parametrize("w", [519])
+def test_thirds_seesaw(alg, w):
+    """Oscillate window between w and w/3, ×5 (test.cc:339-440)."""
+    mname = "mincount"
+    m_alg = make(alg, get_monoid(mname))
+    oracle = make("recalc", get_monoid(mname))
+    i = 0
+    for _rep in range(5):
+        while oracle.size() < w:
+            v = 1 + (i % 101)
+            i += 1
+            m_alg.insert(v)
+            oracle.insert(v)
+            assert approx_eq(m_alg.query(), oracle.query())
+        while oracle.size() > w // 3:
+            m_alg.evict()
+            oracle.evict()
+            assert approx_eq(m_alg.query(), oracle.query())
+
+
+def test_all_algorithms_registered():
+    assert set(ALGORITHMS) == {"recalc", "soe", "two_stacks", "two_stacks_lite", "daba_lite"}

@@ -1,0 +1,189 @@
+"""Structured Streaming integration: stateful sliding window via
+applyInPandasWithState, stream-stream join, exactly-once sink with
+checkpoint resume — each checked against a batch recompute."""
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sliding_window_aggregators_spark.sources import transcripts_pandas
+from sliding_window_aggregators_spark.streaming import (
+    ExactlyOnceParquetSink,
+    session_stream,
+    sliding_agg_stream,
+    tumbling_stream,
+    user_assistant_join,
+    user_assistant_join_batch,
+    write_stream_exactly_once,
+)
+
+SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp"
+)
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    return str(src), str(out), str(ckpt)
+
+
+def _write_chunk(spark, src_dir: str, pdf: pd.DataFrame, name: str) -> None:
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src_dir, name)
+    )
+
+
+def _read_stream(spark, src_dir):
+    return spark.readStream.schema(SCHEMA).option(
+        "pathGlobFilter", "*.parquet"
+    ).parquet(os.path.join(src_dir, "*"))
+
+
+def test_sliding_agg_stream_matches_batch(spark, stream_dirs):
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(600, 20)
+    _write_chunk(spark, src, pdf.iloc[:300], "c0")
+    _write_chunk(spark, src, pdf.iloc[300:], "c1")
+
+    stream = sliding_agg_stream(
+        _read_stream(spark, src),
+        monoid_name="sum",
+        value_expr="length(text)",
+        duration="2 minutes",
+        out_col="wsum",
+    )
+    q, sink = write_stream_exactly_once(stream, out, ckpt)
+    q.awaitTermination(120)
+
+    got = (
+        sink.read_committed(spark)
+        .select("conv_id", "ts", "wsum")
+        .toPandas()
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    # batch oracle: event-time window [ts-2min, ts] per conv
+    exp_rows = []
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values("ts")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        lens = g["text"].str.len().to_numpy()
+        for i in range(len(g)):
+            mask = ts[: i + 1] >= ts[i] - 120_000_000
+            exp_rows.append((conv, g["ts"].iloc[i], float(lens[: i + 1][mask].sum())))
+    exp = (
+        pd.DataFrame(exp_rows, columns=["conv_id", "ts", "wsum"])
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert got["wsum"].tolist() == exp["wsum"].tolist()
+
+
+def test_exactly_once_checkpoint_resume(spark, stream_dirs):
+    """Re-running with the same checkpoint after new data arrives must not
+    duplicate previously committed rows (idempotent batch commits)."""
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(400, 10)
+    _write_chunk(spark, src, pdf.iloc[:200], "c0")
+
+    def run():
+        stream = sliding_agg_stream(
+            _read_stream(spark, src),
+            monoid_name="count",
+            value_expr="1",
+            duration="5 minutes",
+            out_col="wcount",
+        )
+        q, sink = write_stream_exactly_once(stream, out, ckpt)
+        q.awaitTermination(120)
+        return sink
+
+    sink = run()
+    n1 = sink.read_committed(spark).count()
+    assert n1 == 200
+    # resume with more data
+    _write_chunk(spark, src, pdf.iloc[200:], "c1")
+    sink = run()
+    total = sink.read_committed(spark)
+    assert total.count() == 400
+    # no duplicate (conv_id, ts) pairs
+    assert total.select("conv_id", "ts").distinct().count() == 400
+    # lineage columns present
+    assert {"_batch_id", "_partition_id"} <= set(total.columns)
+    # simulate a REPLAYED batch: calling the sink again with a committed id
+    # must be a no-op
+    eos = ExactlyOnceParquetSink(out)
+    replay_id = eos.committed_batches()[0]
+    eos(spark.range(5).withColumnRenamed("id", "conv_id"), replay_id)
+    assert total.count() == 400
+
+
+def test_stream_stream_join_matches_batch_twin(spark, stream_dirs):
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(500, 15)
+    _write_chunk(spark, src, pdf, "c0")
+
+    joined = user_assistant_join(_read_stream(spark, src), horizon="60 seconds")
+    q, sink = write_stream_exactly_once(joined, out, ckpt)
+    q.awaitTermination(120)
+    got = (
+        sink.read_committed(spark)
+        .select("conv_id", "user_turn", "reply_turn")
+        .toPandas()
+        .sort_values(["conv_id", "user_turn", "reply_turn"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        user_assistant_join_batch(spark.createDataFrame(pdf), horizon="60 seconds")
+        .select("conv_id", "user_turn", "reply_turn")
+        .toPandas()
+        .sort_values(["conv_id", "user_turn", "reply_turn"])
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == exp.values.tolist()
+    assert len(got) > 0
+
+
+def test_tumbling_and_session_streams_run(spark, stream_dirs):
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(300, 10)
+    _write_chunk(spark, src, pdf, "c0")
+    t = tumbling_stream(_read_stream(spark, src), size="1 hour")
+    q = (
+        t.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tumb")
+        .option("checkpointLocation", ckpt + "_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits closed windows; with a final watermark all rows
+    # may still be open — assert the query ran and the plan is stateful
+    assert spark.sql("select * from tumb").columns == [
+        "conv_id", "win_start", "win_end", "n_turns", "sum_val"
+    ]
+
+    s = session_stream(_read_stream(spark, src), gap="30 minutes")
+    q2 = (
+        s.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess")
+        .option("checkpointLocation", ckpt + "_s")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.sql("select * from sess").columns == [
+        "conv_id", "session_start", "session_end", "n_turns"
+    ]
