@@ -557,37 +557,46 @@ def _bloom_mix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 class BloomFilter(Monoid):
     """Windowed Bloom membership sketch: N=4096 bits, K=4 salted hashes,
     combine = OR, lower = test(bit 0)
-    (cpp/src/AggregationFunctions.hpp:321-377). Partial = (…, 512) uint8."""
+    (cpp/src/AggregationFunctions.hpp:321-377). Partial = (…, 64) uint64
+    words (bit b lives at word b>>6, bit b&63 — word-packed so the OR
+    scans touch 8× fewer elements than a byte layout)."""
 
     name = "bloom"
     idempotent = True
-    NBYTES = 512  # 4096 bits
+    NWORDS = 64  # 4096 bits
 
     def lift(self, values):
         v = np.asarray(values)
         # C++ casts In → size_t; replicate two's-complement for negatives
         v64 = v.astype(np.int64).astype(np.uint64)
         hv = _bloom_mix(np.full(len(v64), 101, dtype=np.uint64), v64)
-        bits = np.zeros((len(v64), self.NBYTES), dtype=np.uint8)
+        bits = np.zeros((len(v64), self.NWORDS), dtype=np.uint64)
         rows = np.arange(len(v64))
+        one = np.uint64(1)
         for salt in _BLOOM_SALTS:
             h2 = _bloom_mix(hv, np.uint64(salt))
             pos = (h2 % np.uint64(4096)).astype(np.int64)
-            np.bitwise_or.at(bits, (rows, pos >> 3), (1 << (pos & 7)).astype(np.uint8))
+            np.bitwise_or.at(bits, (rows, pos >> 6), one << (pos & 63).astype(np.uint64))
         return {"bits": bits}
 
     def identity(self, n=1):
-        return {"bits": np.zeros((n, self.NBYTES), dtype=np.uint8)}
+        return {"bits": np.zeros((n, self.NWORDS), dtype=np.uint64)}
 
     def combine(self, a, b):
         return {"bits": np.bitwise_or(a["bits"], b["bits"])}
 
     def lower(self, p):
-        # lower = bitset.test(0) (hpp:347-350): bit 0 of byte 0
-        return (p["bits"][..., 0] & 1).astype(np.int64)
+        # lower = bitset.test(0) (hpp:347-350): bit 0 of word 0
+        return (p["bits"][..., 0] & np.uint64(1)).astype(np.int64)
 
     def accumulate(self, p, axis=0):
-        return {"bits": np.bitwise_or.accumulate(p["bits"], axis=axis)}
+        bits = p["bits"]
+        # the scan axis is never the trailing word axis; a contiguous scan
+        # along the LAST axis is ~5× faster than ufunc.accumulate's strided
+        # walk, so move the scan axis last, copy, scan, move back
+        t = np.ascontiguousarray(np.moveaxis(bits, axis, -1))
+        np.bitwise_or.accumulate(t, axis=-1, out=t)
+        return {"bits": np.ascontiguousarray(np.moveaxis(t, -1, axis))}
 
 
 # ---------------------------------------------------------------------------
@@ -727,5 +736,14 @@ def registry(dtype=np.float64) -> dict[str, Monoid]:
     }
 
 
+_MONOID_CACHE: dict = {}
+
+
 def get_monoid(name: str, dtype=np.float64) -> Monoid:
-    return registry(dtype)[name]
+    """Monoids are stateless — cache instances (kernel hot paths create
+    thousands per batch for short keys)."""
+    key = (name, np.dtype(dtype).str)
+    cached = _MONOID_CACHE.get(key)
+    if cached is None:
+        cached = _MONOID_CACHE[key] = registry(dtype)[name]
+    return cached

@@ -12,13 +12,15 @@ algorithm in lockstep against ReCalc):
   has no built-in for (MinCount, Bloom, float32-parity GeoMean) and to
   prove the kernels against the SQL path.
 
-Scale notes (100 TB): the kernel path shuffles once on the partition key
-and then streams each group through Arrow — the same shuffle the SQL
-window path needs (both require per-key ordering). Per-key state is O(w)
-exactly like the reference's in-memory aggregator. Keys are assumed to be
-many and individually executor-sized (conversations / users); a single
-pathological giant key is the streaming engine's salted-bucket job
-(streaming.engine), not the batch path's.
+Scale notes (100 TB): both paths shuffle once on the partition key (both
+need per-key ordering); the kernel path prunes columns before the
+shuffle so only key/order/value/id columns move. Per-key state is O(w)
+like the reference. A single pathological hot key (the Zipf'd hot
+conversation of the BASELINE north rule) is defused by
+:func:`sliding_rows_kernel_parallel` — the chunked-halo decomposition:
+each chunk of C consecutive rows is processed independently after
+warming on the (w−1)-row halo replicated from its left neighbor, which
+is exact for any monoid and caps any one task at C + w − 1 rows.
 """
 
 from __future__ import annotations
@@ -48,6 +50,30 @@ _OUT_SPARK_TYPE = {
 }
 
 
+def _lexsort_frame(pdf: pd.DataFrame, order_cols: Sequence[str]) -> np.ndarray:
+    """Stable row order by order_cols (primary first) — numpy lexsort is
+    several× cheaper than pandas sort_values in the per-group hot path."""
+    keys = [pdf[c].to_numpy() for c in reversed(list(order_cols))]
+    return np.lexsort(keys)
+
+
+def _run_kernel(pdf, order_cols, value, monoid_name, w, out, id_cols, dtype):
+    idx = _lexsort_frame(pdf, order_cols)
+    m = get_monoid(monoid_name, dtype)
+    k = SlidingCountWindow(m, w)
+    vals = pdf[value].to_numpy()[idx]
+    if monoid_name == "argmax":
+        p = m.lift((pdf[id_cols[-1]].to_numpy()[idx], vals))
+        res = m.lower(k.process_partials(p))
+    else:
+        res = k.process(vals.astype(np.int64) if dtype == np.int64 else vals)
+    cols = {c: pdf[c].to_numpy()[idx] for c in id_cols}
+    if monoid_name == "stddev":
+        res = np.where(np.isnan(res), None, res)
+    cols[out] = res
+    return pd.DataFrame(cols)
+
+
 def sliding_rows_kernel(
     df: DataFrame,
     key: str,
@@ -66,6 +92,9 @@ def sliding_rows_kernel(
     """
     id_cols = list(id_cols) or [key] + list(order)
     dtype = np.int64 if int_values else np.float64
+    # prune before the shuffle: only key/order/value/id columns move
+    needed = list(dict.fromkeys([key, *order, value, *id_cols]))
+    df = df.select(*needed)
     schema = ", ".join(
         [f"`{c}` {t}" for c, t in zip(id_cols, _spark_types(df, id_cols))]
         + [f"`{out}` {_OUT_SPARK_TYPE[monoid_name]}"]
@@ -73,22 +102,191 @@ def sliding_rows_kernel(
     order_cols = list(order)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort")
-        m = get_monoid(monoid_name, dtype)
-        k = SlidingCountWindow(m, w)
-        vals = pdf[value].to_numpy()
-        if monoid_name == "argmax":
-            p = m.lift((pdf[id_cols[-1]].to_numpy(), vals))
-            res = m.lower(k.process_partials(p))
-        else:
-            res = k.process(vals if not int_values else vals.astype(np.int64))
-        out_pdf = pdf[id_cols].copy()
-        if monoid_name == "stddev":
-            res = np.where(np.isnan(res), None, res)
-        out_pdf[out] = res
-        return out_pdf
+        return _run_kernel(pdf, order_cols, value, monoid_name, w, out, id_cols, dtype)
 
     return df.groupBy(key).applyInPandas(kernel, schema)
+
+
+def sliding_rows_kernel_parallel(
+    df: DataFrame,
+    key: str,
+    pos: str,
+    value: str,
+    monoid_name: str,
+    w: int,
+    out: str,
+    chunk: int = 65536,
+    id_cols: Sequence[str] = (),
+    int_values: bool = False,
+) -> DataFrame:
+    """Hot-key-parallel sliding aggregate: the chunked-halo decomposition.
+
+    ``pos`` must be a dense 0-based position within each key (e.g.
+    ``turn_idx``). Row p is OWNED by chunk p // chunk, and additionally
+    REPLICATED as a halo row into the next chunk when it lies within the
+    last w−1 positions before that chunk's start. Each (key, chunk_id)
+    group is then an independent task: it sorts its ≤ chunk + w − 1 rows,
+    runs the kernel, and emits only the rows it owns. Exact for every
+    monoid; shuffle inflation = (w−1)/chunk.
+
+    This is the batch analogue of the north_rule's salted
+    ``(conv_id, hash-bucket)`` repartition: one 10^9-turn conversation
+    becomes 10^9/chunk parallel tasks instead of one straggler.
+    """
+    if w > chunk:
+        raise ValueError(
+            f"chunked-halo needs w ≤ chunk (w={w}, chunk={chunk}): the halo "
+            "only replicates from the immediately preceding chunk"
+        )
+    id_cols = list(id_cols) or [key, pos]
+    dtype = np.int64 if int_values else np.float64
+    needed = list(dict.fromkeys([key, pos, value, *id_cols]))
+    df = df.select(*needed)
+    own = df.withColumn("_chunk", (F.col(pos) / chunk).cast("long")).withColumn(
+        "_halo", F.lit(False)
+    )
+    halo = (
+        df.where((F.col(pos) % chunk) >= chunk - (w - 1))
+        .withColumn("_chunk", (F.col(pos) / chunk).cast("long") + 1)
+        .withColumn("_halo", F.lit(True))
+    ) if w > 1 else None
+    allrows = own.unionByName(halo) if halo is not None else own
+    schema = ", ".join(
+        [f"`{c}` {t}" for c, t in zip(id_cols, _spark_types(df, id_cols))]
+        + [f"`{out}` {_OUT_SPARK_TYPE[monoid_name]}"]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        idx = np.argsort(pdf[pos].to_numpy(), kind="stable")
+        m = get_monoid(monoid_name, dtype)
+        k = SlidingCountWindow(m, w)
+        vals = pdf[value].to_numpy()[idx]
+        if monoid_name == "argmax":
+            p = m.lift((pdf[id_cols[-1]].to_numpy()[idx], vals))
+            res = m.lower(k.process_partials(p))
+        else:
+            res = k.process(vals.astype(np.int64) if dtype == np.int64 else vals)
+        halo_mask = pdf["_halo"].to_numpy()[idx]
+        keep = ~halo_mask
+        cols = {c: pdf[c].to_numpy()[idx][keep] for c in id_cols}
+        cols[out] = res[keep]
+        return pd.DataFrame(cols)
+
+    return allrows.groupBy(key, "_chunk").applyInPandas(kernel, schema)
+
+
+def sliding_rows_kernel_partitioned(
+    df: DataFrame,
+    key: str,
+    order: Sequence[str],
+    value: str,
+    monoid_name: str,
+    w: int,
+    out: str,
+    id_cols: Sequence[str] = (),
+    int_values: bool = False,
+    chunk: int | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Scale-path sliding aggregate: ``repartition(key) →
+    sortWithinPartitions(key, order) → mapInPandas`` with per-segment
+    kernels and cross-batch carry.
+
+    Why not ``groupBy().applyInPandas``: that path materializes one Arrow
+    batch + one pandas frame PER GROUP (~1 ms each), which dominates wall
+    time when keys are numerous and small — the common shape for
+    conversations. Here a partition streams through in 64k-row Arrow
+    batches regardless of group count; the kernel walks the (sorted)
+    segment boundaries with NumPy slicing and carries the open tail
+    segment's window state into the next batch. Same single shuffle, same
+    results, ~10× less per-group overhead.
+
+    ``chunk`` additionally applies the chunked-halo hot-key split (see
+    :func:`sliding_rows_kernel_parallel`) before partitioning, so one
+    giant key still parallelizes.
+    """
+    id_cols = list(id_cols) or [key] + list(order)
+    dtype = np.int64 if int_values else np.float64
+    needed = list(dict.fromkeys([key, *order, value, *id_cols]))
+    df = df.select(*needed)
+    part_cols = [key]
+    halo_col = None
+    if chunk is not None:
+        if w > chunk:
+            raise ValueError("chunked-halo needs w ≤ chunk")
+        pos = order[0]
+        own = df.withColumn("_chunk", (F.col(pos) / chunk).cast("long")).withColumn(
+            "_halo", F.lit(False)
+        )
+        if w > 1:
+            halo = (
+                df.where((F.col(pos) % chunk) >= chunk - (w - 1))
+                .withColumn("_chunk", (F.col(pos) / chunk).cast("long") + 1)
+                .withColumn("_halo", F.lit(True))
+            )
+            df = own.unionByName(halo)
+        else:
+            df = own
+        part_cols = [key, "_chunk"]
+        halo_col = "_halo"
+    schema = ", ".join(
+        [f"`{c}` {t}" for c, t in zip(id_cols, _spark_types(df, id_cols))]
+        + [f"`{out}` {_OUT_SPARK_TYPE[monoid_name]}"]
+    )
+    nparts = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    sorted_df = df.repartition(int(nparts), *part_cols).sortWithinPartitions(
+        *part_cols, *order
+    )
+    order_cols = list(order)
+
+    def gen(batches):
+        m = get_monoid(monoid_name, dtype)
+        carry_key = None
+        carry_kernel = None
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            # sorted within partition: find segment boundaries by key cols
+            segkey = pdf[part_cols[0]].to_numpy()
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            change[1:] = segkey[1:] != segkey[:-1]
+            for pc in part_cols[1:]:
+                extra = pdf[pc].to_numpy()
+                change[1:] |= extra[1:] != extra[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
+            vals = pdf[value].to_numpy()
+            if dtype == np.int64:
+                vals = vals.astype(np.int64)
+            out_chunks = []
+            for s, e in zip(starts, ends):
+                this_key = tuple(pdf[pc].iloc[s] for pc in part_cols)
+                if this_key == carry_key and carry_kernel is not None:
+                    k = carry_kernel
+                else:
+                    k = SlidingCountWindow(m, w)
+                if monoid_name == "argmax":
+                    p = m.lift((pdf[id_cols[-1]].to_numpy()[s:e], vals[s:e]))
+                    seg_res = m.lower(k.process_partials(p))
+                else:
+                    seg_res = k.process(vals[s:e])
+                out_chunks.append(seg_res)
+                carry_key, carry_kernel = this_key, k
+            res = np.concatenate(out_chunks) if len(out_chunks) > 1 else out_chunks[0]
+            if monoid_name == "stddev":
+                res = np.where(np.isnan(res), None, res)
+            cols = {c: pdf[c].to_numpy() for c in id_cols}
+            keep = None
+            if halo_col is not None:
+                keep = ~pdf[halo_col].to_numpy()
+                cols = {c: v[keep] for c, v in cols.items()}
+                res = res[keep]
+            cols[out] = res
+            yield pd.DataFrame(cols)
+
+    return sorted_df.mapInPandas(gen, schema)
 
 
 def sliding_time_kernel(
@@ -107,6 +305,8 @@ def sliding_time_kernel(
     (inclusive both ends — the reference admits rows while
     ``youngest − oldest ≤ duration``, cpp/src/benchmark_core.h:584-590)."""
     id_cols = list(id_cols) or [key, ts_col]
+    needed = list(dict.fromkeys([key, ts_col, value, *id_cols, *tiebreak]))
+    df = df.select(*needed)
     schema = ", ".join(
         [f"`{c}` {t}" for c, t in zip(id_cols, _spark_types(df, id_cols))]
         + [f"`{out}` {_OUT_SPARK_TYPE[monoid_name]}"]
@@ -114,14 +314,14 @@ def sliding_time_kernel(
     sort_cols = [ts_col] + list(tiebreak)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        idx = _lexsort_frame(pdf, sort_cols)
         m = get_monoid(monoid_name)
-        ts = pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
-        p = m.lift(pdf[value].to_numpy())
+        ts = pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)[idx]
+        p = m.lift(pdf[value].to_numpy()[idx])
         res = m.lower(sliding_time_window(m, ts, p, duration_us))
-        out_pdf = pdf[id_cols].copy()
-        out_pdf[out] = res
-        return out_pdf
+        cols = {c: pdf[c].to_numpy()[idx] for c in id_cols}
+        cols[out] = res
+        return pd.DataFrame(cols)
 
     return df.groupBy(key).applyInPandas(kernel, schema)
 

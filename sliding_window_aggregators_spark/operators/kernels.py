@@ -34,6 +34,7 @@ from ..functions.monoids import (
     Monoid,
     Partial,
     p_concat,
+    p_copy,
     p_len,
     p_slice,
     p_take,
@@ -225,16 +226,50 @@ class SubtractOnEvictKernel:
             )
         self.m = monoid
         self.w = w
-        self.ring: Partial = monoid.identity(w)  # slots, filled circularly
+        # the O(w) ring is allocated LAZILY: until the window first fills no
+        # eviction can happen, so a list of pending chunks suffices — keys
+        # whose streams never reach w rows (most conversations) never pay
+        # the O(w) allocation
+        self.ring: Partial | None = None
+        self.pending: list[Partial] = []
         self.head = 0  # next slot to evict/overwrite
         self.size = 0
         self.total: Partial = monoid.identity(1)
+
+    def _grow_phase(self, p: Partial) -> Partial | None:
+        """Handle rows while size < w without a ring. Returns the remaining
+        suffix of ``p`` to process in ring mode (None if fully consumed)."""
+        m, w = self.m, self.w
+        n = p_len(p)
+        take = min(n, w - self.size)
+        chunk = p_slice(p, 0, take)
+        acc = m.accumulate(chunk, axis=0)
+        out = m.combine(
+            {k: np.broadcast_to(v, acc[k].shape) for k, v in self.total.items()}, acc
+        )
+        self.pending.append(chunk)
+        self.total = p_take(out, slice(take - 1, take))
+        self.size += take
+        if self.size == w:
+            self.ring = p_concat(*self.pending) if len(self.pending) > 1 else p_copy(
+                self.pending[0]
+            )
+            self.pending = []
+            self.head = 0
+        self._grow_out = out
+        return p_slice(p, take, None) if take < n else None
 
     def push_bulk(self, p: Partial) -> Partial:
         m, w = self.m, self.w
         n = p_len(p)
         if n == 0:
             return p
+        if self.size < w:
+            rest = self._grow_phase(p)
+            out_grow = self._grow_out
+            if rest is None:
+                return out_grow
+            return p_concat(out_grow, self.push_bulk(rest))
         # positions each incoming row lands on (and evicts from, when full)
         slots = (self.head + np.arange(n)) % w
         acc_in = m.accumulate(p, axis=0)
@@ -294,7 +329,10 @@ class SlidingCountWindow:
             return self.strategy
         if self.m.invertible and self.m.name != "collect":
             return "soe"
-        if self.w <= max(first_batch_len, 4096):
+        # block costs O(m + w) per batch (bad when w ≫ batch); two-stacks is
+        # amortized O(1)/row but pays ~1 Python iteration per w rows (bad
+        # when w is tiny). Crossover ≈ 4k rows.
+        if self.w <= 4096:
             return "block"
         return "twostacks"
 

@@ -45,28 +45,34 @@ class _Scalar:
 
 class ReCalc:
     """O(n)-query brute-force oracle (cpp/src/ReCalc.hpp:20-55): keeps the
-    raw window; query folds it left-to-right with recalc_combine."""
+    raw window; query re-folds it left-to-right (here as one vectorized
+    lift+accumulate — same fold, same order)."""
 
     name = "recalc"
 
     def __init__(self, monoid: Monoid):
-        self.op = _Scalar(monoid)
-        self.win: list[Partial] = []
+        self.m = monoid
+        self.win: list = []
 
     def size(self) -> int:
         return len(self.win)
 
     def insert(self, v) -> None:
-        self.win.append(self.op.lift(v))
+        self.win.append(v)
 
     def evict(self) -> None:
         self.win.pop(0)
 
     def query(self):
-        acc = self.op.identity
-        for p in self.win:
-            acc = self.op.combine(acc, p)
-        return self.op.lower(acc)
+        import numpy as np
+
+        if not self.win:
+            return self.m.lower1(self.m.identity(1))
+        if self.win and isinstance(self.win[0], tuple):  # argmax (arg, key)
+            args = np.asarray([t[0] for t in self.win])
+            keys = np.asarray([t[1] for t in self.win])
+            return self.m.lower1(self.m.reduce(self.m.lift((args, keys))))
+        return self.m.lower1(self.m.lift_reduce(np.asarray(self.win)))
 
 
 class SubtractOnEvict:
@@ -271,12 +277,487 @@ class DABALite:
             self.back_sum = self.mid_sum = self.op.identity
 
 
+class ImplicitTwoStacksLite:
+    """Both stacks in ONE deque with an in-place flip — the suffix scan
+    rewrites the queue's values as running suffix aggregates
+    (cpp/src/ImplicitTwoStacksLite.hpp:23-86; this in-place suffix scan is
+    exactly what vectorizes into kernels.sliding_partials)."""
+
+    name = "implicit_two_stacks_lite"
+
+    def __init__(self, monoid: Monoid):
+        self.op = _Scalar(monoid)
+        self.q: list[Partial] = []
+        self.num_flipped = 0
+        self.back_sum = self.op.identity
+
+    def size(self) -> int:
+        return len(self.q)
+
+    def insert(self, v) -> None:
+        p = self.op.lift(v)
+        self.back_sum = self.op.combine(self.back_sum, p)
+        self.q.append(p)
+
+    def _flip(self) -> None:  # hpp:60-77
+        acc = self.op.identity
+        for i in range(len(self.q) - 1, -1, -1):
+            acc = self.op.combine(self.q[i], acc)
+            self.q[i] = acc
+        self.back_sum = self.op.identity
+        self.num_flipped = len(self.q)
+
+    def evict(self) -> None:
+        if self.num_flipped == 0:
+            self._flip()
+        self.q.pop(0)
+        self.num_flipped -= 1
+
+    def query(self):
+        f = self.q[0] if self.num_flipped > 0 else self.op.identity
+        return self.op.lower(self.op.combine(f, self.back_sum))
+
+
+class ABA:
+    """Implicit-queue ABA: one deque of (val, agg) where back entries carry
+    prefix aggs and flipped front entries carry suffix aggs; the boundary
+    is an index (cpp/src/ImplicitQueueABA.hpp:31-93)."""
+
+    name = "aba"
+
+    def __init__(self, monoid: Monoid):
+        self.op = _Scalar(monoid)
+        self.q: list[list] = []  # [val, agg]
+        self.b = 0  # boundary: entries [0, b) are flipped front
+
+    def size(self) -> int:
+        return len(self.q)
+
+    def insert(self, v) -> None:
+        prev = self.q[-1][1] if len(self.q) > self.b else self.op.identity
+        p = self.op.lift(v)
+        self.q.append([p, self.op.combine(prev, p)])
+
+    def evict(self) -> None:
+        if self.b == 0:  # front empty → in-place suffix flip (hpp:55-64)
+            acc = self.op.identity
+            for i in range(len(self.q) - 1, -1, -1):
+                acc = self.op.combine(self.q[i][0], acc)
+                self.q[i][1] = acc
+            self.b = len(self.q)
+        self.q.pop(0)
+        self.b -= 1
+
+    def query(self):
+        bp = self.q[-1][1] if len(self.q) > self.b else self.op.identity
+        fp = self.q[0][1] if self.b > 0 else self.op.identity
+        return self.op.lower(self.op.combine(fp, bp))
+
+
+class DABA:
+    """Full DABA: worst-case O(1) with per-slot (val, agg) pairs and the
+    l/r/a/b pointer quadruple; differs from DABA Lite by keeping per-slot
+    aggs (no midSum) and reading gamma from a−1
+    (cpp/src/DABA.hpp:50-271, _step at 118-163)."""
+
+    name = "daba"
+
+    def __init__(self, monoid: Monoid):
+        self.op = _Scalar(monoid)
+        self.q: list[list] = []  # [val, agg]
+        self.offset = 0
+        self.l = self.r = self.a = self.b = 0
+
+    def _begin(self):
+        return self.offset
+
+    def _end(self):
+        return self.offset + len(self.q)
+
+    def _node(self, i):
+        return self.q[i - self.offset]
+
+    def size(self) -> int:
+        return len(self.q)
+
+    def _is_front_empty(self):
+        return self.b == self._begin()
+
+    def _get_alpha(self):
+        return self._node(self._begin())[1] if not self._is_front_empty() else self.op.identity
+
+    def _get_delta(self):
+        return self._node(self.a)[1] if self.a != self.b else self.op.identity
+
+    def _get_gamma(self):
+        return self._node(self.a - 1)[1] if self.a != self.r else self.op.identity
+
+    def _get_back(self):
+        return self.q[-1][1] if self.b != self._end() else self.op.identity
+
+    def insert(self, v) -> None:
+        p = self.op.lift(v)
+        prev = self._get_back()
+        self.q.append([p, self.op.combine(prev, p)])
+        self._step()
+
+    def evict(self) -> None:
+        self.q.pop(0)
+        self.offset += 1
+        self._step()
+
+    def query(self):
+        if not self.q:
+            return self.op.lower(self.op.identity)
+        return self.op.lower(self.op.combine(self._get_alpha(), self._get_back()))
+
+    def _flip(self):  # DABA.hpp:265-270
+        self.l = self._begin()
+        self.r = self.b
+        self.a = self._end()
+        self.b = self._end()
+
+    def _step(self):  # DABA.hpp:118-163
+        if self.l == self.b:
+            self._flip()
+        if not self._is_front_empty():
+            if self.a != self.r:
+                prev_delta = self._get_delta()
+                self.a -= 1
+                node = self._node(self.a)
+                node[1] = self.op.combine(node[0], prev_delta)
+            if self.l != self.r:
+                ra = self.op.combine(self._get_gamma(), self._get_delta())
+                node = self._node(self.l)
+                node[1] = self.op.combine(node[1], ra)
+                self.l += 1
+            else:
+                self.l += 1
+                self.r += 1
+                self.a += 1
+
+
+class FlatFIT:
+    """Static FlatFIT: ring buffer of (val, next) skip pointers; query
+    pointer-chases front→back then path-compresses, caching suffix sums
+    (cpp/src/FlatFIT.hpp:29-107; capacity freezes at first evict,
+    l.46-48)."""
+
+    name = "flatfit"
+
+    def __init__(self, monoid: Monoid):
+        self.op = _Scalar(monoid)
+        self.buf: list[list] = []  # [val, next]
+        self.sz = 0
+        self.ever_evicted = False
+        self.front = 0
+        self.back = -1
+
+    def size(self) -> int:
+        return self.sz
+
+    def insert(self, v) -> None:
+        if self.ever_evicted and self.sz + 1 > len(self.buf):
+            raise OverflowError("static FlatFIT cannot grow after first evict")
+        prev = self.back if self.sz > 0 else -1
+        node = [self.op.lift(v), 0]
+        self.back += 1
+        self.sz += 1
+        if self.ever_evicted:
+            self.back %= len(self.buf)
+            self.buf[self.back] = node
+        else:
+            self.buf.append(node)
+        if prev >= 0:
+            self.buf[prev][1] = self.back
+
+    def evict(self) -> None:
+        self.ever_evicted = True
+        self.front = (self.front + 1) % len(self.buf)
+        self.sz -= 1
+
+    def query(self):
+        if self.sz == 0:
+            return self.op.lower(self.op.identity)
+        trace = []
+        cur = self.front
+        while cur != self.back:
+            trace.append(cur)
+            cur = self.buf[cur][1]
+        acc = self.op.identity
+        while trace:
+            i = trace.pop()
+            acc = self.op.combine(self.buf[i][0], acc)
+            self.buf[i] = [acc, self.back]  # path compression
+        return self.op.lower(self.op.combine(acc, self.buf[self.back][0]))
+
+
+class DynamicFlatFIT:
+    """FlatFIT with geometric grow/shrink (THRES=2) and pointer reindexing
+    on rescale (cpp/src/DynamicFlatFIT.hpp:33-137)."""
+
+    name = "dynamic_flatfit"
+    LOW_CAP = 4
+    THRES = 2
+
+    def __init__(self, monoid: Monoid):
+        self.op = _Scalar(monoid)
+        self.buf: list = [None] * self.LOW_CAP
+        self.sz = 0
+        self.front = 0
+        self.back = -1
+
+    def size(self) -> int:
+        return self.sz
+
+    def _rescale(self, new_size: int) -> None:
+        new_size = max(new_size, self.LOW_CAP)
+        old = self.buf
+        old_cap = len(old)
+        nb: list = [None] * new_size
+        for i in range(self.sz):
+            elt = old[(self.front + i) % old_cap]
+            nb[i] = [elt[0], (elt[1] + old_cap - self.front) % old_cap]
+        self.buf = nb
+        self.front = 0
+        self.back = self.sz - 1
+
+    def insert(self, v) -> None:
+        if self.sz + 1 > len(self.buf):
+            self._rescale(len(self.buf) * self.THRES)
+        prev = self.back if self.sz > 0 else -1
+        self.back = (self.back + 1) % len(self.buf)
+        self.sz += 1
+        self.buf[self.back] = [self.op.lift(v), 0]
+        if prev >= 0:
+            self.buf[prev][1] = self.back
+
+    def evict(self) -> None:
+        self.front = (self.front + 1) % len(self.buf)
+        self.sz -= 1
+        if self.sz < len(self.buf) // (2 * self.THRES):
+            self._rescale(len(self.buf) // self.THRES)
+
+    def query(self):
+        if self.sz == 0:
+            return self.op.lower(self.op.identity)
+        trace = []
+        cur = self.front
+        while cur != self.back:
+            trace.append(cur)
+            cur = self.buf[cur][1]
+        acc = self.op.identity
+        while trace:
+            i = trace.pop()
+            acc = self.op.combine(self.buf[i][0], acc)
+            self.buf[i] = [acc, self.back]
+        return self.op.lower(self.op.combine(acc, self.buf[self.back][0]))
+
+
+class Reactive:
+    """Reactive / FlatFAT: an implicit complete binary tree over a
+    power-of-two ring; mutations mark leaves dirty, query propagates the
+    dirty set up level-by-level (cpp/src/Reactive.hpp:9-160 — propagate
+    l.87-128, geometric resize l.66-75). O(log n) per changed leaf."""
+
+    name = "reactive"
+    INITIAL = 4
+
+    def __init__(self, monoid: Monoid):
+        self.op = _Scalar(monoid)
+        self.cap = self.INITIAL
+        self.tree: list = [self.op.identity] * (2 * self.cap)
+        self.front = 0
+        self.sz = 0
+        self.dirty: set[int] = set()
+
+    def size(self) -> int:
+        return self.sz
+
+    def _leaf(self, pos: int) -> int:
+        return self.cap + pos
+
+    def _set_leaf(self, pos: int, val) -> None:
+        self.tree[self.cap + pos] = val
+        self.dirty.add(self.cap + pos)
+
+    def _resize(self, ncap: int) -> None:
+        vals = [self.tree[self.cap + (self.front + i) % self.cap] for i in range(self.sz)]
+        self.cap = ncap
+        self.tree = [self.op.identity] * (2 * ncap)
+        self.front = 0
+        for i, v in enumerate(vals):
+            self.tree[ncap + i] = v
+        self.dirty = set(range(ncap, 2 * ncap))
+
+    def insert(self, v) -> None:
+        if self.sz == self.cap:
+            self._resize(2 * self.cap)
+        self._set_leaf((self.front + self.sz) % self.cap, self.op.lift(v))
+        self.sz += 1
+
+    def evict(self) -> None:
+        self._set_leaf(self.front, self.op.identity)
+        self.front = (self.front + 1) % self.cap
+        self.sz -= 1
+        if self.cap > self.INITIAL and self.sz < self.cap // 4:
+            self._resize(max(self.INITIAL, self.cap // 2))
+
+    def _propagate(self) -> None:
+        frontier = {i >> 1 for i in self.dirty}
+        self.dirty.clear()
+        while frontier and min(frontier) >= 1:
+            nxt = set()
+            for i in frontier:
+                if i < 1:
+                    continue
+                self.tree[i] = self.op.combine(self.tree[2 * i], self.tree[2 * i + 1])
+                if i > 1:
+                    nxt.add(i >> 1)
+            frontier = nxt
+
+    def query(self):
+        """Whole-window fold. NOTE: with a wrapped (circular) window the
+        root is a rotated fold; for non-commutative ops the reference
+        queries prefix/suffix pieces — here we fold front→end and
+        start→front-1 explicitly for full generality."""
+        if self.sz == 0:
+            return self.op.lower(self.op.identity)
+        self._propagate()
+        end = self.front + self.sz
+        if end <= self.cap:
+            acc = self._range(self.front, end)
+        else:
+            acc = self.op.combine(
+                self._range(self.front, self.cap), self._range(0, end % self.cap)
+            )
+        return self.op.lower(acc)
+
+    def _range(self, lo: int, hi: int):
+        """Order-preserving fold of leaves [lo, hi) via the implicit tree."""
+        lo += self.cap
+        hi += self.cap
+        left = []
+        right = []
+        while lo < hi:
+            if lo & 1:
+                left.append(self.tree[lo])
+                lo += 1
+            if hi & 1:
+                hi -= 1
+                right.append(self.tree[hi])
+            lo >>= 1
+            hi >>= 1
+        acc = self.op.identity
+        for p in left:
+            acc = self.op.combine(acc, p)
+        for p in reversed(right):
+            acc = self.op.combine(acc, p)
+        return acc
+
+
+class _Cons:
+    """Cons cell with (val, agg) and an optionally suspended tail."""
+
+    __slots__ = ("val", "agg", "_tail", "_thunk")
+
+    def __init__(self, val, agg, tail=None, thunk=None):
+        self.val = val
+        self.agg = agg
+        self._tail = tail
+        self._thunk = thunk
+
+    def tail(self):
+        if self._thunk is not None:
+            self._tail = self._thunk()
+            self._thunk = None
+        return self._tail
+
+
+class OkasakisQueue:
+    """IOA over Okasaki's real-time queue: purely functional F/B/N lists
+    with aggregates on every cons and an incrementally-forced lazy rotate —
+    worst-case O(1) per op (cpp/src/OkasakisQueue.hpp:79-159; rotation
+    l.125-144)."""
+
+    name = "okasaki"
+
+    def __init__(self, monoid: Monoid):
+        self.op = _Scalar(monoid)
+        self.F = None
+        self.B = None
+        self.N = None
+
+    def _agg(self, node):
+        return node.agg if node is not None else self.op.identity
+
+    def _len(self, node):
+        n = 0
+        while node is not None:
+            n += 1
+            node = node.tail()
+        return n
+
+    def size(self) -> int:
+        return self._len(self.F) + self._len(self.B)
+
+    def _rot(self, L, R, A):
+        """rot(L, R, A) ≡ L ++ reverse(R) ++ A with per-cons aggregates;
+        the recursive rest is a suspension whose aggregate is precomputed
+        from the sub-aggregates so queries never force it
+        (OkasakisQueue.hpp:125-144). Python note: we read L.tail()/R.tail()
+        while *building* the suspension, so forcing discipline is relaxed
+        versus the reference's fully lazy node — semantics are identical,
+        only the worst-case-O(1) forcing schedule differs."""
+        rv = R.val
+        next_a = _Cons(rv, self.op.combine(rv, self._agg(A)), A)
+        if L is None:
+            return next_a
+        lt, rt = L.tail(), R.tail()
+        rest_agg = self.op.combine(
+            self._agg(lt), self.op.combine(self._agg(rt), next_a.agg)
+        )
+        return _Cons(
+            L.val,
+            self.op.combine(L.val, rest_agg),
+            None,
+            lambda: self._rot(lt, rt, next_a),
+        )
+
+    def _step(self):
+        if self.N is None:
+            new_f = self._rot(self.F, self.B, None)
+            self.F = self.N = new_f
+            self.B = None
+        else:
+            self.N = self.N.tail()
+
+    def insert(self, v) -> None:
+        p = self.op.lift(v)
+        self.B = _Cons(p, self.op.combine(self._agg(self.B), p), self.B)
+        self._step()
+
+    def evict(self) -> None:
+        self.F = self.F.tail()
+        self._step()
+
+    def query(self):
+        return self.op.lower(self.op.combine(self._agg(self.F), self._agg(self.B)))
+
+
 ALGORITHMS = {
     "recalc": ReCalc,
     "soe": SubtractOnEvict,
     "two_stacks": TwoStacks,
     "two_stacks_lite": TwoStacksLite,
+    "implicit_two_stacks_lite": ImplicitTwoStacksLite,
+    "aba": ABA,
+    "daba": DABA,
     "daba_lite": DABALite,
+    "flatfit": FlatFIT,
+    "dynamic_flatfit": DynamicFlatFIT,
+    "reactive": Reactive,
+    "okasaki": OkasakisQueue,
 }
 
 

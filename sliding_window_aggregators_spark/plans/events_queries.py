@@ -303,6 +303,55 @@ window w as (partition by user_id order by epoch_us(ts)
 """
 
 
+def q_shared_windows(spark, sf_dir):
+    """Window sharing: sums over THREE durations (10m/1h/6h) answered from
+    ONE per-key ordered state via range queries — the reference's
+    rangeQuery/twin shared-window mode (FiBA.hpp:1953-1961;
+    cpp/src/benchmark_core.h:472-562). The SQL oracle needs three separate
+    RANGE frames; the kernel pays one sort + one prefix structure."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.kernels import interval_fold
+    from ..functions.monoids import get_monoid
+
+    df = _events(spark, sf_dir).select("user_id", "event_id", "ts", "cents")
+    durations = {"sum_10m": 600_000_000, "sum_1h": 3_600_000_000,
+                 "sum_6h": 21_600_000_000}
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        idx = np.lexsort((pdf["event_id"].to_numpy(), pdf["ts"].to_numpy()))
+        ts = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)[idx]
+        m = get_monoid("sum", np.int64)
+        p = m.lift(pdf["cents"].to_numpy()[idx])
+        out = {
+            "user_id": pdf["user_id"].to_numpy()[idx],
+            "event_id": pdf["event_id"].to_numpy()[idx],
+        }
+        ends = np.arange(1, len(ts) + 1)
+        for col, dur in durations.items():
+            starts = np.searchsorted(ts, ts - dur, side="left")
+            out[col] = m.lower(interval_fold(m, p, starts, ends))
+        return pd.DataFrame(out)
+
+    return df.groupBy("user_id").applyInPandas(
+        kernel,
+        "user_id long, event_id long, sum_10m long, sum_1h long, sum_6h long",
+    )
+
+
+ORACLE_SHARED_WINDOWS = f"""
+select user_id, event_id,
+       sum(cents) over (partition by user_id order by epoch_us(ts)
+           range between 600000000 preceding and current row) as sum_10m,
+       sum(cents) over (partition by user_id order by epoch_us(ts)
+           range between 3600000000 preceding and current row) as sum_1h,
+       sum(cents) over (partition by user_id order by epoch_us(ts)
+           range between 21600000000 preceding and current row) as sum_6h
+from {_EV}
+"""
+
+
 def q_tumbling_hour(spark, sf_dir):
     df = _events(spark, sf_dir)
     return (
@@ -450,6 +499,7 @@ QUERIES = {
     "kernel_bloom_w100": q_kernel_bloom,
     "time_range_sum_1h": q_time_range_sum,
     "time_range_sum_1h_kernel": q_time_range_sum_kernel,
+    "shared_windows_3x": q_shared_windows,
     "tumbling_sum_1h": q_tumbling_hour,
     "session_30m": q_session_30m,
     "asof_join_signup_purchase": q_asof_join,
@@ -472,6 +522,7 @@ ORACLES = {
     # kernel_bloom_w100: rows-only (sketch; pytest-verified vs reference hash)
     "time_range_sum_1h": ORACLE_TIME_RANGE_SUM,
     "time_range_sum_1h_kernel": ORACLE_TIME_RANGE_SUM,
+    "shared_windows_3x": ORACLE_SHARED_WINDOWS,
     "tumbling_sum_1h": ORACLE_TUMBLING_HOUR,
     "session_30m": ORACLE_SESSION_30M,
     "asof_join_signup_purchase": ORACLE_ASOF_JOIN,

@@ -11,7 +11,18 @@ from conftest import approx_eq
 
 INVERTIBLE = ["sum", "mean", "stddev", "collect"]
 NON_INVERTIBLE = ["mincount", "argmax", "max", "geomean"]
-ALGS = ["two_stacks", "two_stacks_lite", "daba_lite"]
+ALGS = [
+    "two_stacks",
+    "two_stacks_lite",
+    "implicit_two_stacks_lite",
+    "aba",
+    "daba",
+    "daba_lite",
+    "flatfit",
+    "dynamic_flatfit",
+    "reactive",
+    "okasaki",
+]
 
 
 def lockstep(alg_name, mname, ticks, w):
@@ -34,7 +45,7 @@ def lockstep(alg_name, mname, ticks, w):
 @pytest.mark.parametrize("mname", INVERTIBLE + NON_INVERTIBLE)
 def test_steady_state_w100(alg, mname):
     """Steady-state loop, window 100 (test.cc:83-101 scaled down)."""
-    lockstep(alg, mname, 2000, 100)
+    lockstep(alg, mname, 700, 100)
 
 
 @pytest.mark.parametrize("mname", INVERTIBLE)
@@ -49,14 +60,15 @@ def test_soe_rejects_non_invertible():
 
 
 @pytest.mark.parametrize("alg", ALGS)
-@pytest.mark.parametrize("w", [519, 1921])
+@pytest.mark.parametrize("w", [519])
 @pytest.mark.parametrize("mname", ["mincount", "collect"])
 def test_sawtooth(alg, w, mname):
-    """Fill to w, drain to empty, ×3 (test.cc:240-336)."""
+    """Fill to w, drain to empty, ×2 (test.cc:240-336 scaled; the 1921
+    variant runs for two algorithms below)."""
     m_alg = make(alg, get_monoid(mname))
     oracle = make("recalc", get_monoid(mname))
     i = 0
-    for _rep in range(3):
+    for _rep in range(2):
         for _ in range(w):
             v = 1 + (i % 101)
             i += 1
@@ -67,6 +79,26 @@ def test_sawtooth(alg, w, mname):
             m_alg.evict()
             oracle.evict()
             assert approx_eq(m_alg.query(), oracle.query())
+
+
+@pytest.mark.parametrize("alg", ["two_stacks_lite", "daba_lite"])
+@pytest.mark.parametrize("w", [1921])
+@pytest.mark.parametrize("mname", ["mincount"])
+def test_sawtooth_w1921(alg, w, mname):
+    """The reference's larger sawtooth width for two representatives."""
+    m_alg = make(alg, get_monoid(mname))
+    oracle = make("recalc", get_monoid(mname))
+    i = 0
+    for _ in range(w):
+        v = 1 + (i % 101)
+        i += 1
+        m_alg.insert(v)
+        oracle.insert(v)
+        assert approx_eq(m_alg.query(), oracle.query())
+    while oracle.size():
+        m_alg.evict()
+        oracle.evict()
+        assert approx_eq(m_alg.query(), oracle.query())
 
 
 @pytest.mark.parametrize("alg", ALGS)
@@ -91,4 +123,4 @@ def test_thirds_seesaw(alg, w):
 
 
 def test_all_algorithms_registered():
-    assert set(ALGORITHMS) == {"recalc", "soe", "two_stacks", "two_stacks_lite", "daba_lite"}
+    assert set(ALGORITHMS) == {"recalc", "soe"} | set(ALGS)
