@@ -2,6 +2,7 @@ from .engine import (  # noqa: F401
     salted_repartition,
     session_stream,
     sliding_agg_stream,
+    sliding_count_stream,
     tumbling_stream,
 )
 from .join import user_assistant_join, user_assistant_join_batch  # noqa: F401

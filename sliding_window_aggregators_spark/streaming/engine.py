@@ -115,6 +115,65 @@ def sliding_agg_stream(
     )
 
 
+def sliding_count_stream(
+    df: DataFrame,
+    *,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    order_col: str = "turn_idx",
+    value_expr: str = "length(text)",
+    monoid_name: str = "sum",
+    w: int = 100,
+    watermark: str = "1 minute",
+    out_col: str = "wagg",
+) -> DataFrame:
+    """COUNT-based sliding window over a stream — the reference's FIFO
+    window (evict-oldest when size == w, cpp/src/benchmark_core.h:111-117),
+    which Spark Structured Streaming has no primitive for: count windows
+    never expire by watermark, so state is bounded by w rows per key
+    instead (the same O(w) bound the reference's aggregators carry).
+
+    Emits one row per turn: the aggregate of the key's last ``w`` turns in
+    ``order_col`` order seen so far. Within a micro-batch rows are applied
+    in (ts, order_col) order; the persistent state is the vectorized
+    SWAG kernel itself (SubtractOnEvict / Two-Stacks by monoid), pickled
+    into the state store between batches.
+    """
+    monoid = get_monoid(monoid_name)
+    out_type = {"sum": "double", "count": "bigint", "max": "double",
+                "min": "double", "mean": "double", "geomean": "double",
+                "mincount": "bigint", "relvar": "double", "bloom": "bigint",
+                "stddev": "double"}[monoid_name]
+    out_schema = (
+        f"{key} string, {ts_col} timestamp, {order_col} int, {out_col} {out_type}"
+    )
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        from ..operators.kernels import SlidingCountWindow
+
+        if state.exists:
+            kernel = pickle.loads(bytes(state.get[0]))
+        else:
+            kernel = SlidingCountWindow(monoid, w)
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, order_col], kind="mergesort")
+            res = kernel.process(pdf["__v"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    key: key_tuple[0],
+                    ts_col: pdf[ts_col].to_numpy(),
+                    order_col: pdf[order_col].to_numpy(),
+                    out_col: res,
+                }
+            )
+        state.update((bytearray(pickle.dumps(kernel, protocol=pickle.HIGHEST_PROTOCOL)),))
+
+    prepared = df.withColumn("__v", F.expr(value_expr)).withWatermark(ts_col, watermark)
+    return prepared.groupBy(key).applyInPandasWithState(
+        fn, out_schema, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def salted_repartition(df: DataFrame, key: str = "conv_id", buckets: int = 8,
                        salt_col: str = "bucket") -> DataFrame:
     """Deterministic hot-key salting (north_rule): split each key's stream

@@ -15,6 +15,7 @@ from sliding_window_aggregators_spark.streaming import (
     ExactlyOnceParquetSink,
     session_stream,
     sliding_agg_stream,
+    sliding_count_stream,
     tumbling_stream,
     user_assistant_join,
     user_assistant_join_batch,
@@ -83,6 +84,46 @@ def test_sliding_agg_stream_matches_batch(spark, stream_dirs):
     exp = (
         pd.DataFrame(exp_rows, columns=["conv_id", "ts", "wsum"])
         .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert got["wsum"].tolist() == exp["wsum"].tolist()
+
+
+def test_sliding_count_stream_matches_batch(spark, stream_dirs):
+    """COUNT-based window (no Spark primitive — the custom kernel's reason
+    to exist): streaming output must equal the batch trailing-w recompute,
+    including across the micro-batch boundary (kernel state carries)."""
+    src, out, ckpt = stream_dirs
+    W = 10
+    pdf = transcripts_pandas(500, 15)
+    _write_chunk(spark, src, pdf.iloc[:250], "c0")
+    _write_chunk(spark, src, pdf.iloc[250:], "c1")
+
+    stream = sliding_count_stream(
+        _read_stream(spark, src), monoid_name="sum",
+        value_expr="length(text)", w=W, out_col="wsum",
+    )
+    q, sink = write_stream_exactly_once(stream, out, ckpt)
+    q.awaitTermination(120)
+    got = (
+        sink.read_committed(spark)
+        .select("conv_id", "turn_idx", "wsum")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp_rows = []
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values(["ts", "turn_idx"])
+        lens = g["text"].str.len().to_numpy()
+        for i in range(len(g)):
+            exp_rows.append(
+                (conv, g["turn_idx"].iloc[i], float(lens[max(0, i - W + 1): i + 1].sum()))
+            )
+    exp = (
+        pd.DataFrame(exp_rows, columns=["conv_id", "turn_idx", "wsum"])
+        .sort_values(["conv_id", "turn_idx"])
         .reset_index(drop=True)
     )
     assert len(got) == len(exp)
