@@ -22,6 +22,12 @@ def all_queries():
         q.update(similarity_queries.QUERIES)
     except ImportError:
         pass
+    try:
+        from . import multimodal_queries
+
+        q.update(multimodal_queries.QUERIES)
+    except ImportError:
+        pass
     return q
 
 
@@ -38,6 +44,12 @@ def all_oracles():
         from . import similarity_queries
 
         o.update(similarity_queries.ORACLES)
+    except ImportError:
+        pass
+    try:
+        from . import multimodal_queries
+
+        o.update(multimodal_queries.ORACLES)
     except ImportError:
         pass
     return o
