@@ -42,6 +42,9 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "embed_neardup_lsh",
+    "shared_windows_3x",
+    "multimodal_meta",
+    "multimodal_features",
 ]
 
 # window grid: a sample of benchmark_driver's 2^2..2^22 (full grid in
@@ -86,6 +89,64 @@ def kernel_throughput() -> dict:
     return out
 
 
+def ooo_throughput() -> dict:
+    """Out-of-order kernel throughput (≡ ooo_benchmark_driver: steady
+    evict-oldest + insert at t−d + query, permanent OOO distance
+    d ∈ {0, w/4}, cpp/src/benchmark_core.h:185-247), driven bulk-wise:
+    each micro-batch is a bulkInsert + bulkEvict on the ordered state."""
+    import numpy as np
+
+    from sliding_window_aggregators_spark.functions import get_monoid
+    from sliding_window_aggregators_spark.operators import OrderedAggState
+
+    out = {}
+    w = 2**16
+    n = 2**20
+    m = get_monoid("sum")
+    for d in [0, w // 4]:
+        st = OrderedAggState(m)
+        ts0 = np.arange(w, dtype=np.int64)
+        st.bulk_insert(ts0, m.lift(1 + (ts0 % 101)))
+        t0 = time.perf_counter()
+        step = 65536
+        sink = 0.0
+        for lo in range(w, n, step):
+            ts = np.arange(lo, lo + step, dtype=np.int64) - d
+            st.bulk_insert(ts, m.lift(1 + (ts % 101)))
+            st.bulk_evict(int(st.youngest()) - w)
+            sink += st.query()
+        dt = time.perf_counter() - t0
+        out[f"ooo_sum_w{w}_d{d}"] = round((n - w) / dt, 1)
+    out["_anti_dce"] = sink
+    return out
+
+
+def kernel_latency() -> dict:
+    """Micro-batch latency distribution (≡ the reference's latency mode,
+    cpp/src/benchmark_core.h:122-146, adapted to the micro-batch engine:
+    the per-op rdtsc histogram becomes per-64k-batch wall percentiles)."""
+    import numpy as np
+
+    from sliding_window_aggregators_spark.functions import get_monoid
+    from sliding_window_aggregators_spark.operators import SlidingCountWindow
+
+    w, n, step = 16384, 2**21, 65536
+    vals = (1 + (np.arange(n) % 101)).astype(float)
+    out = {}
+    for op in ["sum", "geomean"]:
+        k = SlidingCountWindow(get_monoid(op), w)
+        k.process(vals[:w])
+        lats = []
+        for i in range(w, n, step):
+            t0 = time.perf_counter()
+            k.process(vals[i : i + step])
+            lats.append(time.perf_counter() - t0)
+        lats = np.array(lats) * 1e3
+        out[f"{op}_batch_ms_p50"] = round(float(np.percentile(lats, 50)), 3)
+        out[f"{op}_batch_ms_p99"] = round(float(np.percentile(lats, 99)), 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -116,6 +177,8 @@ def main() -> None:
         "queries": times,
         "sf": float(sf),
         "kernel_turns_per_sec": kt,
+        "ooo_turns_per_sec": ooo_throughput(),
+        "kernel_latency": kernel_latency(),
         "cpus": cpus,
     }
     print(json.dumps(result))
