@@ -157,6 +157,11 @@ def main() -> None:
 
     spark = get_spark(app="swag-bench", cpus=cpus)
     qs = entry.queries()
+    # session warm-up (JVM JIT, Arrow, python workers) excluded from query
+    # timings, mirroring the reference's warm-up discipline
+    # (cpp/src/benchmark_core.h:100-109)
+    qs["user_stats"](spark, sf_dir).count()
+    qs["kernel_sum_w100"](spark, sf_dir).count()
     times = {}
     total = 0.0
     for name in BENCH_QUERIES:

@@ -78,6 +78,17 @@ class OrderedAggState:
         ts = ts[order]
         partials = p_take(partials, order)
 
+        # in-order fast path (the common case FiBA's fingers optimize,
+        # FiBA.hpp:1038-1066): batch strictly newer than everything held →
+        # pure append, no merge
+        if (
+            len(self.ts) == 0 or ts[0] > self.ts[-1]
+        ) and (len(ts) == 1 or (ts[1:] > ts[:-1]).all()):
+            self.ts = np.concatenate([self.ts, ts])
+            self.partials = p_concat(self.partials, partials)
+            self._invalidate()
+            return
+
         all_ts = np.concatenate([self.ts, ts])
         # stable sort keeps existing entries before new ones at equal ts,
         # and new ones in arrival order

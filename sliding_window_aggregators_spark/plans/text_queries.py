@@ -412,8 +412,36 @@ def q_doc_fingerprint(spark, sf_dir):
     return df.select("doc_id", "text").mapInPandas(gen, "doc_id long, fingerprint long")
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup candidate pairs: hamming distance ≤ 6 on the 32-bit
+    fingerprints (xor + bit_count — identical builtins in Spark and
+    DuckDB). Quadratic in docs; at scale the LSH/banded variants above are
+    the candidate generators and this is the verifier."""
+    fp = q_simhash(spark, sf_dir)
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash32").alias("fa"))
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash32").alias("fb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.expr("bit_count(fa ^ fb)"))
+        .where(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+ORACLE_DEDUP_SIMHASH_PAIRS = (
+    "with fp as (" + _simhash_oracle() + ")\n"
+    """
+select a.doc_id as doc_a, b.doc_id as doc_b,
+       bit_count(xor(a.simhash32, b.simhash32)) as hamming
+from fp a join fp b on a.doc_id < b.doc_id
+where bit_count(xor(a.simhash32, b.simhash32)) <= 6
+"""
+)
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "simhash32": q_simhash,
@@ -425,6 +453,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
     "simhash32": ORACLE_SIMHASH,

@@ -195,6 +195,65 @@ def test_stream_stream_join_matches_batch_twin(spark, stream_dirs):
     assert len(got) > 0
 
 
+def test_sliding_agg_stream_ooo_and_late_drop(spark, stream_dirs):
+    """Out-of-order arrivals within the admit horizon are inserted in
+    event-time order; rows older than youngest − duration are dropped
+    (the reference's admit rule, cpp/src/benchmark_core.h:577)."""
+    src, out, ckpt = stream_dirs
+    DUR_US = 120_000_000
+    pdf = transcripts_pandas(400, 8, ooo_distance=30, ooo_every=5)
+    _write_chunk(spark, src, pdf, "c0")
+
+    stream = sliding_agg_stream(
+        _read_stream(spark, src), monoid_name="count", value_expr="1",
+        duration="2 minutes", out_col="wcount",
+    )
+    q, sink = write_stream_exactly_once(stream, out, ckpt)
+    q.awaitTermination(120)
+    got = (
+        sink.read_committed(spark)
+        .select("conv_id", "ts", "wcount")
+        .toPandas()
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    # batch oracle: the engine bulk-inserts the whole micro-batch then
+    # folds per row, so a row's window covers ALL batch rows with
+    # ts ∈ [ts_i − duration, ts_i] — including duplicates/later arrivals at
+    # the same instant (deterministic under replay). Single batch here →
+    # whole-conv interval counts.
+    exp_rows = []
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values("ts")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        for i in range(len(g)):
+            exp_rows.append(
+                (conv, g["ts"].iloc[i], int(((ts >= ts[i] - DUR_US) & (ts <= ts[i])).sum()))
+            )
+    exp = (
+        pd.DataFrame(exp_rows, columns=["conv_id", "ts", "wcount"])
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert got["wcount"].tolist() == exp["wcount"].tolist()
+
+    # a second batch arriving entirely older than youngest − duration is
+    # dropped: emit no rows, leave state untouched
+    stale = pdf.iloc[:20].copy()
+    stale["ts"] = stale["ts"] - pd.Timedelta(hours=2)
+    _write_chunk(spark, src, stale, "c1")
+    q, sink = write_stream_exactly_once(
+        sliding_agg_stream(
+            _read_stream(spark, src), monoid_name="count", value_expr="1",
+            duration="2 minutes", out_col="wcount",
+        ),
+        out, ckpt,
+    )
+    q.awaitTermination(120)
+    total = sink.read_committed(spark).count()
+    assert total == 400  # late rows produced no output
+
+
 def test_tumbling_and_session_streams_run(spark, stream_dirs):
     src, out, ckpt = stream_dirs
     pdf = transcripts_pandas(300, 10)
