@@ -111,7 +111,7 @@ def q_sliding_collect(spark, sf_dir):
 
 
 ORACLE_SLIDING_SUM = f"""
-select user_id, event_id, sum(cents) over w as wsum_cents
+select user_id, event_id, cast(sum(cents) over w as bigint) as wsum_cents
 from {_EV} {_WIN}
 """
 
@@ -296,7 +296,7 @@ def q_time_range_sum_kernel(spark, sf_dir):
 
 
 ORACLE_TIME_RANGE_SUM = f"""
-select user_id, event_id, sum(cents) over w as hsum_cents
+select user_id, event_id, cast(sum(cents) over w as bigint) as hsum_cents
 from {_EV}
 window w as (partition by user_id order by epoch_us(ts)
              range between 3600000000 preceding and current row)
@@ -342,12 +342,12 @@ def q_shared_windows(spark, sf_dir):
 
 ORACLE_SHARED_WINDOWS = f"""
 select user_id, event_id,
-       sum(cents) over (partition by user_id order by epoch_us(ts)
-           range between 600000000 preceding and current row) as sum_10m,
-       sum(cents) over (partition by user_id order by epoch_us(ts)
-           range between 3600000000 preceding and current row) as sum_1h,
-       sum(cents) over (partition by user_id order by epoch_us(ts)
-           range between 21600000000 preceding and current row) as sum_6h
+       cast(sum(cents) over (partition by user_id order by epoch_us(ts)
+           range between 600000000 preceding and current row) as bigint) as sum_10m,
+       cast(sum(cents) over (partition by user_id order by epoch_us(ts)
+           range between 3600000000 preceding and current row) as bigint) as sum_1h,
+       cast(sum(cents) over (partition by user_id order by epoch_us(ts)
+           range between 21600000000 preceding and current row) as bigint) as sum_6h
 from {_EV}
 """
 
@@ -373,7 +373,7 @@ def q_tumbling_hour(spark, sf_dir):
 
 ORACLE_TUMBLING_HOUR = f"""
 select user_id, date_trunc('hour', ts) as bucket_start,
-       count(*) as n_events, sum(cents) as sum_cents, max(cents) as max_cents
+       count(*) as n_events, cast(sum(cents) as bigint) as sum_cents, max(cents) as max_cents
 from {_EV}
 group by 1, 2
 """
@@ -414,7 +414,7 @@ g as (
 )
 select user_id, min(ts) as session_start,
        max(ts) + interval 30 minute as session_end,
-       count(*) as n_events, sum(cents) as sum_cents
+       count(*) as n_events, cast(sum(cents) as bigint) as sum_cents
 from g group by user_id, sid
 """
 
@@ -454,7 +454,7 @@ p as (select user_id as p_user, ts as p_ts, cents as p_cents from e
 select s.user_id as user_id, s.signup_id as signup_id,
        min(p.p_ts) as first_purchase_ts,
        count(p.p_cents) as purchases_1h,
-       coalesce(sum(p.p_cents), 0) as purchase_cents_1h
+       cast(coalesce(sum(p.p_cents), 0) as bigint) as purchase_cents_1h
 from s left join p
   on s.user_id = p.p_user and p.p_ts >= s.s_ts
  and p.p_ts <= s.s_ts + interval 1 hour
@@ -476,7 +476,7 @@ def q_user_stats(spark, sf_dir):
 
 
 ORACLE_USER_STATS = f"""
-select user_id, count(*) as n_events, sum(cents) as sum_cents,
+select user_id, count(*) as n_events, cast(sum(cents) as bigint) as sum_cents,
        max(cents) as max_cents, min(cents) as min_cents,
        cast(sum(cents) as double) / count(*) as mean_cents
 from {_EV} group by 1
