@@ -89,30 +89,20 @@ inp = spark.read.parquet({path!r})
 
 def gen(batches):
     from sliding_window_aggregators_spark.functions import get_monoid
-    from sliding_window_aggregators_spark.operators import SlidingCountWindow
-    kernels = {{}}
+    from sliding_window_aggregators_spark.operators import SegmentedSlidingKernel
+    monoids = {{op: get_monoid(op) for op in OPS}}
+    kernels = [(monoids[op], SegmentedSlidingKernel(monoids[op], w))
+               for op in OPS for w in WINDOWS]
     sink = 0.0
     rows = 0
     for b in batches:
         conv = b["conv_h"].to_numpy()
         vals = b["len"].to_numpy()
-        n = len(conv)
-        rows += n
-        change = np.empty(n, dtype=bool)
-        change[0] = True
-        change[1:] = conv[1:] != conv[:-1]
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], n)
-        for s, e in zip(starts, ends):
-            key = conv[s]
-            ks = kernels.get(key)
-            if ks is None:
-                ks = [SlidingCountWindow(get_monoid(op), w) for op in OPS for w in WINDOWS]
-                kernels[key] = ks
-            seg = vals[s:e]
-            for k in ks:
-                out = k.process(seg)
-                sink += float(out[-1])  # combine sink (benchmark_core.h:28-42)
+        rows += len(conv)
+        lifted = {{op: m.lift(vals) for op, m in monoids.items()}}
+        for m, k in kernels:
+            out = m.lower(k.process(conv, lifted[m.name]))
+            sink += float(out[-1])  # combine sink (benchmark_core.h:28-42)
     yield pd.DataFrame({{"rows": [rows], "sink": [sink]}})
 
 def job():

@@ -1,5 +1,6 @@
 from .kernels import (  # noqa: F401
     FlatTree,
+    SegmentedSlidingKernel,
     SlidingCountWindow,
     SubtractOnEvictKernel,
     TwoStacksKernel,

@@ -240,45 +240,27 @@ def sliding_rows_kernel_partitioned(
     order_cols = list(order)
 
     def gen(batches):
+        from .kernels import SegmentedSlidingKernel
+
         m = get_monoid(monoid_name, dtype)
-        carry_key = None
-        carry_kernel = None
+        kernel = SegmentedSlidingKernel(m, w)
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
-            # sorted within partition: find segment boundaries by key cols
-            segkey = pdf[part_cols[0]].to_numpy()
-            change = np.empty(n, dtype=bool)
-            change[0] = True
-            change[1:] = segkey[1:] != segkey[:-1]
-            for pc in part_cols[1:]:
-                extra = pdf[pc].to_numpy()
-                change[1:] |= extra[1:] != extra[:-1]
-            starts = np.flatnonzero(change)
-            ends = np.append(starts[1:], n)
+            # sorted within partition: segment identity = key [+ chunk]
+            segkey = tuple(pdf[pc].to_numpy() for pc in part_cols)
             vals = pdf[value].to_numpy()
             if dtype == np.int64:
                 vals = vals.astype(np.int64)
-            out_chunks = []
-            for s, e in zip(starts, ends):
-                this_key = tuple(pdf[pc].iloc[s] for pc in part_cols)
-                if this_key == carry_key and carry_kernel is not None:
-                    k = carry_kernel
-                else:
-                    k = SlidingCountWindow(m, w)
-                if monoid_name == "argmax":
-                    p = m.lift((pdf[id_cols[-1]].to_numpy()[s:e], vals[s:e]))
-                    seg_res = m.lower(k.process_partials(p))
-                else:
-                    seg_res = k.process(vals[s:e])
-                out_chunks.append(seg_res)
-                carry_key, carry_kernel = this_key, k
-            res = np.concatenate(out_chunks) if len(out_chunks) > 1 else out_chunks[0]
+            if monoid_name == "argmax":
+                p = m.lift((pdf[id_cols[-1]].to_numpy(), vals))
+            else:
+                p = m.lift(vals)
+            res = m.lower(kernel.process(segkey, p))
             if monoid_name == "stddev":
                 res = np.where(np.isnan(res), None, res)
             cols = {c: pdf[c].to_numpy() for c in id_cols}
-            keep = None
             if halo_col is not None:
                 keep = ~pdf[halo_col].to_numpy()
                 cols = {c: v[keep] for c, v in cols.items()}

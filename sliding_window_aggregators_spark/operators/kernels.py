@@ -378,11 +378,16 @@ def _prefix_diff_fold(m: Monoid, p: Partial, starts, ends) -> Partial:
 
 
 def _sparse_table_fold(m: Monoid, p: Partial, starts, ends) -> Partial:
-    """Overlapping range fold — idempotent monoids only."""
+    """Overlapping range fold — idempotent monoids (commutative or not:
+    the two covering intervals overlap, and with idempotent combine the
+    left-first fold still returns the correct — for ArgMax, earliest —
+    witness). Levels are built only up to the longest queried range."""
     n = p_len(p)
+    length = ends - starts
+    maxlen = int(length.max()) if len(length) else 1
     levels = [p]
     k = 1
-    while (1 << k) <= n:
+    while (1 << k) <= min(n, maxlen):
         prev = levels[-1]
         half = 1 << (k - 1)
         sz = n - (1 << k) + 1
@@ -390,7 +395,6 @@ def _sparse_table_fold(m: Monoid, p: Partial, starts, ends) -> Partial:
             m.combine(p_slice(prev, 0, sz), p_slice(prev, half, half + sz))
         )
         k += 1
-    length = ends - starts
     ks = np.floor(np.log2(np.maximum(length, 1))).astype(np.int64)
     out = m.identity(len(starts))
     for kk in range(len(levels)):
@@ -474,9 +478,107 @@ def interval_fold(m: Monoid, p: Partial, starts: np.ndarray, ends: np.ndarray) -
         return m.identity(len(starts))
     if m.invertible and m.commutative:
         return _prefix_diff_fold(m, p, starts, ends)
-    if m.idempotent and m.commutative:
+    if m.idempotent:
         return _sparse_table_fold(m, p, starts, ends)
     return _tree_fold(m, p, starts, ends)
+
+
+class SegmentedSlidingKernel:
+    """Multi-key count-window sliding aggregation over CONCATENATED
+    segments — one vectorized pass for the whole Arrow batch, no per-key
+    Python loop.
+
+    Input batches are key-sorted (all rows of a key contiguous, stream
+    order within); out_i = fold of the last ≤ w rows *of row i's segment*.
+    Window starts are simply clamped to the segment start, so the whole
+    batch is one :func:`interval_fold`:
+
+    - invertible monoids → prefix-difference, O(n);
+    - idempotent monoids → sparse table, O(n log w);
+    - otherwise (MinCount, Collect) → per-segment two-stacks loop.
+
+    Cross-batch carry: only the LAST segment can continue into the next
+    batch; its trailing min(len, w−1) raw partials are retained and
+    prepended (their outputs are dropped on re-emit).
+    """
+
+    def __init__(self, monoid: Monoid, w: int):
+        self.m = monoid
+        self.w = w
+        self._fast = (monoid.invertible and monoid.commutative) or monoid.idempotent
+        self.carry_key = None
+        self.carry_tail: Partial | None = None
+        self._slow_kernels: dict = {}
+
+    @staticmethod
+    def _norm_keys(seg_keys):
+        """Accept one key array or a tuple of parallel key arrays; return
+        (key_arrays, n, first_key, last_key, change_mask_fn)."""
+        if not isinstance(seg_keys, tuple):
+            seg_keys = (seg_keys,)
+        n = len(seg_keys[0])
+        change = np.empty(n, dtype=bool)
+        if n:
+            change[0] = True
+            change[1:] = seg_keys[0][1:] != seg_keys[0][:-1]
+            for extra in seg_keys[1:]:
+                change[1:] |= extra[1:] != extra[:-1]
+        first_key = tuple(k[0] for k in seg_keys) if n else None
+        last_key = tuple(k[-1] for k in seg_keys) if n else None
+        return n, change, first_key, last_key
+
+    def process(self, seg_keys, p: Partial) -> Partial:
+        m, w = self.m, self.w
+        n, change, first_key, last_key = self._norm_keys(seg_keys)
+        if n == 0:
+            return m.identity(0)
+        if not self._fast:
+            return self._process_slow(change, first_key, last_key, p)
+        ntail = 0
+        if (
+            self.carry_tail is not None
+            and p_len(self.carry_tail)
+            and first_key == self.carry_key
+        ):
+            ntail = p_len(self.carry_tail)
+            p = p_concat(self.carry_tail, p)
+        # per-row segment-start index, in concatenated coordinates: the
+        # first batch segment starts at 0 when it continues the carry
+        seg_start = np.where(change, np.arange(n) + ntail, 0)
+        if ntail:
+            seg_start[0] = 0
+        first = np.maximum.accumulate(seg_start)
+        if ntail:
+            first = np.concatenate([np.zeros(ntail, dtype=np.int64), first])
+        idx = np.arange(ntail + n)
+        starts = np.maximum(idx - w + 1, first)
+        ends = idx + 1
+        out = interval_fold(m, p, starts, ends)
+        # retain the last segment's tail for the next batch
+        last_start = int(first[-1])
+        tail_from = max(last_start, ntail + n - (w - 1)) if w > 1 else ntail + n
+        self.carry_tail = p_slice(p, tail_from, None) if w > 1 else m.identity(0)
+        self.carry_key = last_key
+        return p_slice(out, ntail, None)
+
+    def _process_slow(self, change, first_key, last_key, p: Partial) -> Partial:
+        m, w = self.m, self.w
+        n = len(change)
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        outs = []
+        # only the boundary segment's kernel needs to persist across batches
+        last = None
+        for j, (s, e) in enumerate(zip(starts, ends)):
+            if j == 0 and first_key == self.carry_key and self._slow_kernels:
+                k = self._slow_kernels.pop("boundary")
+            else:
+                k = SlidingCountWindow(m, w)
+            outs.append(k.process_partials(p_take(p, slice(int(s), int(e)))))
+            last = k
+        self._slow_kernels = {"boundary": last}
+        self.carry_key = last_key
+        return p_concat(*outs) if len(outs) > 1 else outs[0]
 
 
 def sliding_time_window(
