@@ -745,6 +745,215 @@ class OkasakisQueue:
         return self.op.lower(self.op.combine(self._agg(self.F), self._agg(self.B)))
 
 
+class _ANode:
+    """AMTA tree node: ≤ 2 (agg, time, child) slots; arity ∈ {0, 1, 2, −1}
+    where −1 = left slot popped (cpp/src/AMTA.hpp:47-76)."""
+
+    __slots__ = ("agg", "times", "children", "parent", "arity")
+
+    def __init__(self, a, t, left):
+        self.agg = [None, None]
+        self.times = [None, None]
+        self.children = [None, None]
+        self.parent = None
+        self.arity = 0
+        self.push_back(a, t, left)
+
+    def push_back(self, a, t, child):
+        assert self.arity in (0, 1)
+        self.agg[self.arity] = a
+        self.times[self.arity] = t
+        self.children[self.arity] = child
+        self.arity += 1
+        if child is not None:
+            child.parent = self
+
+    def pop_front(self):
+        assert self.arity != 0
+        if abs(self.arity) == 1:
+            self.arity = 0
+            return self.children[1]
+        self.arity = -1
+        return self.children[0]
+
+    def left_popped(self):
+        return self.arity == -1
+
+    def right_empty(self):
+        return self.arity == 1
+
+    def full(self):
+        return self.arity == 2
+
+
+class AMTA:
+    """Amortized Monoid Tree Aggregator (cpp/src/AMTA.hpp:29-368): a
+    binary-counter forest of aggregation trees — ``insert`` runs a carry
+    chain over the tail roots (AMTA.hpp:321-353), ``evict`` pops the front
+    leaf and walks up (AMTA.hpp:165-186), ``bulkEvict(t)`` drops whole
+    roots and slices the boundary root along the time path
+    (AMTA.hpp:244-290), ``query`` = frontSum ⊕ backSum (AMTA.hpp:308-310).
+    In-order timestamps only (like the reference)."""
+
+    name = "amta"
+
+    def __init__(self, monoid: Monoid):
+        self.op = _Scalar(monoid)
+        self.tails: list[_ANode] = []
+        self.front_node: _ANode | None = None
+        self.front_stack: list[Partial] = []
+        self.front_sum = self.op.identity
+        self.back_sum = self.op.identity
+        self._size = 0
+
+    # -- helpers ---------------------------------------------------------
+    def size(self) -> int:
+        return self._size
+
+    def oldest(self):
+        fn = self.front_node
+        return fn.times[1] if fn.left_popped() else fn.times[0]
+
+    def youngest(self):
+        back = self.tails[0]
+        return back.times[1] if (back.full() or back.left_popped()) else back.times[0]
+
+    def _rebuild_front_from(self, c: _ANode | None) -> None:
+        agg = self.front_stack[-1] if self.front_stack else self.op.identity
+        while c is not None:
+            nxt = c.children[1] if c.left_popped() else c.children[0]
+            if c.full():
+                agg = self.op.combine(c.agg[1], agg)
+                self.front_stack.append(agg)
+            if nxt is None:
+                self.front_node = c
+            c = nxt
+
+    def _rebuild_front(self) -> None:
+        if not self.tails:
+            self.front_sum = self.op.identity
+            return
+        self.front_stack = []
+        self._rebuild_front_from(self.tails[-1])
+        agg = self.front_stack[-1] if self.front_stack else self.op.identity
+        fn = self.front_node
+        other = fn.agg[0] if (fn.full() or fn.right_empty()) else fn.agg[1]
+        self.front_sum = self.op.combine(other, agg)
+
+    def _rebuild_back(self) -> None:
+        if not self.tails:
+            self.back_sum = self.op.identity
+            return
+        agg = self.op.identity
+        for c in reversed(self.tails[:-1]):
+            node_agg = (
+                self.op.combine(c.agg[0], c.agg[1]) if c.full() else c.agg[0]
+            )
+            agg = self.op.combine(agg, node_agg)
+        self.back_sum = agg
+
+    # -- ops ---------------------------------------------------------------
+    def insert(self, v, t=None) -> None:
+        if t is None:
+            t = 0 if not self.tails else self.youngest() + 1
+        self.insert_lifted(t, self.op.lift(v))
+        self._size += 1
+
+    def insert_lifted(self, t, lifted: Partial) -> None:  # AMTA.hpp:321-353
+        has_carry = True
+        carried_from = None
+        carry, carry_time = lifted, t
+        big_root_hit = False
+        self.back_sum = self.op.combine(self.back_sum, lifted)
+        for i, node in enumerate(self.tails):
+            if node.full() or node.left_popped():  # room for carry above
+                next_carry = (
+                    self.op.combine(node.agg[0], node.agg[1])
+                    if node.full()
+                    else node.agg[1]
+                )
+                next_time = node.times[1]
+                self.tails[i] = _ANode(carry, carry_time, carried_from)
+                carried_from, carry, carry_time = node, next_carry, next_time
+            else:
+                node.push_back(carry, carry_time, carried_from)
+                has_carry = False
+                if i + 1 == len(self.tails):
+                    big_root_hit = True
+                break
+        if has_carry:
+            n = _ANode(carry, carry_time, carried_from)
+            if not self.tails:
+                self.front_node = n
+            self.tails.append(n)
+        elif big_root_hit:
+            self._rebuild_front()
+            self._rebuild_back()
+
+    def evict(self) -> None:  # AMTA.hpp:165-186
+        self.front_sum = self.front_stack[-1] if self.front_stack else self.op.identity
+        if self._size > 0:
+            self._size -= 1
+        c = self.front_node
+        while c is not None:
+            if c.full():
+                self.front_stack.pop()
+            c.pop_front()
+            if c.arity != 0:
+                break
+            c = c.parent
+        if c is None:  # the big root emptied
+            self.tails.pop()
+            self.front_node = None
+            self._rebuild_front()
+            self._rebuild_back()
+        else:
+            self._rebuild_front_from(c)
+
+    def _slice(self, node: _ANode | None, t) -> None:  # AMTA.hpp:186-207
+        while node is not None:
+            if not node.left_popped():
+                if t < node.times[0]:
+                    node = node.children[0]
+                    continue
+                if t == node.times[0]:
+                    node.pop_front()
+                    break
+            if not node.right_empty() and t < node.times[1]:
+                if not node.left_popped():
+                    node.pop_front()
+                node = node.children[1]
+                continue
+            raise AssertionError("unreachable slice state (AMTA.hpp:205)")
+
+    def bulk_evict(self, t) -> None:  # AMTA.hpp:244-290
+        if not self.tails or t < self.oldest():
+            return
+        self._size = -1  # size tracking stops (as in the reference)
+        while self.tails:
+            head = self.tails[-1]
+            most_recent = head.times[0] if head.right_empty() else head.times[1]
+            if t < most_recent:
+                if head.full():
+                    if t >= head.times[0]:
+                        head.pop_front()
+                        self._slice(head.children[1], t)
+                    else:
+                        self._slice(head.children[0], t)
+                else:
+                    ind = 0 if head.right_empty() else 1
+                    self._slice(head.children[ind], t)
+                break
+            self.tails.pop()
+            if most_recent == t:
+                break
+        self._rebuild_back()
+        self._rebuild_front()
+
+    def query(self):
+        return self.op.lower(self.op.combine(self.front_sum, self.back_sum))
+
+
 ALGORITHMS = {
     "recalc": ReCalc,
     "soe": SubtractOnEvict,
@@ -758,6 +967,7 @@ ALGORITHMS = {
     "dynamic_flatfit": DynamicFlatFIT,
     "reactive": Reactive,
     "okasaki": OkasakisQueue,
+    "amta": AMTA,
 }
 
 

@@ -22,6 +22,7 @@ ALGS = [
     "dynamic_flatfit",
     "reactive",
     "okasaki",
+    "amta",
 ]
 
 
@@ -124,3 +125,21 @@ def test_thirds_seesaw(alg, w):
 
 def test_all_algorithms_registered():
     assert set(ALGORITHMS) == {"recalc", "soe"} | set(ALGS)
+
+
+def test_amta_bulk_evict_vs_brute():
+    """AMTA bulkEvict leaves exactly (t, youngest] and stays consistent for
+    follow-up inserts (cpp/src/AMTA.hpp:244-290; Collect order witness)."""
+    rng = np.random.default_rng(7)
+    for rep in range(15):
+        alg = make("amta", get_monoid("collect"))
+        n = int(rng.integers(3, 200))
+        ts = np.cumsum(rng.integers(1, 4, n))
+        for t, v in zip(ts, range(n)):
+            alg.insert(float(v), t=int(t))
+        cut = int(rng.integers(0, ts[-1] + 2))
+        alg.bulk_evict(cut)
+        expected = [float(v) for t, v in zip(ts, range(n)) if t > cut]
+        assert alg.query() == expected, (rep, cut)
+        alg.insert(-1.0, t=int(ts[-1]) + 10)
+        assert alg.query() == expected + [-1.0]
