@@ -181,8 +181,20 @@ def main():
     os.makedirs("/tmp/swag_scale", exist_ok=True)
     run_sub(LAYOUT.format(here=HERE, path=path, turns=args.turns, convs=args.convs))
 
+    # Health gate: this sandbox VM's host throttles unpredictably (memory
+    # bandwidth has been observed anywhere from 22 MB/s to 29 GB/s on an
+    # internally-idle box). A run under host throttling measures the host,
+    # not the engine — wait for a healthy window before measuring.
+    for attempt in range(30):
+        with mp.Pool(1) as pool:
+            bw = sum(pool.map(_bw, range(1)))
+        if bw >= 1500:
+            break
+        print(f"# host throttled (membw {bw:,.0f} MB/s) — waiting for a "
+              f"healthy window (attempt {attempt + 1})", file=sys.stderr)
+        time.sleep(60)
+    probes = vm_probes()  # measured BEFORE the levels, on an idle box
     levels = {c: run_level(c, path) for c in [2, 8, 32]}
-    probes = vm_probes()
 
     def eff(a, b):
         return (levels[b]["turns_per_sec"] / levels[a]["turns_per_sec"]) / (b / a)
