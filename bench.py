@@ -147,10 +147,27 @@ def kernel_latency() -> dict:
     return out
 
 
+def _vm_membw() -> float:
+    """1-process memory-bandwidth probe (MB/s). This sandbox's host
+    throttles unpredictably (observed 22 MB/s – 29 GB/s on an idle guest);
+    reporting the probe lets a reader normalize a slow run."""
+    import numpy as np
+
+    a = np.ones(50_000_000, dtype=np.uint8)
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 2:
+        b = a.copy()
+        a[0] = b[0]
+        n += 1
+    return round(n * 50 / (time.perf_counter() - t0), 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    membw = _vm_membw()
 
     import __spark_entry__ as entry
     from sliding_window_aggregators_spark.sources import get_spark
@@ -185,6 +202,7 @@ def main() -> None:
         "ooo_turns_per_sec": ooo_throughput(),
         "kernel_latency": kernel_latency(),
         "cpus": cpus,
+        "vm_membw_MBps": membw,
     }
     print(json.dumps(result))
     spark.stop()
