@@ -75,7 +75,14 @@ def sliding_agg_stream(
         else:
             st = OrderedAggState(monoid)
         outs = []
-        for pdf in pdfs:
+        # the state API may deliver a group's micro-batch rows in several
+        # arbitrarily-ordered chunks; gather them so event-time ordering and
+        # the late-data rule see the whole batch at once
+        chunks = list(pdfs)
+        gathered = pd.concat(chunks) if len(chunks) > 1 else (
+            chunks[0] if chunks else None
+        )
+        for pdf in ([gathered] if gathered is not None else []):
             pdf = pdf.sort_values(ts_col, kind="mergesort")
             ts = pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
             vals = pdf["__v"].to_numpy()
@@ -155,7 +162,11 @@ def sliding_count_stream(
             kernel = pickle.loads(bytes(state.get[0]))
         else:
             kernel = SlidingCountWindow(monoid, w)
-        for pdf in pdfs:
+        chunks = list(pdfs)  # gather: chunk order within a batch is arbitrary
+        gathered = pd.concat(chunks) if len(chunks) > 1 else (
+            chunks[0] if chunks else None
+        )
+        for pdf in ([gathered] if gathered is not None else []):
             pdf = pdf.sort_values([ts_col, order_col], kind="mergesort")
             res = kernel.process(pdf["__v"].to_numpy())
             yield pd.DataFrame(
