@@ -181,17 +181,23 @@ def main():
     os.makedirs("/tmp/swag_scale", exist_ok=True)
     run_sub(LAYOUT.format(here=HERE, path=path, turns=args.turns, convs=args.convs))
 
-    # Health gate: this sandbox VM's host throttles unpredictably (memory
-    # bandwidth has been observed anywhere from 22 MB/s to 29 GB/s on an
-    # internally-idle box). A run under host throttling measures the host,
-    # not the engine — wait for a healthy window before measuring.
+    # Health gate: this sandbox VM's host throttles unpredictably — BOTH
+    # single-stream memory bandwidth (observed 22 MB/s – 4 GB/s) and,
+    # independently, aggregate parallel bandwidth (observed 0.6 – 29 GB/s
+    # at 16 procs) on an internally-idle box. A run under host throttling
+    # measures the host, not the engine — wait for a healthy window.
     for attempt in range(30):
         with mp.Pool(1) as pool:
-            bw = sum(pool.map(_bw, range(1)))
-        if bw >= 1500:
+            bw1 = sum(pool.map(_bw, range(1)))
+        with mp.Pool(16) as pool:
+            bwN = sum(pool.map(_bw, range(16)))
+        if bw1 >= 1500 and bwN >= 8000:
             break
-        print(f"# host throttled (membw {bw:,.0f} MB/s) — waiting for a "
-              f"healthy window (attempt {attempt + 1})", file=sys.stderr)
+        print(
+            f"# host throttled (membw 1p={bw1:,.0f} 16p={bwN:,.0f} MB/s) — "
+            f"waiting for a healthy window (attempt {attempt + 1})",
+            file=sys.stderr,
+        )
         time.sleep(60)
     probes = vm_probes()  # measured BEFORE the levels, on an idle box
     levels = {c: run_level(c, path) for c in [2, 8, 32]}
