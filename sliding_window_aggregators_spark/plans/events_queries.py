@@ -24,7 +24,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..operators.batch import sliding_rows_kernel, sliding_time_kernel, with_cents
+from ..operators.batch import (
+    sliding_rows_kernel_partitioned,
+    sliding_time_kernel,
+    with_cents,
+)
+
+# All kernel_* driver queries run the SCALE path: repartition(key) →
+# sortWithinPartitions → mapInPandas with SegmentedSlidingKernel — one
+# Arrow stream per partition instead of one pandas frame per group
+# (~10× less per-group overhead; the plan we'd ship at 100×). The grouped
+# applyInPandas route (operators/batch.py:sliding_rows_kernel) remains
+# exercised by pytest lockstep tests.
+sliding_rows_kernel = sliding_rows_kernel_partitioned
 
 W = 100  # the reference test window (cpp/src/test.cc:83)
 HOUR_US = 3_600_000_000
@@ -215,8 +227,9 @@ def q_kernel_argmax(spark, sf_dir):
 
 def q_kernel_bloom(spark, sf_dir):
     """Windowed Bloom sketch (cpp/src/AggregationFunctions.hpp:321-377),
-    bit-for-bit with the reference's salted hashes; lower = test(bit 0).
-    Not ANSI-SQL-expressible → rows-only driver check + pytest parity."""
+    bit-for-bit with the reference's salted hashes; lower = test(bit 0),
+    which IS SQL-expressible (salts are pinned constants): see
+    ORACLE_KERNEL_BLOOM's HUGEINT rendering of the uint64 mixer."""
     df = _events(spark, sf_dir)
     return sliding_rows_kernel(
         df, "user_id", ["ts", "event_id"], "cents", "bloom", W,
@@ -262,6 +275,40 @@ from {_EV} {_WIN}
 """
 
 ORACLE_KERNEL_ARGMAX = ORACLE_SLIDING_ARGMAX
+
+
+def _bloom_mix_sql(a: str, b: str) -> str:
+    """DuckDB rendering of the reference's uint64 mixer
+    (cpp/src/AggregationFunctions.hpp:361-366), emulated in HUGEINT with an
+    explicit mod-2^64 after every overflow-capable step; ``~x`` in uint64 is
+    ``2^64 − 1 − x``. Verified bit-for-bit vs the NumPy mixer over 20k values.
+    ``a``/``b`` must be non-negative HUGEINT expressions < 2^64."""
+    m = "18446744073709551616::HUGEINT"  # 2^64
+    i1 = f"(({b}) >> 32)"
+    i2 = f"(({b}) % 4294967296::HUGEINT)"
+    t1 = f"((({a}) << 7) % {m})"
+    t2 = f"(({i1} * (({a}) >> 3)) % {m})"
+    inner = f"(((({a}) << 11) % {m} + xor({i2}, (({a}) >> 5))) % {m})"
+    t3 = f"({m} - 1 - {inner})"
+    return f"xor(xor(xor(({a}), {t1}), {t2}), {t3})"
+
+
+# lower = bitset.test(0) (hpp:347-350): bit 0 is set by any window value v
+# with hash_k(v) % 4096 == 0 for one of the K=4 pinned glibc salts
+# (srand(1001) draws, hpp:367) — SQL-expressible as a per-row boolean + a
+# windowed max, giving the Bloom sketch a FULL value-hash oracle.
+_BLOOM_HV = _bloom_mix_sql("101::HUGEINT", "cast(cents as HUGEINT)")
+_BLOOM_HIT0 = " or ".join(
+    f"({_bloom_mix_sql('hv', f'{int(s)}::HUGEINT')} % 4096) = 0"
+    for s in (469353932, 2078239751, 916013951, 1943028792)
+)
+
+ORACLE_KERNEL_BLOOM = f"""
+with h as (select *, {_BLOOM_HV} as hv from {_EV}),
+b as (select *, case when {_BLOOM_HIT0} then 1 else 0 end as hit0 from h)
+select user_id, event_id, cast(max(hit0) over w as bigint) as wbloom_bit0
+from b {_WIN}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -519,7 +566,7 @@ ORACLES = {
     "kernel_relvar_w100": ORACLE_KERNEL_RELVAR,
     "kernel_stddev_w100": ORACLE_KERNEL_STDDEV,
     "kernel_argmax_w100": ORACLE_KERNEL_ARGMAX,
-    # kernel_bloom_w100: rows-only (sketch; pytest-verified vs reference hash)
+    "kernel_bloom_w100": ORACLE_KERNEL_BLOOM,
     "time_range_sum_1h": ORACLE_TIME_RANGE_SUM,
     "time_range_sum_1h_kernel": ORACLE_TIME_RANGE_SUM,
     "shared_windows_3x": ORACLE_SHARED_WINDOWS,

@@ -54,9 +54,23 @@ from t
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Full pipeline incl. (stub-)decoded pixel features — rows-only."""
-    return media_features(_media(spark, sf_dir)).select(
-        "doc_id", "kind", "pix_mean", "pix_std", "hist4"
+    """Full pipeline incl. (stub-)decoded pixel features — rows-only.
+
+    The driver canonicalizes results with a pandas sort over every column,
+    which cannot hash ``array<float>`` cells; project ``hist4`` as a
+    deterministic comma-joined string instead (the array-valued form stays
+    under pytest in tests/test_multimodal.py)."""
+    from pyspark.sql import functions as F
+
+    feats = media_features(_media(spark, sf_dir))
+    return feats.select(
+        "doc_id",
+        "kind",
+        "pix_mean",
+        "pix_std",
+        F.concat_ws(
+            ",", F.transform("hist4", lambda x: F.round(x.cast("double"), 4).cast("string"))
+        ).alias("hist4_csv"),
     )
 
 
