@@ -327,17 +327,35 @@ class GeometricMean(Monoid):
 class SampleStdDev(Monoid):
     """Sample standard deviation; Partial {sum, sq, n}; lower uses the
     reference's naive sum-of-squares formula
-    sqrt((sq − sum²/n)/(n−1)) (cpp/src/AggregationFunctions.hpp:229)."""
+    sqrt((sq − sum²/n)/(n−1)) (cpp/src/AggregationFunctions.hpp:229).
+
+    With an integer dtype the partials are EXACT int64 (cents and cents²
+    are ints), so prefix-difference folds stay bit-identical to the SQL
+    oracle up to ~2^63 cumulative (≈3.8e9 rows/key at cents² ≈ 2.4e9) —
+    vs float64 partials which lose exactness past 2^53 (~1e8 rows/key on
+    hot keys at target scale). lower() converts to float64 only at the
+    final formula, matching DuckDB's int-sum-then-double arithmetic."""
 
     name = "stddev"
     invertible = True
 
+    def __init__(self, dtype=np.float64):
+        self.dtype = (
+            np.dtype(np.int64)
+            if np.issubdtype(np.dtype(dtype), np.integer)
+            else np.dtype(np.float64)
+        )
+
     def lift(self, values):
-        v = np.asarray(values, dtype=np.float64)
+        v = np.asarray(values, dtype=self.dtype)
         return {"sum": v, "sq": v * v, "n": np.ones(len(v), dtype=np.int64)}
 
     def identity(self, n=1):
-        return {"sum": np.zeros(n), "sq": np.zeros(n), "n": np.zeros(n, dtype=np.int64)}
+        return {
+            "sum": np.zeros(n, dtype=self.dtype),
+            "sq": np.zeros(n, dtype=self.dtype),
+            "n": np.zeros(n, dtype=np.int64),
+        }
 
     def combine(self, a, b):
         return {
@@ -355,8 +373,10 @@ class SampleStdDev(Monoid):
 
     def lower(self, p):
         n = p["n"].astype(np.float64)
+        s = p["sum"].astype(np.float64)
+        sq = p["sq"].astype(np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
-            var = (p["sq"] - (p["sum"] * p["sum"]) / n) / (n - 1.0)
+            var = (sq - (s * s) / n) / (n - 1.0)
             return np.sqrt(var)
 
     def accumulate(self, p, axis=0):
@@ -376,23 +396,36 @@ class ArgMax(Monoid):
     commutative = False
     idempotent = True
 
-    def __init__(self, arg_dtype=np.int64):
+    def __init__(self, arg_dtype=np.int64, key_dtype=np.float64):
+        """``key_dtype=int64`` keeps surrogate keys exact above 2^53 —
+        float64 keys (the default) silently lose integer precision there
+        and the tie-break can diverge from an exact-integer SQL oracle
+        (hit by cents·10^7 + event_id style keys at target scale)."""
         self.arg_dtype = np.dtype(arg_dtype)
+        self.key_dtype = (
+            np.dtype(np.int64)
+            if np.issubdtype(np.dtype(key_dtype), np.integer)
+            else np.dtype(np.float64)
+        )
+        self._key_id = (
+            np.iinfo(np.int64).min if self.key_dtype == np.int64 else -np.inf
+        )
 
     def lift(self, values):
         """values: structured — pass (args, keys) tuple or 2-col array."""
         args, keys = values
         return {
             "arg": np.asarray(args, dtype=self.arg_dtype),
-            "key": np.asarray(keys, dtype=np.float64),
+            "key": np.asarray(keys, dtype=self.key_dtype),
         }
 
     def identity(self, n=1):
         # reference identity = {In(), Comparable()} i.e. zeros (hpp:315);
-        # we use -inf key so empty loses every comparison deterministically.
+        # we use the key dtype's minimum (-inf / INT64_MIN) so empty loses
+        # every comparison deterministically.
         return {
             "arg": np.zeros(n, dtype=self.arg_dtype),
-            "key": np.full(n, -np.inf),
+            "key": np.full(n, self._key_id, dtype=self.key_dtype),
         }
 
     def combine(self, a, b):
@@ -405,7 +438,7 @@ class ArgMax(Monoid):
     def _scan(self, p, axis, ties_new_wins):
         key = p["key"]
         cm = np.maximum.accumulate(key, axis=axis)
-        prev = _shift_prev(cm, axis, -np.inf)
+        prev = _shift_prev(cm, axis, self._key_id)
         new = (key >= prev) if ties_new_wins else (key > prev)
         # first element always "new"
         sl = [slice(None)] * key.ndim
@@ -726,8 +759,8 @@ def registry(dtype=np.float64) -> dict[str, Monoid]:
         "min": Min(dtype),
         "mean": Mean(),
         "geomean": GeometricMean(),
-        "stddev": SampleStdDev(),
-        "argmax": ArgMax(),
+        "stddev": SampleStdDev(dtype),
+        "argmax": ArgMax(key_dtype=dtype),
         "mincount": MinCount(dtype),
         "relvar": RelativeVariation(dtype),
         "bloom": BloomFilter(),

@@ -360,6 +360,60 @@ class SlidingCountWindow:
             return p_slice(out, ntail, None)
         return self._impl.push_bulk(p)
 
+    # --- checkpoint-safe serialization ------------------------------------
+    # State is exported as a plain versioned dict of arrays + scalars (like
+    # OrderedAggState.dumps), NOT a pickled kernel object: class refactors
+    # then can't silently corrupt a streaming checkpoint restore — loads
+    # reconstructs fresh kernels from the arrays.
+
+    def state_dict(self) -> dict:
+        d: dict = {"v": 1, "w": self.w, "strategy": self.strategy}
+        if self._impl is None:
+            d["impl"] = None
+        elif self._impl == "block":
+            d["impl"] = "block"
+            d["tail"] = self._tail
+        elif isinstance(self._impl, SubtractOnEvictKernel):
+            k = self._impl
+            d["impl"] = "soe"
+            d["soe"] = {
+                "ring": k.ring, "pending": k.pending, "head": k.head,
+                "size": k.size, "total": k.total,
+            }
+        else:
+            k = self._impl
+            d["impl"] = "twostacks"
+            d["ts"] = {
+                "front_vals": k.front_vals, "front_agg": k.front_agg,
+                "front_pos": k.front_pos, "back": k.back,
+                "back_len": k.back_len, "back_sum": k.back_sum,
+            }
+        return d
+
+    @classmethod
+    def from_state_dict(cls, d: dict, monoid: Monoid) -> "SlidingCountWindow":
+        if d.get("v") != 1:
+            raise ValueError(f"unsupported SlidingCountWindow state version: {d.get('v')}")
+        self = cls(monoid, d["w"], d.get("strategy", "auto"))
+        impl = d["impl"]
+        if impl == "block":
+            self._impl = "block"
+            self._tail = d["tail"]
+        elif impl == "soe":
+            k = SubtractOnEvictKernel(monoid, d["w"])
+            s = d["soe"]
+            k.ring, k.pending, k.head = s["ring"], s["pending"], s["head"]
+            k.size, k.total = s["size"], s["total"]
+            self._impl = k
+        elif impl == "twostacks":
+            k = TwoStacksKernel(monoid, d["w"])
+            s = d["ts"]
+            k.front_vals, k.front_agg = s["front_vals"], s["front_agg"]
+            k.front_pos, k.back = s["front_pos"], s["back"]
+            k.back_len, k.back_sum = s["back_len"], s["back_sum"]
+            self._impl = k
+        return self
+
 
 # ---------------------------------------------------------------------------
 # Variable-bound range folds (time-based windows)

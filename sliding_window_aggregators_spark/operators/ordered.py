@@ -7,24 +7,34 @@ out-of-order ``insert(t, v)``, targeted ``evict(t)``, prefix
 ``rangeQuery(t0, t1)`` all stay sub-linear.
 
 In a Spark micro-batch engine every mutation is already a *bulk* op, so
-this state re-expresses the same surface over sorted NumPy arrays:
+this state re-expresses the same surface over sorted NumPy arrays backed
+by an INCREMENTALLY MAINTAINED implicit segment tree (the array analogue
+of FiBA's spine repair, cpp/src/FiBA.hpp:930-992):
 
-- ``bulk_insert`` ≡ FiBA bulkInsert (FiBA.hpp:1866-1918): one
-  ``np.searchsorted`` multisearch + one merge of the sorted batch —
-  duplicates merged with ``combine`` in arrival order (FiBA.hpp:1840
-  combines in place; duplicate semantics tested by cpp/src/test.cc:442-474
-  and cpp/src/bulk_test.cc:320-325).
+- ``bulk_insert`` ≡ FiBA bulkInsert (FiBA.hpp:1866-1918): a batch landing
+  d behind the tip touches only the displaced suffix — one suffix merge
+  plus an ancestor repair of the touched leaf span, O(d + k + log C)
+  combines (NOT O(n) rebuild). The in-order case is a pure append with an
+  O(k + log C) repair — the finger fast path (FiBA.hpp:1038-1066).
 - ``bulk_evict`` ≡ FiBA bulkEvict (FiBA.hpp:1746-1835): evicts every
   entry with ts ≤ t (bulk_test.cc:249-294 asserts survivors are exactly
-  (minTime, maxTime]); here a binary search + O(1) slice view.
-- ``query`` ≡ FiBA query via cached spine aggregates (FiBA.hpp:1935-51):
-  cached fold of the whole window, recomputed lazily per mutated batch.
-- ``range_query(t0, t1)`` — INCLUSIVE of both endpoints
-  (semantics pinned by cpp/src/test.cc:618-647) — answered from a
-  FlatFAT-style tree of partials (one vectorized combine per level,
-  rebuilt lazily after mutations), O(log n) per query. One state thus
-  serves *many* window sizes — the reference's window-sharing mode
-  (rangeQuery/twin benches, cpp/src/benchmark_core.h:472-562).
+  (minTime, maxTime]); here it just advances the logical start offset —
+  ZERO combines, because range folds only ever decompose into tree nodes
+  fully inside the live span, so stale nodes left of the offset are never
+  read. Space is reclaimed by the amortized compaction in ``_grow``.
+- ``query`` ≡ FiBA query via cached root-path aggregates
+  (FiBA.hpp:1935-51): an O(log n) fold over the live span, cached.
+- ``range_query(t0, t1)`` — INCLUSIVE of both endpoints (semantics
+  pinned by cpp/src/test.cc:618-647) — canonical segment-tree
+  decomposition, O(log n) per query with NO rebuild after mutations.
+  One state thus serves *many* window sizes — the reference's
+  window-sharing mode (rangeQuery/twin benches,
+  cpp/src/benchmark_core.h:472-562).
+
+Non-commutative monoids are safe throughout: level repair combines
+left-child-then-right-child (physical order == time order), and the fold
+assembles left fragments forward and right fragments backward, exactly
+like the FlatFAT walk.
 """
 
 from __future__ import annotations
@@ -39,139 +49,260 @@ from ..functions.monoids import (
     p_slice,
     p_take,
 )
-from .kernels import FlatTree
 
 
 class OrderedAggState:
-    """Per-key ordered (ts → Partial) state with bulk mutation + range folds."""
+    """Per-key ordered (ts → Partial) state with bulk mutation + range folds.
+
+    Physical layout: ``_tsbuf``/``_levels[0]`` are capacity-sized buffers
+    (capacity a power of two); the live window is ``[_lo, _lo + _n)``.
+    ``_levels[k]`` holds the segment-tree level of 2^k-span nodes; only
+    ancestors of mutated leaves are recomputed (vectorized per level)."""
 
     def __init__(self, monoid: Monoid, ts_dtype=np.int64):
         self.m = monoid
-        self.ts = np.empty(0, dtype=ts_dtype)
-        self.partials: Partial = monoid.identity(0)
-        self._tree: FlatTree | None = None
+        self._ts_dtype = np.dtype(ts_dtype)
+        self._cap = 0
+        self._tsbuf = np.empty(0, dtype=self._ts_dtype)
+        self._levels: list[Partial] = []
+        self._lo = 0
+        self._n = 0
         self._query_cache: Partial | None = None
 
     # ------------------------------------------------------------------
+    # live-window views (zero-copy)
+
+    @property
+    def ts(self) -> np.ndarray:
+        return self._tsbuf[self._lo : self._lo + self._n]
+
+    @property
+    def partials(self) -> Partial:
+        if not self._levels:
+            return self.m.identity(0)
+        return p_slice(self._levels[0], self._lo, self._lo + self._n)
+
     def size(self) -> int:
-        return len(self.ts)
+        return self._n
 
     def oldest(self):
-        return self.ts[0] if len(self.ts) else None
+        return self.ts[0] if self._n else None
 
     def youngest(self):
-        return self.ts[-1] if len(self.ts) else None
-
-    def _invalidate(self) -> None:
-        self._tree = None
-        self._query_cache = None
+        return self.ts[-1] if self._n else None
 
     # ------------------------------------------------------------------
+    # tree maintenance
+
+    def _alloc(self, cap: int) -> None:
+        self._cap = cap
+        self._tsbuf = np.empty(cap, dtype=self._ts_dtype)
+        self._levels = []
+        c = cap
+        while True:
+            self._levels.append(self.m.identity(c))
+            if c == 1:
+                break
+            c >>= 1
+
+    def _repair(self, a: int, b: int) -> None:
+        """Recompute ancestors of physical leaves [a, b) — O(b−a + log C)
+        combines, vectorized per level (the spine repair)."""
+        if b <= a:
+            return
+        for lvl in range(1, len(self._levels)):
+            child = self._levels[lvl - 1]
+            pa, pb = a >> 1, ((b - 1) >> 1) + 1
+            left = {k: v[2 * pa : 2 * pb : 2] for k, v in child.items()}
+            right = {k: v[2 * pa + 1 : 2 * pb + 1 : 2] for k, v in child.items()}
+            res = self.m.combine(left, right)
+            parent = self._levels[lvl]
+            for k in parent:
+                parent[k][pa:pb] = res[k]
+            a, b = pa, pb
+
+    def _write(self, at: int, ts_vals: np.ndarray, parts: Partial) -> None:
+        n = len(ts_vals)
+        self._tsbuf[at : at + n] = ts_vals
+        leaves = self._levels[0]
+        for k in leaves:
+            leaves[k][at : at + n] = parts[k]
+
+    def _grow(self, prefix_len: int, tail_ts: np.ndarray, tail_p: Partial) -> None:
+        """Re-seat the state as prefix (first ``prefix_len`` live entries)
+        + tail into a fresh (or compacted) buffer — amortized O(1)/element:
+        triggered only when the physical end hits capacity, which requires
+        ≥ cap/2 appended-or-evicted slots since the previous re-seat."""
+        keep_ts = np.ascontiguousarray(self.ts[:prefix_len])
+        keep_p = p_take(self.partials, slice(0, prefix_len)) if prefix_len else None
+        n_new = prefix_len + len(tail_ts)
+        cap = 16
+        while cap < 2 * n_new:
+            cap <<= 1
+        self._alloc(cap)
+        self._lo = 0
+        self._n = n_new
+        if prefix_len:
+            self._write(0, keep_ts, {k: np.ascontiguousarray(v) for k, v in keep_p.items()})
+        if len(tail_ts):
+            self._write(prefix_len, tail_ts, tail_p)
+        self._repair(0, n_new)
+
+    def _range_fold(self, lo: int, hi: int) -> Partial:
+        """Order-preserving fold of physical leaves [lo, hi)."""
+        m = self.m
+        if hi <= lo:
+            return m.identity(1)
+        left_parts: list[Partial] = []
+        right_parts: list[Partial] = []
+        lvl = 0
+        while lo < hi and lvl < len(self._levels):
+            cur = self._levels[lvl]
+            if lo & 1:
+                left_parts.append(p_slice(cur, lo, lo + 1))
+                lo += 1
+            if hi & 1:
+                hi -= 1
+                right_parts.append(p_slice(cur, hi, hi + 1))
+            lo >>= 1
+            hi >>= 1
+            lvl += 1
+        acc = m.identity(1)
+        for part in left_parts:
+            acc = m.combine(acc, part)
+        for part in reversed(right_parts):
+            acc = m.combine(acc, part)
+        return acc
+
+    # ------------------------------------------------------------------
+    def _merge_runs(self, ts_a, p_a, ts_b, p_b):
+        """Merge two sorted runs; duplicates combined in order (existing
+        first — FiBA combines in place at an existing timestamp,
+        FiBA.hpp:1837-1849; duplicate semantics tested by
+        cpp/src/test.cc:442-474 and cpp/src/bulk_test.cc:320-325)."""
+        all_ts = np.concatenate([ts_a, ts_b])
+        order = np.argsort(all_ts, kind="stable")
+        all_ts = all_ts[order]
+        allp = p_take(p_concat(p_a, p_b) if p_len(p_a) else p_b, order)
+        uniq, first_idx = np.unique(all_ts, return_index=True)
+        if len(uniq) == len(all_ts):
+            return all_ts, allp
+        merged = p_take(allp, first_idx)
+        boundaries = np.append(first_idx, len(all_ts))
+        for u in np.nonzero(np.diff(boundaries) > 1)[0]:
+            lo, hi = boundaries[u], boundaries[u + 1]
+            acc = p_slice(allp, lo, lo + 1)
+            for j in range(lo + 1, hi):
+                acc = self.m.combine(acc, p_slice(allp, j, j + 1))
+            for k in merged:
+                merged[k][u] = acc[k][0]
+        return uniq, merged
+
     def bulk_insert(self, ts: np.ndarray, partials: Partial) -> None:
-        """Merge a batch (any order; duplicates allowed — combined in
-        arrival order after existing entries, matching FiBA's
-        combine-in-place for an existing timestamp, FiBA.hpp:1837-1849)."""
-        ts = np.asarray(ts, dtype=self.ts.dtype)
+        """Merge a batch (any order; duplicates allowed). Cost is
+        O(k + d + log C) combines where d = how far the oldest batch entry
+        lands behind the tip — the FiBA bulkInsert bound, not O(n)."""
+        ts = np.asarray(ts, dtype=self._ts_dtype)
         if len(ts) == 0:
             return
         order = np.argsort(ts, kind="stable")
         ts = ts[order]
         partials = p_take(partials, order)
+        self._query_cache = None
 
-        # in-order fast path (the common case FiBA's fingers optimize,
-        # FiBA.hpp:1038-1066): batch strictly newer than everything held →
-        # pure append, no merge
-        if (
-            len(self.ts) == 0 or ts[0] > self.ts[-1]
-        ) and (len(ts) == 1 or (ts[1:] > ts[:-1]).all()):
-            self.ts = np.concatenate([self.ts, ts])
-            self.partials = p_concat(self.partials, partials)
-            self._invalidate()
+        strictly_inc = len(ts) == 1 or bool((ts[1:] > ts[:-1]).all())
+        end = self._lo + self._n
+        if (self._n == 0 or ts[0] > self._tsbuf[end - 1]) and strictly_inc:
+            # in-order fast path: pure append + ancestor repair
+            if end + len(ts) > self._cap:
+                self._grow(self._n, ts, partials)
+                return
+            self._write(end, ts, partials)
+            self._n += len(ts)
+            self._repair(end, end + len(ts))
             return
 
-        all_ts = np.concatenate([self.ts, ts])
-        # stable sort keeps existing entries before new ones at equal ts,
-        # and new ones in arrival order
-        order = np.argsort(all_ts, kind="stable")
-        all_ts = all_ts[order]
-        allp = p_take(p_concat(self.partials, partials), order)
-
-        uniq, first_idx = np.unique(all_ts, return_index=True)
-        if len(uniq) == len(all_ts):
-            self.ts, self.partials = all_ts, allp
-        else:
-            merged = p_take(allp, first_idx)
-            boundaries = np.append(first_idx, len(all_ts))
-            # combine duplicate runs (rare path): fold each run in order
-            for u in np.nonzero(np.diff(boundaries) > 1)[0]:
-                lo, hi = boundaries[u], boundaries[u + 1]
-                acc = p_slice(allp, lo, lo + 1)
-                for j in range(lo + 1, hi):
-                    acc = self.m.combine(acc, p_slice(allp, j, j + 1))
-                for k in merged:
-                    merged[k][u] = acc[k][0]
-            self.ts, self.partials = uniq, merged
-        self._invalidate()
+        # OOO path: only the displaced suffix is re-merged
+        pos = int(np.searchsorted(self.ts, ts[0], side="left"))
+        suf_ts = np.ascontiguousarray(self.ts[pos:])
+        suf_p = p_take(self.partials, slice(pos, self._n))
+        merged_ts, merged_p = self._merge_runs(suf_ts, suf_p, ts, partials)
+        write_at = self._lo + pos
+        if write_at + len(merged_ts) > self._cap:
+            self._grow(pos, merged_ts, merged_p)
+            return
+        self._write(write_at, merged_ts, merged_p)
+        self._n = pos + len(merged_ts)
+        self._repair(write_at, write_at + len(merged_ts))
 
     def insert(self, t, partial: Partial) -> None:
         self.bulk_insert(np.asarray([t]), partial)
 
     # ------------------------------------------------------------------
     def bulk_evict(self, t) -> int:
-        """Evict every entry with ts ≤ t; returns the evicted count."""
+        """Evict every entry with ts ≤ t; returns the evicted count.
+        O(log n) search + offset advance — no tree repair (stale nodes
+        left of the offset are never decomposed into by range folds)."""
         cut = int(np.searchsorted(self.ts, t, side="right"))
         if cut:
-            self.ts = self.ts[cut:]
-            self.partials = p_slice(self.partials, cut, None)
-            self._invalidate()
+            self._lo += cut
+            self._n -= cut
+            if self._n == 0:
+                self._lo = 0
+            self._query_cache = None
         return cut
 
     def evict_oldest(self) -> None:
-        if len(self.ts):
-            self.ts = self.ts[1:]
-            self.partials = p_slice(self.partials, 1, None)
-            self._invalidate()
+        if self._n:
+            self._lo += 1
+            self._n -= 1
+            if self._n == 0:
+                self._lo = 0
+            self._query_cache = None
 
     def evict(self, t) -> bool:
         """Targeted single-timestamp eviction (FiBA evict(t),
-        FiBA.hpp:1691-1743)."""
+        FiBA.hpp:1691-1743): shift the suffix left one slot and repair its
+        ancestors — O(n − i + log C), vectorized."""
         i = int(np.searchsorted(self.ts, t, side="left"))
-        if i < len(self.ts) and self.ts[i] == t:
-            self.ts = np.delete(self.ts, i)
-            self.partials = {k: np.delete(v, i, axis=0) for k, v in self.partials.items()}
-            self._invalidate()
-            return True
-        return False
+        if i >= self._n or self.ts[i] != t:
+            return False
+        phys = self._lo + i
+        end = self._lo + self._n
+        self._tsbuf[phys : end - 1] = self._tsbuf[phys + 1 : end]
+        leaves = self._levels[0]
+        for k in leaves:
+            leaves[k][phys : end - 1] = leaves[k][phys + 1 : end]
+        self._n -= 1
+        if self._n == 0:
+            self._lo = 0
+        else:
+            self._repair(phys, self._lo + self._n)
+        self._query_cache = None
+        return True
 
     # ------------------------------------------------------------------
     def at(self, t) -> Partial | None:
         """Partial stored at exactly t (FiBA at(), FiBA.hpp:1661)."""
         i = int(np.searchsorted(self.ts, t, side="left"))
-        if i < len(self.ts) and self.ts[i] == t:
-            return p_slice(self.partials, i, i + 1)
+        if i < self._n and self.ts[i] == t:
+            return p_take(self.partials, slice(i, i + 1))
         return None
 
     def query_partial(self) -> Partial:
         if self._query_cache is None:
-            self._query_cache = self.m.reduce(self.partials)
+            self._query_cache = self._range_fold(self._lo, self._lo + self._n)
         return self._query_cache
 
     def query(self):
         return self.m.lower1(self.query_partial())
-
-    def _ensure_tree(self) -> FlatTree:
-        if self._tree is None:
-            self._tree = FlatTree(self.m, self.partials)
-        return self._tree
 
     def range_query_partial(self, t0, t1) -> Partial:
         """Fold over entries with t0 ≤ ts ≤ t1 (inclusive both ends,
         test.cc:618-647)."""
         lo = int(np.searchsorted(self.ts, t0, side="left"))
         hi = int(np.searchsorted(self.ts, t1, side="right"))
-        if hi <= lo:
-            return self.m.identity(1)
-        return self._ensure_tree().range_fold(lo, hi)
+        return self._range_fold(self._lo + lo, self._lo + hi)
 
     def range_query(self, t0, t1):
         return self.m.lower1(self.range_query_partial(t0, t1))
@@ -179,13 +310,9 @@ class OrderedAggState:
     def range_queries(self, t0s: np.ndarray, t1s: np.ndarray) -> Partial:
         """Batched inclusive range folds (window sharing: one state, many
         windows — SURVEY.md §4)."""
-        los = np.searchsorted(self.ts, t0s, side="left")
-        his = np.searchsorted(self.ts, t1s, side="right")
-        tree = self._ensure_tree()
-        outs = [
-            tree.range_fold(int(lo), int(hi)) if hi > lo else self.m.identity(1)
-            for lo, hi in zip(los, his)
-        ]
+        los = np.searchsorted(self.ts, t0s, side="left") + self._lo
+        his = np.searchsorted(self.ts, t1s, side="right") + self._lo
+        outs = [self._range_fold(int(lo), int(hi)) for lo, hi in zip(los, his)]
         return p_concat(*outs) if outs else self.m.identity(0)
 
     # ------------------------------------------------------------------
@@ -194,7 +321,11 @@ class OrderedAggState:
         import pickle
 
         return pickle.dumps(
-            {"ts": self.ts, "partials": self.partials, "v": 1},
+            {
+                "ts": np.ascontiguousarray(self.ts),
+                "partials": {k: np.ascontiguousarray(v) for k, v in self.partials.items()},
+                "v": 1,
+            },
             protocol=pickle.HIGHEST_PROTOCOL,
         )
 
@@ -204,6 +335,6 @@ class OrderedAggState:
 
         d = pickle.loads(blob)
         st = cls(monoid, ts_dtype=d["ts"].dtype)
-        st.ts = d["ts"]
-        st.partials = d["partials"]
+        if len(d["ts"]):
+            st._grow(0, d["ts"], d["partials"])
         return st

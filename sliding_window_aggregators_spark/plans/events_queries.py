@@ -208,7 +208,7 @@ def q_kernel_stddev(spark, sf_dir):
     df = _events(spark, sf_dir)
     return sliding_rows_kernel(
         df, "user_id", ["ts", "event_id"], "cents", "stddev", W,
-        out="wstddev_cents", id_cols=["user_id", "event_id"], int_values=False,
+        out="wstddev_cents", id_cols=["user_id", "event_id"], int_values=True,
     )
 
 
@@ -221,7 +221,7 @@ def q_kernel_argmax(spark, sf_dir):
     )
     return sliding_rows_kernel(
         df, "user_id", ["ts", "event_id"], "k", "argmax", W,
-        out="warg_event", id_cols=["user_id", "event_id"],
+        out="warg_event", id_cols=["user_id", "event_id"], int_values=True,
     )
 
 
@@ -347,6 +347,104 @@ select user_id, event_id, cast(sum(cents) over w as bigint) as hsum_cents
 from {_EV}
 window w as (partition by user_id order by epoch_us(ts)
              range between 3600000000 preceding and current row)
+"""
+
+
+def q_ooo_range_sum(spark, sf_dir):
+    """Out-of-order ingestion through the FiBA-equivalent ordered state
+    (operators/ordered.py), end-to-end: per key the events are fed to
+    ``OrderedAggState.bulk_insert`` in a deterministic ADVERSARIAL arrival
+    order (Knuth multiplicative hash of event_id — nothing like event
+    time), in 8 micro-batches, exercising the OOO suffix-merge + spine
+    repair; every event's answer is then an inclusive ``range_queries``
+    fold over [ts − 1h, ts] (FiBA rangeQuery semantics,
+    cpp/src/test.cc:618-647). The DuckDB oracle is the plain RANGE frame
+    over time-sorted data — equality proves arrival order didn't matter."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.monoids import get_monoid
+    from ..operators.ordered import OrderedAggState
+
+    df = _events(spark, sf_dir).select("user_id", "event_id", "ts", "cents")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = get_monoid("sum", np.int64)
+        st = OrderedAggState(m)
+        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = pdf["cents"].to_numpy().astype(np.int64)
+        eid = pdf["event_id"].to_numpy().astype(np.int64)
+        # deterministic scrambled arrival order (OOO by construction)
+        arrival = np.argsort((eid * 2654435761) % (1 << 32), kind="stable")
+        for chunk in np.array_split(arrival, 8):
+            if len(chunk):
+                st.bulk_insert(ts_us[chunk], m.lift(cents[chunk]))
+        res = m.lower(st.range_queries(ts_us - HOUR_US, ts_us))
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"], "event_id": eid, "osum_cents": res}
+        )
+
+    return df.groupBy("user_id").applyInPandas(
+        kernel, "user_id long, event_id long, osum_cents long"
+    )
+
+
+ORACLE_OOO_RANGE_SUM = f"""
+select user_id, event_id, cast(sum(cents) over w as bigint) as osum_cents
+from {_EV}
+window w as (partition by user_id order by epoch_us(ts)
+             range between 3600000000 preceding and current row)
+"""
+
+_SAW = 50  # sawtooth period: window drains to 1 row then refills to 50
+
+
+def q_sawtooth_sum(spark, sf_dir):
+    """Fill/drain dynamic window (the reference's variable-size scenario,
+    cpp/src/benchmark_core.h:149-183): row i of a key aggregates the last
+    (i mod 50) + 1 rows — the window refills then resets every 50 rows.
+    Runs as one vectorized ``interval_fold`` per key (variable starts are
+    exactly what the interval-fold API is for); the SQL oracle expands the
+    variable frame as a row-number band join."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.monoids import get_monoid
+    from ..operators.kernels import interval_fold
+
+    df = _events(spark, sf_dir).select("user_id", "event_id", "ts", "cents")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        idx = np.lexsort((pdf["event_id"].to_numpy(), pdf["ts"].to_numpy()))
+        m = get_monoid("sum", np.int64)
+        p = m.lift(pdf["cents"].to_numpy()[idx].astype(np.int64))
+        n = len(idx)
+        rn = np.arange(n, dtype=np.int64)
+        res = m.lower(interval_fold(m, p, rn - (rn % _SAW), rn + 1))
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy()[idx],
+                "event_id": pdf["event_id"].to_numpy()[idx],
+                "saw_sum_cents": res,
+            }
+        )
+
+    return df.groupBy("user_id").applyInPandas(
+        kernel, "user_id long, event_id long, saw_sum_cents long"
+    )
+
+
+ORACLE_SAWTOOTH_SUM = f"""
+with t as (
+  select user_id, event_id, cents,
+         row_number() over (partition by user_id order by ts, event_id) - 1 as rn
+  from {_EV}
+)
+select a.user_id as user_id, a.event_id as event_id,
+       cast(sum(b.cents) as bigint) as saw_sum_cents
+from t a join t b
+  on a.user_id = b.user_id and b.rn between a.rn - (a.rn % {_SAW}) and a.rn
+group by 1, 2
 """
 
 
@@ -546,6 +644,8 @@ QUERIES = {
     "kernel_bloom_w100": q_kernel_bloom,
     "time_range_sum_1h": q_time_range_sum,
     "time_range_sum_1h_kernel": q_time_range_sum_kernel,
+    "ooo_range_sum_1h": q_ooo_range_sum,
+    "sawtooth_sum_w50": q_sawtooth_sum,
     "shared_windows_3x": q_shared_windows,
     "tumbling_sum_1h": q_tumbling_hour,
     "session_30m": q_session_30m,
@@ -569,6 +669,8 @@ ORACLES = {
     "kernel_bloom_w100": ORACLE_KERNEL_BLOOM,
     "time_range_sum_1h": ORACLE_TIME_RANGE_SUM,
     "time_range_sum_1h_kernel": ORACLE_TIME_RANGE_SUM,
+    "ooo_range_sum_1h": ORACLE_OOO_RANGE_SUM,
+    "sawtooth_sum_w50": ORACLE_SAWTOOTH_SUM,
     "shared_windows_3x": ORACLE_SHARED_WINDOWS,
     "tumbling_sum_1h": ORACLE_TUMBLING_HOUR,
     "session_30m": ORACLE_SESSION_30M,

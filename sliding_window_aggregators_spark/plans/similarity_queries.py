@@ -91,28 +91,70 @@ select q_id, rank, c_id as neighbor_id, cosine from r where rank <= {_TOPK}
 """
 
 
+# multi-table sign-LSH: _LSH_TABLES independent tables, each hashing the
+# signs of _LSH_BITS distinct dimensions → 2^_LSH_BITS buckets per table.
+# Candidates = union over tables of same-bucket pairs. vs the old single
+# 4-bit table (16 buckets → O((n/16)²) pairs): 256 buckets per table cuts
+# the per-bucket quadratic term ~256×, and 4 tables restore the recall
+# narrower buckets lose (a near-dup pair agrees on all sign bits of one
+# table with prob ≈ (1 − θ/π)^bits; any-of-4 keeps that high).
+_LSH_TABLES = 4
+_LSH_BITS = 8
+
+
+def _lsh_bucket_expr(table: int, one_based: bool) -> str:
+    """Bucket id of table t = sign bits of dims [t·8, t·8+8) packed into an
+    int — same formula in Spark (0-based arrays) and DuckDB (1-based)."""
+    dims = range(table * _LSH_BITS, (table + 1) * _LSH_BITS)
+    if one_based:
+        terms = [
+            f"(case when iv[{d + 1}] >= 0 then {1 << j} else 0 end)"
+            for j, d in enumerate(dims)
+        ]
+    else:
+        terms = [
+            f"cast(iv[{d}] >= 0 as int) * {1 << j}" for j, d in enumerate(dims)
+        ]
+    return " + ".join(terms)
+
+
 def q_embed_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup with sign-LSH bucketing: bucket = sign
-    bits of the first 4 dimensions (16 buckets); candidate pairs only
-    within a bucket (the O(n²)-avoiding scale path; recall bounded by the
-    hyperplane family, as in classic SimHash LSH)."""
-    e = _emb(spark, sf_dir).withColumn(
-        "bucket",
-        F.expr(
-            "cast(iv[0] >= 0 as int) * 8 + cast(iv[1] >= 0 as int) * 4 "
-            "+ cast(iv[2] >= 0 as int) * 2 + cast(iv[3] >= 0 as int)"
-        ),
+    """Embedding-cosine near-dup via multi-table sign-LSH: 4 tables × 8
+    hyperplane sign bits; candidate pairs share a bucket in ≥ 1 table;
+    exact integer cosine verifies ≥ τ. The band join is equi (never a
+    cross product) and the candidate pair set is deduped BEFORE the
+    vectors are re-joined, so the 64-dim arrays never ride the band
+    shuffle."""
+    e = _emb(spark, sf_dir)
+    buckets = None
+    for t in range(_LSH_TABLES):
+        bt = e.select(
+            "vec_id",
+            F.lit(t).alias("tbl"),
+            F.expr(_lsh_bucket_expr(t, one_based=False)).alias("bucket"),
+        )
+        buckets = bt if buckets is None else buckets.unionAll(bt)
+    x = buckets.alias("x")
+    y = buckets.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("doc_a"), F.col("y.vec_id").alias("doc_b"))
+        .distinct()
     )
-    a = e.select(
-        F.col("bucket").alias("ba"), F.col("vec_id").alias("doc_a"),
-        F.col("iv").alias("ia"), F.col("norm").alias("na"),
+    va = e.select(
+        F.col("vec_id").alias("doc_a"), F.col("iv").alias("ia"), F.col("norm").alias("na")
     )
-    b = e.select(
-        F.col("bucket").alias("bb"), F.col("vec_id").alias("doc_b"),
-        F.col("iv").alias("ib"), F.col("norm").alias("nb"),
+    vb = e.select(
+        F.col("vec_id").alias("doc_b"), F.col("iv").alias("ib"), F.col("norm").alias("nb")
     )
     return (
-        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("doc_a") < F.col("doc_b")))
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
         .withColumn(
             "cosine",
             F.round(
@@ -126,26 +168,38 @@ def q_embed_neardup(spark, sf_dir):
     )
 
 
-ORACLE_EMBED_NEARDUP = f"""
+def _embed_neardup_oracle() -> str:
+    tables = "\n  union all\n".join(
+        f"select vec_id, {t} as tbl, {_lsh_bucket_expr(t, one_based=True)} as bucket from n"
+        for t in range(_LSH_TABLES)
+    )
+    return f"""
 with e as (
   select vec_id, {_DUCK_INT_EMB} as iv from embeddings
 ),
 n as (
-  select vec_id, iv,
-         sqrt(cast(list_inner_product(iv, iv) as double)) as norm,
-         (case when iv[1] >= 0 then 8 else 0 end
-          + case when iv[2] >= 0 then 4 else 0 end
-          + case when iv[3] >= 0 then 2 else 0 end
-          + case when iv[4] >= 0 then 1 else 0 end) as bucket
-  from e
+  select vec_id, iv, sqrt(cast(list_inner_product(iv, iv) as double)) as norm from e
+),
+buckets as (
+  {tables}
+),
+cand as (
+  select distinct x.vec_id as doc_a, y.vec_id as doc_b
+  from buckets x join buckets y
+    on x.tbl = y.tbl and x.bucket = y.bucket and x.vec_id < y.vec_id
 )
-select a.vec_id as doc_a, b.vec_id as doc_b,
+select doc_a, doc_b,
        round(cast(list_inner_product(a.iv, b.iv) as double)
              / (a.norm * b.norm), 6) as cosine
-from n a join n b on a.bucket = b.bucket and a.vec_id < b.vec_id
+from cand
+join n a on a.vec_id = doc_a
+join n b on b.vec_id = doc_b
 where round(cast(list_inner_product(a.iv, b.iv) as double)
             / (a.norm * b.norm), 6) >= {_NEARDUP_TAU}
 """
+
+
+ORACLE_EMBED_NEARDUP = _embed_neardup_oracle()
 
 
 def q_ann_ivf_topk(spark, sf_dir):

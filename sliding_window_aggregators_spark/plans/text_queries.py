@@ -37,7 +37,18 @@ _JACCARD_TAU = 0.2
 _DUCK_H = "(('0x' || substr(md5(g), 1, 8))::BIGINT % {p})".format(p=_P)
 _SPARK_H = f"(cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint) % {_P})"
 
-_DUCK_SHINGLES = """
+# hot-shingle skew guard: a stopword 3-gram ("of the and") can appear in
+# nearly every document; at 100 TB its shingle-join fan-out is O(df²) on a
+# single reducer key. Shingles with document frequency > _MAX_SHINGLE_DF
+# are dropped from the shingle set (sizes AND intersections — i.e. treated
+# as stopwords). Recall impact: only pairs whose similarity rests on
+# near-ubiquitous shingles lose evidence, and those shingles carry no
+# dedup signal (they match everything). Applied identically in the SQL
+# oracles. At production scale this would be a fraction of the corpus
+# (e.g. df > 0.1·N); pinned absolute here for cross-engine determinism.
+_MAX_SHINGLE_DF = 100
+
+_DUCK_SHINGLES = f"""
 with toks as (
   select doc_id, string_split(text, ' ') as t from documents
 ),
@@ -45,7 +56,9 @@ tri as (
   select doc_id, array_to_string(t[i:i+2], ' ') as g
   from toks, lateral (select unnest(range(1, greatest(len(t) - 1, 1))) as i)
 ),
-sh as (select distinct doc_id, g from tri)
+sh_all as (select distinct doc_id, g from tri),
+ok as (select g from sh_all group by g having count(*) <= {_MAX_SHINGLE_DF}),
+sh as (select sh_all.* from sh_all join ok using (g))
 """
 
 _SPARK_TRI_EXPR = (
@@ -61,14 +74,24 @@ def _docs(spark, sf_dir):
 
 
 def _shingles(spark, sf_dir):
-    """Distinct word-3-gram shingles per doc (the MinHash/Jaccard base)."""
-    return (
+    """Distinct word-3-gram shingles per doc (the MinHash/Jaccard base),
+    with the hot-shingle guard applied: shingles appearing in more than
+    ``_MAX_SHINGLE_DF`` documents are dropped via a broadcast anti-join
+    (the hot set is tiny by construction — only near-ubiquitous shingles)."""
+    sh = (
         _docs(spark, sf_dir)
         .withColumn("t", F.split("text", " "))
         .withColumn("g", F.explode(F.expr(_SPARK_TRI_EXPR)))
         .select("doc_id", "g")
         .distinct()
     )
+    hot = (
+        sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > _MAX_SHINGLE_DF)
+        .select("g")
+    )
+    return sh.join(F.broadcast(hot), "g", "left_anti")
 
 
 # ---------------------------------------------------------------------------
@@ -412,18 +435,54 @@ def q_doc_fingerprint(spark, sf_dir):
     return df.select("doc_id", "text").mapInPandas(gen, "doc_id long, fingerprint long")
 
 
+_SIM_HAM_T = 6
+# pigeonhole banding: splitting 32 bits into T+1 = 7 bands guarantees any
+# pair with hamming ≤ T shares at least one band unchanged — so an
+# equi-join on (band, value) finds EVERY qualifying pair (no recall loss),
+# and the hamming verify on candidates removes the false positives. The
+# all-pairs nested-loop join this replaces was O(n²) at scale.
+_SIM_N_BANDS = _SIM_HAM_T + 1
+_SIM_BOUNDS = [round(i * _SIM_BITS / _SIM_N_BANDS) for i in range(_SIM_N_BANDS + 1)]
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup candidate pairs: hamming distance ≤ 6 on the 32-bit
-    fingerprints (xor + bit_count — identical builtins in Spark and
-    DuckDB). Quadratic in docs; at scale the LSH/banded variants above are
-    the candidate generators and this is the verifier."""
+    """SimHash near-dup pairs: hamming ≤ 6 on the 32-bit fingerprints,
+    found via 7-band pigeonhole LSH — candidates are an equi-join on
+    (band, band-bits), exact hamming (xor + bit_count) verifies. Output is
+    identical to the all-pairs definition (the SQL oracle IS all-pairs),
+    but the Spark plan is shuffle-sized: no cross join anywhere
+    (asserted by tests/test_text_queries.py plan check)."""
     fp = q_simhash(spark, sf_dir)
-    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash32").alias("fa"))
-    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash32").alias("fb"))
+    bands = None
+    for i in range(_SIM_N_BANDS):
+        lo, hi = _SIM_BOUNDS[i], _SIM_BOUNDS[i + 1]
+        band = fp.select(
+            "doc_id",
+            "simhash32",
+            F.lit(i).alias("band"),
+            F.expr(f"(simhash32 >> {lo}) % {1 << (hi - lo)}").alias("bv"),
+        )
+        bands = band if bands is None else bands.unionAll(band)
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("x.simhash32").alias("fa"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("y.simhash32").alias("fb"),
+        )
+        .distinct()
+    )
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", F.expr("bit_count(fa ^ fb)"))
-        .where(F.col("hamming") <= 6)
+        cand.withColumn("hamming", F.expr("bit_count(fa ^ fb)"))
+        .where(F.col("hamming") <= _SIM_HAM_T)
         .select("doc_a", "doc_b", "hamming")
     )
 

@@ -96,7 +96,15 @@ def sliding_agg_stream(
                 continue
             st.bulk_insert(ts, monoid.lift(vals))
             # per-turn query: fold over state rows in [t−dur, t] for each
-            # arriving turn — vectorized interval fold over the full state
+            # arriving turn — vectorized interval fold over the full state.
+            # Tie semantics (documented divergence): the whole micro-batch is
+            # inserted BEFORE the per-row queries, so rows sharing one
+            # timestamp within a batch see each other's values (hi uses
+            # side='right' over post-insert state). The reference's per-row
+            # insert-then-query loop would exclude a later-arriving tie; the
+            # fixpoint here is batch-boundary-independent for same-ts rows
+            # (all ties always included) which is the stabler contract for
+            # replayed/reordered micro-batches.
             lo = np.searchsorted(st.ts, ts - dur_us, side="left")
             hi = np.searchsorted(st.ts, ts, side="right")
             from ..operators.kernels import interval_fold
@@ -159,7 +167,12 @@ def sliding_count_stream(
         from ..operators.kernels import SlidingCountWindow
 
         if state.exists:
-            kernel = pickle.loads(bytes(state.get[0]))
+            # versioned dict-of-arrays state (not a pickled kernel object):
+            # refactors of the kernel classes can't corrupt checkpoint
+            # restores — from_state_dict rebuilds fresh kernels
+            kernel = SlidingCountWindow.from_state_dict(
+                pickle.loads(bytes(state.get[0])), monoid
+            )
         else:
             kernel = SlidingCountWindow(monoid, w)
         chunks = list(pdfs)  # gather: chunk order within a batch is arbitrary
@@ -177,7 +190,9 @@ def sliding_count_stream(
                     out_col: res,
                 }
             )
-        state.update((bytearray(pickle.dumps(kernel, protocol=pickle.HIGHEST_PROTOCOL)),))
+        state.update(
+            (bytearray(pickle.dumps(kernel.state_dict(), protocol=pickle.HIGHEST_PROTOCOL)),)
+        )
 
     prepared = df.withColumn("__v", F.expr(value_expr)).withWatermark(ts_col, watermark)
     return prepared.groupBy(key).applyInPandasWithState(

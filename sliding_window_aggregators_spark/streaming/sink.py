@@ -43,7 +43,11 @@ class ExactlyOnceParquetSink:
         )
         path = os.path.join(self.out_dir, f"batch_id={batch_id}")
         stamped.write.mode("overwrite").parquet(path)
-        n = stamped.count()
+        # row count from the written files' parquet footers — zero extra
+        # Spark jobs (a .count() here would re-execute the whole micro-batch
+        # plan a second time, and for a nondeterministic upstream could even
+        # disagree with what was written)
+        n = _footer_row_count(path)
         with open(
             os.path.join(self.metrics_dir, f"batch_{batch_id}.json"), "w"
         ) as fh:
@@ -65,6 +69,17 @@ class ExactlyOnceParquetSink:
         ids = self.committed_batches()
         paths = [os.path.join(self.out_dir, f"batch_id={b}") for b in ids]
         return spark.read.parquet(*paths) if paths else None
+
+
+def _footer_row_count(path: str) -> int:
+    """Sum of num_rows from the parquet footers under ``path``."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for name in os.listdir(path):
+        if name.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
+    return total
 
 
 def write_stream_exactly_once(

@@ -145,3 +145,62 @@ def test_serde_roundtrip():
     st2 = OrderedAggState.loads(st.dumps(), m)
     assert st2.query() == st.query()
     assert st2.range_query(10, 20) == st.range_query(10, 20)
+
+
+class _CountingSum:
+    """Sum wrapper that counts ELEMENTS flowing through combine — the cost
+    model for tree maintenance (each combined element = one ⊕)."""
+
+    def __init__(self):
+        self._inner = get_monoid("sum", np.int64)
+        self.combined = 0
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def combine(self, a, b):
+        self.combined += len(next(iter(a.values())))
+        return self._inner.combine(a, b)
+
+
+def test_incremental_repair_cost_sublinear_in_state_size():
+    """FiBA's algorithmic point (cpp/src/FiBA.hpp:930-992): per-mutation
+    aggregate repair touches O(log n) spine nodes, not the whole tree.
+    Verify the per-batch ⊕-count for a small displaced batch stays flat
+    while the state size grows 16× (a rebuild would grow it 16×), and that
+    outputs equal a from-scratch state's."""
+    rng = np.random.default_rng(7)
+    costs = {}
+    for n in (1 << 12, 1 << 16):
+        m = _CountingSum()
+        st = OrderedAggState(m)
+        st.bulk_insert(np.arange(n, dtype=np.int64) * 10, m.lift(np.ones(n, np.int64)))
+        st.query_partial()
+        m.combined = 0
+        # 8 OOO batches of 16, landing ~64 entries behind the tip
+        for i in range(8):
+            base = (n - 64 + i) * 10 + 1
+            ts = base + np.arange(16, dtype=np.int64) * 3
+            st.bulk_insert(ts, m.lift(np.full(16, 2, np.int64)))
+        costs[n] = m.combined
+        # equal outputs: compare against a fresh state built in one shot
+        fresh = OrderedAggState(get_monoid("sum", np.int64))
+        fresh.bulk_insert(np.array(st.ts), {"v": np.array(st.partials["v"])})
+        assert st.query() == fresh.query()
+        lo, hi = int(st.ts[5]), int(st.ts[-3])
+        assert st.range_query(lo, hi) == fresh.range_query(lo, hi)
+    # 16× the state, ~flat repair cost (allow 3× slack for the extra
+    # log-levels); an O(n) rebuild would scale the cost ~16×
+    assert costs[1 << 16] < 3 * costs[1 << 12], costs
+
+
+def test_bulk_evict_is_offset_only_zero_combines():
+    m = _CountingSum()
+    st = OrderedAggState(m)
+    n = 1 << 14
+    st.bulk_insert(np.arange(n, dtype=np.int64), m.lift(np.ones(n, np.int64)))
+    m.combined = 0
+    st.bulk_evict(n // 2)
+    assert m.combined == 0
+    assert st.size() == n - n // 2 - 1
+    assert st.query() == st.size()

@@ -1,0 +1,44 @@
+"""Physical-plan shape assertions — the 100 TB-safety gates.
+
+A query can be value-correct at test scale yet carry a plan that dies at
+1000× (nested-loop cross joins, per-group Arrow bridges). These tests pin
+the plan shapes the scale analysis relies on:
+
+- the SimHash pair join and the embedding near-dup LSH are EQUI joins
+  (pigeonhole banding / multi-table sign-LSH), never
+  BroadcastNestedLoopJoin / CartesianProduct;
+- the kernel_* driver queries run mapInPandas over partition-sorted data
+  (SegmentedSlidingKernel), not one-Arrow-batch-per-group
+  FlatMapGroupsInPandas.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SWAG_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", ["dedup_simhash_pairs", "embed_neardup_lsh"])
+def test_no_nested_loop_join(spark, name):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()[name](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+@pytest.mark.parametrize("name", ["kernel_sum_w100", "kernel_bloom_w100"])
+def test_kernel_queries_use_partitioned_scan_path(spark, name):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()[name](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert "MapInPandas" in plan, plan
