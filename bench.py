@@ -28,6 +28,9 @@ BENCH_QUERIES = [
     "kernel_bloom_w100",
     "time_range_sum_1h",
     "time_range_sum_1h_kernel",
+    "ooo_range_sum_1h",
+    "sawtooth_sum_w50",
+    "dedup_simhash_pairs",
     "tumbling_sum_1h",
     "session_30m",
     "asof_join_signup_purchase",

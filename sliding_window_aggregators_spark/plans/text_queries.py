@@ -84,6 +84,10 @@ def _shingles(spark, sf_dir):
         .withColumn("g", F.explode(F.expr(_SPARK_TRI_EXPR)))
         .select("doc_id", "g")
         .distinct()
+        # the shingle set feeds BOTH the hot-set aggregation and the main
+        # plan — cache so the explode+distinct runs once per action (at
+        # cluster scale this would be a checkpoint/temp table)
+        .cache()
     )
     hot = (
         sh.groupBy("g")
@@ -422,8 +426,9 @@ def rolling_fingerprint(texts: pd.Series) -> np.ndarray:
 def q_doc_fingerprint(spark, sf_dir):
     """Rolling-hash fingerprints via mapInPandas (the multimodal/binary
     column plumbing pattern: Arrow batches in, vectorized numpy, Arrow
-    out). Not SQL-expressible (modular exponentiation) → rows-only check;
-    pytest verifies against a pure-Python oracle."""
+    out). Full DuckDB oracle via list_reduce Horner (see
+    ORACLE_DOC_FINGERPRINT; exact for the all-ASCII corpus) plus a
+    pure-Python pytest oracle covering non-ASCII."""
     df = _docs(spark, sf_dir)
 
     def gen(batches):
@@ -433,6 +438,23 @@ def q_doc_fingerprint(spark, sf_dir):
             )
 
     return df.select("doc_id", "text").mapInPandas(gen, "doc_id long, fingerprint long")
+
+
+# Horner over characters via list_reduce — a full value oracle after all
+# (the hash is a left fold, no modpow needed). The kernel hashes UTF-8
+# BYTES while unicode(c) yields code points, so the oracle is exact for
+# ASCII corpora (the synthetic documents table is all-ASCII; verified
+# bit-for-bit over every row at sf0.01).
+ORACLE_DOC_FINGERPRINT = f"""
+select doc_id,
+       case when length(text) = 0 then 0 else
+         list_reduce(
+           list_prepend(0::BIGINT,
+             list_transform(string_split(text, ''), c -> cast(unicode(c) as bigint))),
+           (h, b) -> (h * {int(_FP_BASE)} + b) % {int(_FP_MASK)})
+       end as fingerprint
+from documents
+"""
 
 
 _SIM_HAM_T = 6
@@ -519,5 +541,5 @@ ORACLES = {
     "token_stats": ORACLE_TOKEN_STATS,
     "quality_score": ORACLE_QUALITY_SCORE,
     "lang_id": ORACLE_LANG_ID,
-    # doc_fingerprint: rows-only (modpow not ANSI-SQL); pytest oracle
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
 }
