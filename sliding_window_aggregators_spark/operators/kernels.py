@@ -421,6 +421,17 @@ class SlidingCountWindow:
 
 
 def _prefix_diff_fold(m: Monoid, p: Partial, starts, ends) -> Partial:
+    """Prefix-sum difference for invertible commutative monoids.
+
+    Exactness bound: the scan dtype follows the partial dtype. Integer
+    partials (cents-style lifts — sum/count/stddev with an int dtype) are
+    EXACT until the cumulative prefix overflows int64 (~3.8e9 rows/key at
+    cents² ≈ 2.4e9/row). Float64 partials lose low bits once a key's
+    cumulative prefix exceeds 2^53 (~1e8 rows/key at ~1e8/row): correct to
+    double rounding, but not bit-identical to an arbitrary-precision
+    oracle. Hot keys beyond that at target scale should lift integers
+    (int_values=True) or be chunk-split (chunked-halo) so each fold's
+    prefix stays short."""
     acc = m.accumulate(p, axis=0)
     nonempty = ends > starts
     hi = p_take(acc, np.maximum(ends - 1, 0))

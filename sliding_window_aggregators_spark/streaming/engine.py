@@ -200,6 +200,94 @@ def sliding_count_stream(
     )
 
 
+def sliding_count_stream_tws(
+    df: DataFrame,
+    *,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    order_col: str = "turn_idx",
+    value_expr: str = "length(text)",
+    monoid_name: str = "sum",
+    w: int = 100,
+    watermark: str = "1 minute",
+    out_col: str = "wagg",
+) -> DataFrame:
+    """``sliding_count_stream`` on Spark 4's ``transformWithStateInPandas``
+    — the modern arbitrary-state API (RocksDB-backed state store, typed
+    state variables, timers). Same semantics and the same versioned
+    dict-of-arrays checkpoint format as the applyInPandasWithState path;
+    kept as a parallel implementation because TWS is where Structured
+    Streaming's stateful roadmap lives (state TTL, initial state,
+    state-reader introspection) while applyInPandasWithState remains the
+    HDFS-backed fallback.
+
+    Requires ``spark.sql.streaming.stateStore.providerClass =
+    ...RocksDBStateStoreProvider`` (rocksdbjni ships with pyspark) AND the
+    ``protobuf`` Python package (TWS's Python↔state-server protocol); this
+    sandbox ships neither pip nor protobuf, so the pytest for this path is
+    skipif-gated on protobuf availability — the applyInPandasWithState
+    twin (:func:`sliding_count_stream`) carries the tested semantics."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    monoid = get_monoid(monoid_name)
+    out_type = {"sum": "double", "count": "bigint", "max": "double",
+                "min": "double", "mean": "double", "geomean": "double",
+                "mincount": "bigint", "relvar": "double", "bloom": "bigint",
+                "stddev": "double"}[monoid_name]
+    out_schema = (
+        f"{key} string, {ts_col} timestamp, {order_col} int, {out_col} {out_type}"
+    )
+
+    class SlidingCountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("kernel", "blob binary")
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            from ..operators.kernels import SlidingCountWindow
+
+            blob = self._state.get() if self._state.exists() else None
+            if blob is not None:
+                kernel = SlidingCountWindow.from_state_dict(
+                    pickle.loads(bytes(blob[0])), monoid
+                )
+            else:
+                kernel = SlidingCountWindow(monoid, w)
+            chunks = list(rows)  # gather: chunk order within a batch is arbitrary
+            outs = []
+            if chunks:
+                pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+                pdf = pdf.sort_values([ts_col, order_col], kind="mergesort")
+                res = kernel.process(pdf["__v"].to_numpy())
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            key: key_tuple[0],
+                            ts_col: pdf[ts_col].to_numpy(),
+                            order_col: pdf[order_col].to_numpy(),
+                            out_col: res,
+                        }
+                    )
+                )
+            self._state.update(
+                (bytearray(pickle.dumps(kernel.state_dict(), protocol=pickle.HIGHEST_PROTOCOL)),)
+            )
+            return iter(outs)
+
+        def close(self) -> None:
+            pass
+
+    prepared = df.withColumn("__v", F.expr(value_expr)).withWatermark(ts_col, watermark)
+    return prepared.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=SlidingCountProcessor(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
 def salted_repartition(df: DataFrame, key: str = "conv_id", buckets: int = 8,
                        salt_col: str = "bucket") -> DataFrame:
     """Deterministic hot-key salting (north_rule): split each key's stream

@@ -3,6 +3,7 @@ applyInPandasWithState, stream-stream join, exactly-once sink with
 checkpoint resume — each checked against a batch recompute."""
 
 import glob
+import importlib.util
 import os
 
 import numpy as np
@@ -287,3 +288,66 @@ def test_tumbling_and_session_streams_run(spark, stream_dirs):
     assert spark.sql("select * from sess").columns == [
         "conv_id", "session_start", "session_end", "n_turns"
     ]
+
+
+@pytest.mark.skipif(
+    importlib.util.find_spec("google") is None
+    or importlib.util.find_spec("google.protobuf") is None,
+    reason="transformWithState's Python state-server protocol needs "
+    "protobuf, which this container does not ship (no pip installs); "
+    "the operator is gated accordingly",
+)
+def test_sliding_count_stream_tws_matches_batch(spark, stream_dirs):
+    """The transformWithStateInPandas (Spark 4 arbitrary-state API,
+    RocksDB-backed) variant must produce exactly what the
+    applyInPandasWithState path and the batch recompute produce, including
+    kernel-state carry across the micro-batch boundary."""
+    from sliding_window_aggregators_spark.streaming.engine import (
+        sliding_count_stream_tws,
+    )
+
+    src, out, ckpt = stream_dirs
+    W = 10
+    pdf = transcripts_pandas(400, 12)
+    _write_chunk(spark, src, pdf.iloc[:200], "c0")
+    _write_chunk(spark, src, pdf.iloc[200:], "c1")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = sliding_count_stream_tws(
+            _read_stream(spark, src), monoid_name="sum",
+            value_expr="length(text)", w=W, out_col="wsum",
+        )
+        q, sink = write_stream_exactly_once(stream, out, ckpt)
+        q.awaitTermination(180)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    got = (
+        sink.read_committed(spark)
+        .select("conv_id", "turn_idx", "wsum")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp_rows = []
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values(["ts", "turn_idx"])
+        lens = g["text"].str.len().to_numpy()
+        for i in range(len(g)):
+            exp_rows.append(
+                (conv, g["turn_idx"].iloc[i], float(lens[max(0, i - W + 1): i + 1].sum()))
+            )
+    exp = (
+        pd.DataFrame(exp_rows, columns=["conv_id", "turn_idx", "wsum"])
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert got["wsum"].tolist() == exp["wsum"].tolist()
