@@ -78,24 +78,29 @@ def _shingles(spark, sf_dir):
     with the hot-shingle guard applied: shingles appearing in more than
     ``_MAX_SHINGLE_DF`` documents are dropped via a broadcast anti-join
     (the hot set is tiny by construction — only near-ubiquitous shingles)."""
+    from pyspark.sql.window import Window
+
     sh = (
         _docs(spark, sf_dir)
         .withColumn("t", F.split("text", " "))
         .withColumn("g", F.explode(F.expr(_SPARK_TRI_EXPR)))
         .select("doc_id", "g")
         .distinct()
-        # the shingle set feeds BOTH the hot-set aggregation and the main
-        # plan — cache so the explode+distinct runs once per action (at
-        # cluster scale this would be a checkpoint/temp table)
-        .cache()
     )
-    hot = (
-        sh.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > _MAX_SHINGLE_DF)
-        .select("g")
+    # document frequency via a count window over g: ONE shuffle on g (the
+    # distinct's partial aggregation already ran map-side), no second scan
+    # of the corpus and no broadcast — and downstream shingle self-joins
+    # reuse the same hash partitioning on g. The straggler the cap kills
+    # lives in Jaccard's self-join (df² pairs on one reducer key); MinHash
+    # shares the guard so both operators see one consistent shingle set
+    # (its own shuffles key on (doc_id,g) and doc_id, which hot shingles
+    # cannot skew). Steady-state cost ≈ one extra exchange of the shingle
+    # table.
+    return (
+        sh.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .where(F.col("_df") <= _MAX_SHINGLE_DF)
+        .drop("_df")
     )
-    return sh.join(F.broadcast(hot), "g", "left_anti")
 
 
 # ---------------------------------------------------------------------------
