@@ -308,6 +308,62 @@ def sliding_time_kernel(
     return df.groupBy(key).applyInPandas(kernel, schema)
 
 
+def sliding_time_kernel_partitioned(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value: str,
+    monoid_name: str,
+    durations: dict[str, int],
+    id_cols: Sequence[str] = (),
+    tiebreak: Sequence[str] = (),
+    int_values: bool = False,
+    partitions: int | None = None,
+    out_cast: str | None = None,
+) -> DataFrame:
+    """Scale-path event-time sliding aggregate: ``repartition(key) →
+    sortWithinPartitions(key, ts) → mapInPandas`` with
+    :class:`TimeSegmentedKernel` — several durations answered from ONE
+    pass (window sharing), one Arrow stream per partition instead of one
+    pandas frame per group, cross-batch carry bounded by max(duration).
+
+    ``durations`` maps output column → window length in µs; every output
+    column is the fold over the key's rows with ts ∈ [ts_i − D, ts_i]."""
+    id_cols = list(id_cols) or [key, ts_col]
+    dtype = np.int64 if int_values else np.float64
+    needed = list(dict.fromkeys([key, ts_col, value, *id_cols, *tiebreak]))
+    df = df.select(*needed)
+    out_type = out_cast or _OUT_SPARK_TYPE[monoid_name]
+    schema = ", ".join(
+        [f"`{c}` {t}" for c, t in zip(id_cols, _spark_types(df, id_cols))]
+        + [f"`{col}` {out_type}" for col in durations]
+    )
+    nparts = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    sorted_df = df.repartition(int(nparts), key).sortWithinPartitions(
+        key, ts_col, *tiebreak
+    )
+
+    def gen(batches):
+        from .kernels import TimeSegmentedKernel
+
+        m = get_monoid(monoid_name, dtype)
+        kernel = TimeSegmentedKernel(m, durations)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ts = pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+            vals = pdf[value].to_numpy()
+            if dtype == np.int64:
+                vals = vals.astype(np.int64)
+            folds = kernel.process(pdf[key].to_numpy(), ts, m.lift(vals))
+            cols = {c: pdf[c].to_numpy() for c in id_cols}
+            for col, part in folds.items():
+                cols[col] = m.lower(part)
+            yield pd.DataFrame(cols)
+
+    return sorted_df.mapInPandas(gen, schema)
+
+
 def _spark_types(df: DataFrame, cols: Sequence[str]) -> list[str]:
     m = dict(df.dtypes)
     return [m[c] for c in cols]

@@ -646,6 +646,106 @@ class SegmentedSlidingKernel:
         return p_concat(*outs) if len(outs) > 1 else outs[0]
 
 
+class TimeSegmentedKernel:
+    """Multi-key EVENT-TIME sliding aggregation over concatenated
+    segments — the time-window analogue of :class:`SegmentedSlidingKernel`
+    (one vectorized pass per Arrow batch, no per-key Python loop, no
+    per-group Arrow frame).
+
+    Input batches are key-sorted with rows time-ordered within each key;
+    for every row i and every duration D in ``durations``,
+    out_i[D] = fold over rows of i's segment with ts ∈ [ts_i − D, ts_i]
+    (inclusive both ends — the reference's admit rule,
+    cpp/src/benchmark_core.h:584-590). Several durations share ONE state
+    and one prefix structure — the window-sharing mode
+    (FiBA rangeQuery / twin benches, cpp/src/benchmark_core.h:472-562).
+
+    Vectorization: per-segment ``searchsorted`` collapses to ONE global
+    searchsorted by re-basing each segment's timestamps onto disjoint
+    int64 islands (ts − seg_min + seg_idx·K with K > span + max(D)); when
+    that offset would overflow int64 (astronomically long spans × many
+    segments per batch) it falls back to a per-segment loop.
+
+    Cross-batch carry: only the LAST segment can continue into the next
+    batch; its rows within max(D) of its tail are retained (their windows
+    can still be reached by future rows of the same key — anything older
+    is unreachable because timestamps within a key are non-decreasing).
+    """
+
+    def __init__(self, monoid: Monoid, durations: dict[str, int]):
+        self.m = monoid
+        self.durations = dict(durations)
+        self.max_dur = max(self.durations.values())
+        self.carry_key = None
+        self.carry_ts: np.ndarray | None = None
+        self.carry_p: Partial | None = None
+
+    def process(self, seg_keys, ts: np.ndarray, p: Partial) -> dict[str, Partial]:
+        m = self.m
+        n, change, first_key, last_key = SegmentedSlidingKernel._norm_keys(seg_keys)
+        if n == 0:
+            return {col: m.identity(0) for col in self.durations}
+        ts = np.asarray(ts, dtype=np.int64)
+        ntail = 0
+        if (
+            self.carry_ts is not None
+            and len(self.carry_ts)
+            and first_key == self.carry_key
+        ):
+            ntail = len(self.carry_ts)
+            ts = np.concatenate([self.carry_ts, ts])
+            p = p_concat(self.carry_p, p)
+        total = ntail + n
+        # per-row segment-start index in concatenated coordinates
+        seg_start = np.where(change, np.arange(n) + ntail, 0)
+        if ntail:
+            seg_start[0] = 0
+        first = np.maximum.accumulate(seg_start)
+        if ntail:
+            first = np.concatenate([np.zeros(ntail, dtype=np.int64), first])
+        # island re-basing for one global searchsorted
+        seg_min = ts[first]
+        rel = ts - seg_min
+        span = int(rel.max()) if total else 0
+        seg_idx = np.cumsum(np.concatenate([[0], first[1:] != first[:-1]]))
+        K = span + self.max_dur + 1
+        ends = np.arange(1, total + 1)
+        out: dict[str, Partial] = {}
+        if K > 0 and int(seg_idx[-1]) < (2**62) // K:
+            key_ts = rel + seg_idx * K
+            for col, dur in self.durations.items():
+                starts = np.searchsorted(key_ts, key_ts - dur, side="left")
+                out[col] = p_slice(
+                    interval_fold(m, p, np.maximum(starts, first), ends), ntail, None
+                )
+        else:  # pragma: no cover — would need ~millennia-long spans
+            starts_by_col = {
+                col: np.empty(total, dtype=np.int64) for col in self.durations
+            }
+            bounds = np.flatnonzero(np.concatenate([[True], first[1:] != first[:-1]]))
+            bounds = np.append(bounds, total)
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                seg_ts = ts[s:e]
+                for col, dur in self.durations.items():
+                    starts_by_col[col][s:e] = s + np.searchsorted(
+                        seg_ts, seg_ts - dur, side="left"
+                    )
+            for col in self.durations:
+                out[col] = p_slice(
+                    interval_fold(m, p, starts_by_col[col], ends), ntail, None
+                )
+        # retain the open segment's reachable tail
+        last_start = int(first[-1])
+        keep_from = last_start + int(
+            np.searchsorted(ts[last_start:], ts[-1] - self.max_dur, side="left")
+        )
+        self.carry_ts = np.ascontiguousarray(ts[keep_from:])
+        # copy (not view) so the carry doesn't pin the whole batch's arrays
+        self.carry_p = {k: np.ascontiguousarray(v[keep_from:]) for k, v in p.items()}
+        self.carry_key = last_key
+        return out
+
+
 def sliding_time_window(
     m: Monoid,
     ts: np.ndarray,

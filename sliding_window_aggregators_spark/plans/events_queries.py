@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 
 from ..operators.batch import (
     sliding_rows_kernel_partitioned,
-    sliding_time_kernel,
+    sliding_time_kernel_partitioned,
     with_cents,
 )
 
@@ -333,13 +333,15 @@ def q_time_range_sum(spark, sf_dir):
 def q_time_range_sum_kernel(spark, sf_dir):
     """The same event-time window through the kernel's interval fold
     (≡ timestamped FIFO wrappers, cpp/src/TimestampedTwoStacksLite.hpp:27-94,
-    with the admit/evict loop of cpp/src/benchmark_core.h:577-591)."""
+    with the admit/evict loop of cpp/src/benchmark_core.h:577-591),
+    on the SCALE route: partition-sorted mapInPandas with the
+    TimeSegmentedKernel (bounded time-carry across Arrow batches), not
+    one pandas frame per group."""
     df = _events(spark, sf_dir)
-    out = sliding_time_kernel(
-        df, "user_id", "ts", "cents", "sum", HOUR_US,
-        out="hsum_cents", id_cols=["user_id", "event_id"],
+    return sliding_time_kernel_partitioned(
+        df, "user_id", "ts", "cents", "sum", {"hsum_cents": HOUR_US},
+        id_cols=["user_id", "event_id"], int_values=True, out_cast="bigint",
     )
-    return out.withColumn("hsum_cents", F.col("hsum_cents").cast("long"))
 
 
 ORACLE_TIME_RANGE_SUM = f"""
@@ -450,38 +452,17 @@ group by 1, 2
 
 def q_shared_windows(spark, sf_dir):
     """Window sharing: sums over THREE durations (10m/1h/6h) answered from
-    ONE per-key ordered state via range queries — the reference's
-    rangeQuery/twin shared-window mode (FiBA.hpp:1953-1961;
-    cpp/src/benchmark_core.h:472-562). The SQL oracle needs three separate
-    RANGE frames; the kernel pays one sort + one prefix structure."""
-    import numpy as np
-    import pandas as pd
-
-    from ..operators.kernels import interval_fold
-    from ..functions.monoids import get_monoid
-
-    df = _events(spark, sf_dir).select("user_id", "event_id", "ts", "cents")
-    durations = {"sum_10m": 600_000_000, "sum_1h": 3_600_000_000,
-                 "sum_6h": 21_600_000_000}
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        idx = np.lexsort((pdf["event_id"].to_numpy(), pdf["ts"].to_numpy()))
-        ts = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)[idx]
-        m = get_monoid("sum", np.int64)
-        p = m.lift(pdf["cents"].to_numpy()[idx])
-        out = {
-            "user_id": pdf["user_id"].to_numpy()[idx],
-            "event_id": pdf["event_id"].to_numpy()[idx],
-        }
-        ends = np.arange(1, len(ts) + 1)
-        for col, dur in durations.items():
-            starts = np.searchsorted(ts, ts - dur, side="left")
-            out[col] = m.lower(interval_fold(m, p, starts, ends))
-        return pd.DataFrame(out)
-
-    return df.groupBy("user_id").applyInPandas(
-        kernel,
-        "user_id long, event_id long, sum_10m long, sum_1h long, sum_6h long",
+    ONE per-key state — the reference's rangeQuery/twin shared-window mode
+    (FiBA.hpp:1953-1961; cpp/src/benchmark_core.h:472-562). The SQL oracle
+    needs three separate RANGE frames; the kernel pays one sort + one
+    prefix structure, on the scale route (partition-sorted mapInPandas,
+    TimeSegmentedKernel with one shared carry for all durations)."""
+    df = _events(spark, sf_dir)
+    return sliding_time_kernel_partitioned(
+        df, "user_id", "ts", "cents", "sum",
+        {"sum_10m": 600_000_000, "sum_1h": HOUR_US, "sum_6h": 6 * HOUR_US},
+        id_cols=["user_id", "event_id"], tiebreak=["event_id"],
+        int_values=True, out_cast="bigint",
     )
 
 

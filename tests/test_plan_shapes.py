@@ -35,7 +35,15 @@ def test_no_nested_loop_join(spark, name):
     assert "CartesianProduct" not in plan, plan
 
 
-@pytest.mark.parametrize("name", ["kernel_sum_w100", "kernel_bloom_w100"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "kernel_sum_w100",
+        "kernel_bloom_w100",
+        "time_range_sum_1h_kernel",
+        "shared_windows_3x",
+    ],
+)
 def test_kernel_queries_use_partitioned_scan_path(spark, name):
     import __spark_entry__ as entry
 

@@ -68,3 +68,75 @@ def test_segmented_empty_batch():
     from sliding_window_aggregators_spark.functions import p_len
 
     assert p_len(k.process(np.array([], dtype=np.int64), m.lift(np.array([])))) == 0
+
+
+@pytest.mark.parametrize("name", ["sum", "max", "mincount"])
+@pytest.mark.parametrize("ndur", [1, 3])
+def test_time_segmented_vs_per_key_reference(name, ndur):
+    """TimeSegmentedKernel over concatenated key segments, split into
+    arbitrary Arrow-batch-like chunks, must equal the per-key
+    sliding_time_window reference for every duration (window sharing),
+    including across chunk boundaries (bounded time-carry)."""
+    from sliding_window_aggregators_spark.operators.kernels import (
+        TimeSegmentedKernel,
+        sliding_time_window,
+    )
+
+    rng = np.random.default_rng(42)
+    m = get_monoid(name, np.int64)
+    durations = {"d_small": 7, "d_mid": 40, "d_big": 200}
+    durations = dict(list(durations.items())[:ndur])
+    # 6 keys, contiguous, time-sorted within key, duplicate-free ts
+    keys, ts, vals = [], [], []
+    for k in range(6):
+        n = int(rng.integers(1, 120))
+        t = np.cumsum(rng.integers(1, 9, size=n))
+        keys.append(np.full(n, f"k{k}", dtype=object))
+        ts.append(t.astype(np.int64))
+        vals.append(rng.integers(1, 50, size=n).astype(np.int64))
+    key_arr = np.concatenate(keys)
+    ts_arr = np.concatenate(ts)
+    val_arr = np.concatenate(vals)
+
+    kernel = TimeSegmentedKernel(m, durations)
+    cuts = sorted(rng.choice(np.arange(1, len(key_arr)), size=5, replace=False))
+    got = {c: [] for c in durations}
+    for lo, hi in zip([0] + list(cuts), list(cuts) + [len(key_arr)]):
+        out = kernel.process(
+            key_arr[lo:hi], ts_arr[lo:hi], m.lift(val_arr[lo:hi])
+        )
+        for c in durations:
+            got[c].append(m.lower(out[c]))
+    got = {c: np.concatenate(v) for c, v in got.items()}
+
+    for c, dur in durations.items():
+        exp_parts = []
+        for k, t, v in zip(keys, ts, vals):
+            exp_parts.append(m.lower(sliding_time_window(m, t, m.lift(v), dur)))
+        exp = np.concatenate(exp_parts)
+        assert np.array_equal(got[c], exp), (name, c)
+
+
+def test_time_segmented_overflow_fallback_path():
+    """Force the per-segment fallback (island offset would overflow) and
+    check it agrees with the vectorized path's semantics."""
+    from sliding_window_aggregators_spark.operators.kernels import (
+        TimeSegmentedKernel,
+        sliding_time_window,
+    )
+
+    m = get_monoid("sum", np.int64)
+    # gigantic per-segment span × several segments so seg_idx·K overflows
+    # the int64 guard → the per-segment loop must run
+    keys = np.array(["a", "a", "b", "b", "c", "c"], dtype=object)
+    ts = np.array([0, 2**61, 7, 2**61 + 5, 3, 2**61 + 9], dtype=np.int64)
+    vals = np.array([1, 2, 3, 4, 5, 6], dtype=np.int64)
+    k2 = TimeSegmentedKernel(m, {"d": 10})
+    got = m.lower(k2.process(keys, ts, m.lift(vals))["d"])
+    exp = np.concatenate(
+        [
+            m.lower(sliding_time_window(m, ts[i : i + 2], m.lift(vals[i : i + 2]), 10))
+            for i in (0, 2, 4)
+        ]
+    )
+    assert np.array_equal(got, exp)
