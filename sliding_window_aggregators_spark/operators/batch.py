@@ -308,6 +308,56 @@ def sliding_time_kernel(
     return df.groupBy(key).applyInPandas(kernel, schema)
 
 
+def sliding_positional_kernel_partitioned(
+    df: DataFrame,
+    key: str,
+    order: Sequence[str],
+    value: str,
+    monoid_name: str,
+    start_fn,
+    max_back: int,
+    out: str,
+    id_cols: Sequence[str] = (),
+    int_values: bool = False,
+    partitions: int | None = None,
+    out_cast: str | None = None,
+) -> DataFrame:
+    """Scale-path VARIABLE count-window aggregate (dynamic fill/drain
+    shapes, cpp/src/benchmark_core.h:149-183): like
+    :func:`sliding_rows_kernel_partitioned` but the window of the row at
+    segment position rn is [start_fn(rn), rn] (vectorized ``start_fn``
+    with look-back bounded by ``max_back``)."""
+    id_cols = list(id_cols) or [key] + list(order)
+    dtype = np.int64 if int_values else np.float64
+    needed = list(dict.fromkeys([key, *order, value, *id_cols]))
+    df = df.select(*needed)
+    out_type = out_cast or _OUT_SPARK_TYPE[monoid_name]
+    schema = ", ".join(
+        [f"`{c}` {t}" for c, t in zip(id_cols, _spark_types(df, id_cols))]
+        + [f"`{out}` {out_type}"]
+    )
+    nparts = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    sorted_df = df.repartition(int(nparts), key).sortWithinPartitions(key, *order)
+
+    def gen(batches):
+        from .kernels import PositionalSegmentedKernel
+
+        m = get_monoid(monoid_name, dtype)
+        kernel = PositionalSegmentedKernel(m, start_fn, max_back)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vals = pdf[value].to_numpy()
+            if dtype == np.int64:
+                vals = vals.astype(np.int64)
+            res = m.lower(kernel.process(pdf[key].to_numpy(), m.lift(vals)))
+            cols = {c: pdf[c].to_numpy() for c in id_cols}
+            cols[out] = res
+            yield pd.DataFrame(cols)
+
+    return sorted_df.mapInPandas(gen, schema)
+
+
 def sliding_time_kernel_partitioned(
     df: DataFrame,
     key: str,

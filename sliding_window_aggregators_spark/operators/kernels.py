@@ -646,6 +646,78 @@ class SegmentedSlidingKernel:
         return p_concat(*outs) if len(outs) > 1 else outs[0]
 
 
+class PositionalSegmentedKernel:
+    """Multi-key VARIABLE count-window sliding aggregation over
+    concatenated segments: out_i = fold of rows [start_fn(rn_i), rn_i] of
+    row i's segment, where rn is the row's 0-based position in its
+    segment and ``start_fn`` is a vectorized position→window-start map
+    with bounded look-back (start_fn(rn) ≥ rn − max_back).
+
+    Covers the reference's dynamic fill/drain scenarios
+    (cpp/src/benchmark_core.h:149-183): e.g. the sawtooth window is
+    ``start_fn = rn − rn % period`` with ``max_back = period − 1``.
+    Same execution shape as :class:`SegmentedSlidingKernel` — one
+    vectorized pass per Arrow batch, cross-batch carry of the open
+    segment's last ≤ max_back partials + its position counter."""
+
+    def __init__(self, monoid: Monoid, start_fn, max_back: int):
+        self.m = monoid
+        self.start_fn = start_fn
+        self.max_back = int(max_back)
+        self.carry_key = None
+        self.carry_p: Partial | None = None
+        self.carry_rn0 = 0  # rn of carry_p[0] in its segment
+
+    def process(self, seg_keys, p: Partial) -> Partial:
+        m = self.m
+        n, change, first_key, last_key = SegmentedSlidingKernel._norm_keys(seg_keys)
+        if n == 0:
+            return m.identity(0)
+        ntail = 0
+        rn_base = 0
+        if (
+            self.carry_p is not None
+            and p_len(self.carry_p)
+            and first_key == self.carry_key
+        ):
+            ntail = p_len(self.carry_p)
+            rn_base = self.carry_rn0
+            p = p_concat(self.carry_p, p)
+        total = ntail + n
+        seg_start = np.where(change, np.arange(n) + ntail, 0)
+        if ntail:
+            seg_start[0] = 0
+        first = np.maximum.accumulate(seg_start)
+        if ntail:
+            first = np.concatenate([np.zeros(ntail, dtype=np.int64), first])
+        idx = np.arange(total)
+        # segment-relative positions; the open segment continues at rn_base
+        rn = idx - first + np.where(first == 0, rn_base, 0)
+        win_start_rn = np.asarray(self.start_fn(rn), dtype=np.int64)
+        if bool((win_start_rn < rn - self.max_back).any()):
+            raise ValueError("start_fn exceeded max_back look-back")
+        starts = idx - (rn - win_start_rn)  # concatenated coordinates
+        out = interval_fold(m, p, starts, idx + 1)
+        # carry: open segment's last ≤ max_back rows back to the earliest
+        # position any future row's window can reach
+        last_first = int(first[-1])
+        last_rn = int(rn[-1])
+        # future rows have rn' > last_rn; min future start = min over rn' >
+        # last_rn of start_fn(rn') — bounded below by rn' − max_back, and
+        # start_fn is evaluated exactly for the next max_back positions
+        future_rn = last_rn + 1 + np.arange(self.max_back + 1)
+        min_future_start = int(
+            np.asarray(self.start_fn(future_rn), dtype=np.int64).min()
+        )
+        keep_rn = max(min(min_future_start, last_rn + 1), 0)
+        r0 = int(rn[last_first])  # rn of the open segment's first held row
+        keep_from = max(last_first + (keep_rn - r0), last_first)
+        self.carry_p = {k: np.ascontiguousarray(v[keep_from:]) for k, v in p.items()}
+        self.carry_rn0 = keep_rn
+        self.carry_key = last_key
+        return p_slice(out, ntail, None)
+
+
 class TimeSegmentedKernel:
     """Multi-key EVENT-TIME sliding aggregation over concatenated
     segments — the time-window analogue of :class:`SegmentedSlidingKernel`

@@ -405,34 +405,17 @@ def q_sawtooth_sum(spark, sf_dir):
     """Fill/drain dynamic window (the reference's variable-size scenario,
     cpp/src/benchmark_core.h:149-183): row i of a key aggregates the last
     (i mod 50) + 1 rows — the window refills then resets every 50 rows.
-    Runs as one vectorized ``interval_fold`` per key (variable starts are
-    exactly what the interval-fold API is for); the SQL oracle expands the
-    variable frame as a row-number band join."""
-    import numpy as np
-    import pandas as pd
+    Scale route: partition-sorted mapInPandas with the
+    PositionalSegmentedKernel (variable starts, ≤ 49-row carry); the SQL
+    oracle expands the variable frame as a row-number band join."""
+    from ..operators.batch import sliding_positional_kernel_partitioned
 
-    from ..functions.monoids import get_monoid
-    from ..operators.kernels import interval_fold
-
-    df = _events(spark, sf_dir).select("user_id", "event_id", "ts", "cents")
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        idx = np.lexsort((pdf["event_id"].to_numpy(), pdf["ts"].to_numpy()))
-        m = get_monoid("sum", np.int64)
-        p = m.lift(pdf["cents"].to_numpy()[idx].astype(np.int64))
-        n = len(idx)
-        rn = np.arange(n, dtype=np.int64)
-        res = m.lower(interval_fold(m, p, rn - (rn % _SAW), rn + 1))
-        return pd.DataFrame(
-            {
-                "user_id": pdf["user_id"].to_numpy()[idx],
-                "event_id": pdf["event_id"].to_numpy()[idx],
-                "saw_sum_cents": res,
-            }
-        )
-
-    return df.groupBy("user_id").applyInPandas(
-        kernel, "user_id long, event_id long, saw_sum_cents long"
+    df = _events(spark, sf_dir)
+    return sliding_positional_kernel_partitioned(
+        df, "user_id", ["ts", "event_id"], "cents", "sum",
+        start_fn=lambda rn: rn - (rn % _SAW), max_back=_SAW - 1,
+        out="saw_sum_cents", id_cols=["user_id", "event_id"],
+        int_values=True, out_cast="bigint",
     )
 
 

@@ -140,3 +140,40 @@ def test_time_segmented_overflow_fallback_path():
         ]
     )
     assert np.array_equal(got, exp)
+
+
+@pytest.mark.parametrize("name", ["sum", "max"])
+def test_positional_segmented_sawtooth_vs_brute(name):
+    """PositionalSegmentedKernel (sawtooth start_fn) over chunked
+    multi-key input must equal the brute per-row fold, including carry of
+    the open segment's position counter + tail across chunk cuts."""
+    from sliding_window_aggregators_spark.operators.kernels import (
+        PositionalSegmentedKernel,
+    )
+
+    rng = np.random.default_rng(11)
+    m = get_monoid(name, np.int64)
+    PERIOD = 13
+    keys, vals = [], []
+    for k in range(5):
+        n = int(rng.integers(1, 90))
+        keys.append(np.full(n, f"k{k}", dtype=object))
+        vals.append(rng.integers(-20, 50, size=n).astype(np.int64))
+    key_arr = np.concatenate(keys)
+    val_arr = np.concatenate(vals)
+
+    kernel = PositionalSegmentedKernel(
+        m, lambda rn: rn - (rn % PERIOD), PERIOD - 1
+    )
+    cuts = sorted(rng.choice(np.arange(1, len(key_arr)), size=6, replace=False))
+    got = []
+    for lo, hi in zip([0] + list(cuts), list(cuts) + [len(key_arr)]):
+        got.append(m.lower(kernel.process(key_arr[lo:hi], m.lift(val_arr[lo:hi]))))
+    got = np.concatenate(got)
+
+    exp = []
+    for v in vals:
+        for i in range(len(v)):
+            s = i - (i % PERIOD)
+            exp.append(m.lower1(m.lift_reduce(v[s : i + 1])))
+    assert np.array_equal(got, np.array(exp)), name
