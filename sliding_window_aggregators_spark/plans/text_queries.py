@@ -492,7 +492,10 @@ def q_dedup_simhash_pairs(spark, sf_dir):
         bands = band if bands is None else bands.unionAll(band)
     x = bands.alias("x")
     y = bands.alias("y")
-    cand = (
+    # hamming is verified BEFORE the dedup-distinct: the xor+bit_count is
+    # a codegen'd per-row expression, while distinct is a shuffle — filter
+    # first so only qualifying (≤ 7× duplicated) pairs get shuffled
+    return (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
@@ -501,16 +504,11 @@ def q_dedup_simhash_pairs(spark, sf_dir):
         )
         .select(
             F.col("x.doc_id").alias("doc_a"),
-            F.col("x.simhash32").alias("fa"),
             F.col("y.doc_id").alias("doc_b"),
-            F.col("y.simhash32").alias("fb"),
+            F.expr("bit_count(x.simhash32 ^ y.simhash32)").alias("hamming"),
         )
-        .distinct()
-    )
-    return (
-        cand.withColumn("hamming", F.expr("bit_count(fa ^ fb)"))
         .where(F.col("hamming") <= _SIM_HAM_T)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
