@@ -68,6 +68,12 @@ class OrderedAggState:
         self._lo = 0
         self._n = 0
         self._query_cache: Partial | None = None
+        # LAZY spine repair: mutations only widen this physical dirty leaf
+        # span; ancestors are recomputed once, on the first fold after a
+        # mutation burst (append-heavy streams that never range-query pay
+        # zero tree maintenance — matching FiBA, whose repair work rides
+        # the mutation's root path only when aggregates are consulted)
+        self._dirty: tuple[int, int] | None = None
 
     # ------------------------------------------------------------------
     # live-window views (zero-copy)
@@ -121,6 +127,20 @@ class OrderedAggState:
                 parent[k][pa:pb] = res[k]
             a, b = pa, pb
 
+    def _mark_dirty(self, a: int, b: int) -> None:
+        if b <= a:
+            return
+        if self._dirty is None:
+            self._dirty = (a, b)
+        else:
+            self._dirty = (min(self._dirty[0], a), max(self._dirty[1], b))
+
+    def _flush_repairs(self) -> None:
+        if self._dirty is not None:
+            if self._n:
+                self._repair(*self._dirty)
+            self._dirty = None
+
     def _write(self, at: int, ts_vals: np.ndarray, parts: Partial) -> None:
         n = len(ts_vals)
         self._tsbuf[at : at + n] = ts_vals
@@ -146,13 +166,15 @@ class OrderedAggState:
             self._write(0, keep_ts, {k: np.ascontiguousarray(v) for k, v in keep_p.items()})
         if len(tail_ts):
             self._write(prefix_len, tail_ts, tail_p)
-        self._repair(0, n_new)
+        self._dirty = None  # old physical coordinates are void after re-seat
+        self._mark_dirty(0, n_new)
 
     def _range_fold(self, lo: int, hi: int) -> Partial:
         """Order-preserving fold of physical leaves [lo, hi)."""
         m = self.m
         if hi <= lo:
             return m.identity(1)
+        self._flush_repairs()
         left_parts: list[Partial] = []
         right_parts: list[Partial] = []
         lvl = 0
@@ -219,7 +241,7 @@ class OrderedAggState:
                 return
             self._write(end, ts, partials)
             self._n += len(ts)
-            self._repair(end, end + len(ts))
+            self._mark_dirty(end, end + len(ts))
             return
 
         # OOO path: only the displaced suffix is re-merged
@@ -233,7 +255,7 @@ class OrderedAggState:
             return
         self._write(write_at, merged_ts, merged_p)
         self._n = pos + len(merged_ts)
-        self._repair(write_at, write_at + len(merged_ts))
+        self._mark_dirty(write_at, write_at + len(merged_ts))
 
     def insert(self, t, partial: Partial) -> None:
         self.bulk_insert(np.asarray([t]), partial)
@@ -249,6 +271,7 @@ class OrderedAggState:
             self._n -= cut
             if self._n == 0:
                 self._lo = 0
+                self._dirty = None
             self._query_cache = None
         return cut
 
@@ -258,6 +281,7 @@ class OrderedAggState:
             self._n -= 1
             if self._n == 0:
                 self._lo = 0
+                self._dirty = None
             self._query_cache = None
 
     def evict(self, t) -> bool:
@@ -276,8 +300,9 @@ class OrderedAggState:
         self._n -= 1
         if self._n == 0:
             self._lo = 0
+            self._dirty = None
         else:
-            self._repair(phys, self._lo + self._n)
+            self._mark_dirty(phys, self._lo + self._n)
         self._query_cache = None
         return True
 
