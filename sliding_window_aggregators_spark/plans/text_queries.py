@@ -314,20 +314,34 @@ ORACLE_SIMHASH = _simhash_oracle()
 # ---------------------------------------------------------------------------
 
 
+# BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation —
+# the GPT-2-style split shape, restricted to constructs Java regex
+# (Spark) and RE2 (DuckDB) treat identically (plain char classes, no
+# lookarounds), so the token counts are bit-identical across engines.
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
 def q_token_stats(spark, sf_dir):
+    """Token counting two ways (the pipeline mandate's "whitespace + a
+    BPE-ish regex"): whitespace tokens, distinct whitespace tokens, and
+    BPE-ish subword-boundary tokens."""
     df = _docs(spark, sf_dir).withColumn("t", F.split("text", " "))
     return df.select(
         "doc_id",
         F.length("text").alias("n_chars2"),
         F.size("t").alias("n_tokens"),
         F.size(F.array_distinct("t")).alias("n_uniq_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)")).alias(
+            "n_bpe_tokens"
+        ),
     )
 
 
-ORACLE_TOKEN_STATS = """
+ORACLE_TOKEN_STATS = f"""
 select doc_id, length(text) as n_chars2,
        len(string_split(text, ' ')) as n_tokens,
-       len(list_distinct(string_split(text, ' '))) as n_uniq_tokens
+       len(list_distinct(string_split(text, ' '))) as n_uniq_tokens,
+       len(regexp_extract_all(text, '{_BPE_RE}')) as n_bpe_tokens
 from documents
 """
 

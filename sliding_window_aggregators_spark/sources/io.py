@@ -1,0 +1,77 @@
+"""Format-agnostic table IO — the engine's source/sink surface.
+
+The reference's ``data_benchmark`` consumes CSV event datasets
+(cpp/src/data_benchmark.cc:102-140); this module gives every query the
+same data regardless of container: parquet (the primary columnar path —
+predicate pushdown + column pruning reach the scan), CSV and JSON-lines
+(row formats — Spark still prunes columns at the parse step when a
+schema is supplied).
+
+Scale notes: always pass an explicit ``schema`` for row formats in
+production — schema inference is a full extra pass over the data. For
+parquet the writer emits snappy by default; partition columns
+(``partition_by``) turn eviction/retention into directory drops and give
+partition pruning to every downstream filter.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_READERS = ("parquet", "csv", "json")
+
+
+def _infer_format(path: str, fmt: str | None) -> str:
+    if fmt:
+        return fmt
+    base = path.rstrip("/")
+    for ext in _READERS:
+        if base.endswith("." + ext):
+            return ext
+    # directory of files: sniff the first data file's extension
+    if os.path.isdir(base):
+        for name in sorted(os.listdir(base)):
+            for ext in _READERS:
+                if name.endswith("." + ext):
+                    return ext
+    return "parquet"
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    schema: str | None = None,
+    **options,
+) -> DataFrame:
+    """Read a table from parquet/CSV/JSON, inferring the format from the
+    path when not given. CSV defaults to header=true; timestamps parse as
+    TIMESTAMP_NTZ when the schema says so (matching the parquet layout)."""
+    fmt = _infer_format(path, fmt)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        if schema is None:
+            options.setdefault("inferSchema", "true")
+    return reader.options(**options).format(fmt).load(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str | None = None,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options,
+) -> None:
+    fmt = _infer_format(path, fmt)
+    writer = df.write.mode(mode)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.options(**options).format(fmt).save(path)

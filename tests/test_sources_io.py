@@ -1,0 +1,74 @@
+"""Source/sink format coverage: the same windowed aggregate must produce
+identical results whether the events table arrives as parquet, CSV or
+JSON-lines (the reference's data_benchmark consumes CSV event datasets,
+cpp/src/data_benchmark.cc:102-140)."""
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sliding_window_aggregators_spark.sources import read_table, write_table
+
+SF_DIR = os.environ.get("SWAG_TEST_SF_DIR", "/root/testdata/sf0.001")
+EVENTS_SCHEMA = (
+    "event_id bigint, user_id bigint, ts timestamp_ntz, event_type string, "
+    "value double"
+)
+
+
+def _agg(df):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-9, 0)
+    return (
+        df.select(
+            "user_id",
+            "event_id",
+            F.sum(F.round(F.col("value") * 100).cast("long")).over(w).alias("s"),
+        )
+        .orderBy("user_id", "event_id")
+        .collect()
+    )
+
+
+def test_same_results_across_parquet_csv_json(spark, tmp_path):
+    pq = read_table(spark, f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    csv_path = str(tmp_path / "events.csv")
+    json_path = str(tmp_path / "events.json")
+    write_table(pq, csv_path, fmt="csv", timestampNTZFormat="yyyy-MM-dd HH:mm:ss.SSSSSS")
+    write_table(pq, json_path, fmt="json", timestampNTZFormat="yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+    base = _agg(pq)
+    got_csv = _agg(
+        read_table(
+            spark,
+            csv_path,
+            fmt="csv",
+            schema=EVENTS_SCHEMA,
+            timestampNTZFormat="yyyy-MM-dd HH:mm:ss.SSSSSS",
+        )
+    )
+    got_json = _agg(
+        read_table(
+            spark,
+            json_path,
+            fmt="json",
+            schema=EVENTS_SCHEMA,
+            timestampNTZFormat="yyyy-MM-dd HH:mm:ss.SSSSSS",
+        )
+    )
+    assert got_csv == base
+    assert got_json == base
+
+
+def test_partitioned_parquet_roundtrip_prunes(spark, tmp_path):
+    df = read_table(spark, f"{SF_DIR}/events.parquet")
+    out = str(tmp_path / "by_type")
+    write_table(df, out, fmt="parquet", partition_by=["event_type"])
+    back = read_table(spark, out, fmt="parquet")
+    sub = back.where(F.col("event_type") == "purchase")
+    # partition pruning visible in the scan
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert sub.count() == df.where(F.col("event_type") == "purchase").count()
