@@ -47,7 +47,10 @@ def get_spark(app: str = "swag-spark", cpus: int | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # big Arrow batches: the JVM↔Python bridge amortizes per-batch
+        # overhead; measured ~2× on the mapInPandas kernel path vs the
+        # 65536 default (1M rows ≈ 40 MB/task at the events row width)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1048576")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
