@@ -361,7 +361,14 @@ def q_ooo_range_sum(spark, sf_dir):
     repair; every event's answer is then an inclusive ``range_queries``
     fold over [ts − 1h, ts] (FiBA rangeQuery semantics,
     cpp/src/test.cc:618-647). The DuckDB oracle is the plain RANGE frame
-    over time-sorted data — equality proves arrival order didn't matter."""
+    over time-sorted data — equality proves arrival order didn't matter.
+
+    Scale note: this query is grouped applyInPandas BY DESIGN — the
+    adversarial whole-key arrival shuffle needs every row of a key before
+    any batch order exists, so it cannot stream through the segmented
+    mapInPandas route. Production OOO ingestion is the streaming path
+    (sliding_agg_stream), where micro-batches arrive pre-bounded and the
+    same OrderedAggState carries between them."""
     import numpy as np
     import pandas as pd
 
