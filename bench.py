@@ -124,6 +124,23 @@ def ooo_throughput() -> dict:
             sink += st.query()
         dt = time.perf_counter() - t0
         out[f"ooo_sum_w{w}_d{d}"] = round((n - w) / dt, 1)
+    # range-query-heavy variant (window sharing): 3 rangeQuery folds per
+    # batch on top of the OOO ingest — exercises the incremental tree
+    # (lazy spine repair + O(log n) canonical decomposition; round 1
+    # rebuilt the whole tree per mutated batch here)
+    d = w // 4
+    st = OrderedAggState(m)
+    ts0 = np.arange(w, dtype=np.int64)
+    st.bulk_insert(ts0, m.lift(1 + (ts0 % 101)))
+    t0 = time.perf_counter()
+    for lo in range(w, n, 16384):
+        ts = np.arange(lo, lo + 16384, dtype=np.int64) - d
+        st.bulk_insert(ts, m.lift(1 + (ts % 101)))
+        st.bulk_evict(int(st.youngest()) - w)
+        y = int(st.youngest())
+        for dur in (w // 8, w // 2, w):
+            sink += st.range_query(y - dur, y)
+    out[f"ooo_rq3_w{w}_d{d}"] = round((n - w) / (time.perf_counter() - t0), 1)
     out["_anti_dce"] = sink
     return out
 
