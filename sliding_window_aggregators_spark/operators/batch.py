@@ -308,6 +308,68 @@ def sliding_time_kernel(
     return df.groupBy(key).applyInPandas(kernel, schema)
 
 
+def sliding_rows_kernel_scan(
+    df: DataFrame,
+    key: str,
+    order: Sequence[str],
+    value: str,
+    monoid_name: str,
+    w: int,
+    out: str,
+    id_cols: Sequence[str] = (),
+    int_values: bool = False,
+) -> DataFrame:
+    """ZERO-SHUFFLE sliding aggregate for pre-bucketed, pre-sorted
+    layouts — the plan a 100 TB deployment actually runs.
+
+    Precondition (the Iceberg ``bucket(key) + sort(key, order)`` table
+    layout, produced by :func:`~..sources.io.write_bucketed`): every
+    input file holds complete key groups, sorted by (key, *order), and
+    the session maps one scan task per file
+    (``spark.sql.files.maxPartitionBytes`` / ``openCostInBytes`` ≥ file
+    size — see write_bucketed's docstring). Under that layout the
+    repartition+sort of :func:`sliding_rows_kernel_partitioned` is a
+    no-op, so this variant feeds the SegmentedSlidingKernel straight off
+    the columnar scan: no exchange, no sort, one pass.
+
+    Results are identical to the shuffling variants; the precondition is
+    NOT validated row-by-row (a violated layout silently splits key
+    groups across tasks), so treat it as the trusted-layout fast path.
+    """
+    id_cols = list(id_cols) or [key] + list(order)
+    dtype = np.int64 if int_values else np.float64
+    needed = list(dict.fromkeys([key, *order, value, *id_cols]))
+    df = df.select(*needed)
+    schema = ", ".join(
+        [f"`{c}` {t}" for c, t in zip(id_cols, _spark_types(df, id_cols))]
+        + [f"`{out}` {_OUT_SPARK_TYPE[monoid_name]}"]
+    )
+
+    def gen(batches):
+        from .kernels import SegmentedSlidingKernel
+
+        m = get_monoid(monoid_name, dtype)
+        kernel = SegmentedSlidingKernel(m, w)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vals = pdf[value].to_numpy()
+            if dtype == np.int64:
+                vals = vals.astype(np.int64)
+            if monoid_name == "argmax":
+                p = m.lift((pdf[id_cols[-1]].to_numpy(), vals))
+            else:
+                p = m.lift(vals)
+            res = m.lower(kernel.process(pdf[key].to_numpy(), p))
+            if monoid_name == "stddev":
+                res = np.where(np.isnan(res), None, res)
+            cols = {c: pdf[c].to_numpy() for c in id_cols}
+            cols[out] = res
+            yield pd.DataFrame(cols)
+
+    return df.mapInPandas(gen, schema)
+
+
 def sliding_positional_kernel_partitioned(
     df: DataFrame,
     key: str,

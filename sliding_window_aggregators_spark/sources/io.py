@@ -60,6 +60,35 @@ def read_table(
     return reader.options(**options).format(fmt).load(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    path: str,
+    key: str,
+    order: list[str],
+    buckets: int = 128,
+) -> None:
+    """Write the bucket(key) + sort(key, *order) layout that lets the
+    sliding-window kernels run SHUFFLE-FREE off the scan
+    (:func:`~..operators.batch.sliding_rows_kernel_scan`): every output
+    file holds complete key groups, rows sorted by (key, *order).
+
+    To get the one-task-per-file scan the layout promises, the reading
+    session must not split or coalesce files::
+
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1g")
+        spark.conf.set("spark.sql.files.openCostInBytes", "1g")
+
+    (set ≥ the largest bucket file; an Iceberg/production deployment
+    expresses the same contract as a bucket partition transform +
+    sort order, where the table format enforces it.)"""
+    (
+        df.repartition(buckets, key)
+        .sortWithinPartitions(key, *order)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_table(
     df: DataFrame,
     path: str,

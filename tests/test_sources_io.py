@@ -72,3 +72,44 @@ def test_partitioned_parquet_roundtrip_prunes(spark, tmp_path):
     plan = sub._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert sub.count() == df.where(F.col("event_type") == "purchase").count()
+
+
+def test_bucketed_layout_scan_kernel_zero_shuffle(spark, tmp_path):
+    """write_bucketed + sliding_rows_kernel_scan: identical results to the
+    shuffling kernel route, with NO exchange in the physical plan."""
+    from sliding_window_aggregators_spark.operators.batch import (
+        sliding_rows_kernel_partitioned,
+        sliding_rows_kernel_scan,
+    )
+    from sliding_window_aggregators_spark.sources import write_bucketed
+    from sliding_window_aggregators_spark.operators.batch import with_cents
+
+    df = with_cents(read_table(spark, f"{SF_DIR}/events.parquet"))
+    out = str(tmp_path / "events_bucketed")
+    write_bucketed(df, out, "user_id", ["ts", "event_id"], buckets=8)
+
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1g")
+    spark.conf.set("spark.sql.files.openCostInBytes", "1g")
+    try:
+        laid = read_table(spark, out)
+        scan = sliding_rows_kernel_scan(
+            laid, "user_id", ["ts", "event_id"], "cents", "sum", 10,
+            out="s", id_cols=["user_id", "event_id"], int_values=True,
+        )
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        got = {
+            (r["user_id"], r["event_id"]): r["s"] for r in scan.collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_open)
+
+    exp_df = sliding_rows_kernel_partitioned(
+        df, "user_id", ["ts", "event_id"], "cents", "sum", 10,
+        out="s", id_cols=["user_id", "event_id"], int_values=True,
+    )
+    exp = {(r["user_id"], r["event_id"]): r["s"] for r in exp_df.collect()}
+    assert got == exp
