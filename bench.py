@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "tumbling_sum_1h",
     "session_30m",
     "asof_join_signup_purchase",
+    "cep_three_rising",
+    "cep_funnel_1h",
     "user_stats",
     "dedup_exact",
     "dedup_minhash_lsh",

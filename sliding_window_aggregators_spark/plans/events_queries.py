@@ -578,6 +578,105 @@ group by 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# CEP (pattern matching) — the north_rule's "structured-streaming / CEP
+# engine" surface, batch form. Spark-first: consecutive-row patterns are
+# lag/lead windows (JVM codegen), not a custom NFA — MATCH_RECOGNIZE's
+# simple patterns compile to exactly this shape.
+# ---------------------------------------------------------------------------
+
+
+def q_cep_three_rising(spark, sf_dir):
+    """The classic CEP demo pattern (Esper/FlinkCEP "three rising ticks"):
+    emit every event that completes three strictly-rising consecutive
+    values within its user's stream."""
+    df = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        df.withColumn("p1", F.lag("cents", 1).over(w))
+        .withColumn("p2", F.lag("cents", 2).over(w))
+        .where((F.col("p2") < F.col("p1")) & (F.col("p1") < F.col("cents")))
+        .select("user_id", "event_id", F.col("p2").alias("c0"),
+                F.col("p1").alias("c1"), F.col("cents").alias("c2"))
+    )
+
+
+ORACLE_CEP_THREE_RISING = f"""
+with t as (
+  select user_id, event_id, cents,
+         lag(cents, 1) over w as p1, lag(cents, 2) over w as p2
+  from {_EV}
+  window w as (partition by user_id order by ts, event_id)
+)
+select user_id, event_id, p2 as c0, p1 as c1, cents as c2
+from t where p2 < p1 and p1 < cents
+"""
+
+
+def q_cep_funnel(spark, sf_dir):
+    """Typed event funnel with a time constraint: per signup, did a click
+    and then a purchase follow within 1 hour, in that order? (A→B→C —
+    the skeleton of every conversion-funnel CEP query.) Expressed as two
+    watermark-shaped interval joins + an ordered existence check; at
+    scale both joins are per-user-bounded equi joins, never a cross
+    product."""
+    df = _events(spark, sf_dir)
+    s = df.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_id"), F.col("ts").alias("s_ts")
+    )
+    c = df.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("c_ts")
+    )
+    p = df.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("p_ts")
+    )
+    sc = s.join(
+        c,
+        (s.user_id == c.cu)
+        & (c.c_ts > s.s_ts)
+        & (c.c_ts <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    scp = sc.join(
+        p,
+        (sc.user_id == p.pu)
+        & (p.p_ts > sc.c_ts)
+        & (p.p_ts <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    hits = scp.groupBy("user_id", "signup_id").agg(
+        F.min("p_ts").alias("first_conversion_ts")
+    )
+    return s.join(hits, ["user_id", "signup_id"], "left").select(
+        "user_id",
+        "signup_id",
+        F.col("first_conversion_ts").isNotNull().alias("converted"),
+        "first_conversion_ts",
+    )
+
+
+ORACLE_CEP_FUNNEL = f"""
+with e as (select * from {_EV}),
+s as (select user_id, event_id as signup_id, ts as s_ts from e
+      where event_type = 'signup'),
+c as (select user_id as cu, ts as c_ts from e where event_type = 'click'),
+p as (select user_id as pu, ts as p_ts from e where event_type = 'purchase'),
+scp as (
+  select s.user_id, s.signup_id, min(p.p_ts) as first_conversion_ts
+  from s
+  join c on c.cu = s.user_id and c.c_ts > s.s_ts
+        and c.c_ts <= s.s_ts + interval 1 hour
+  join p on p.pu = s.user_id and p.p_ts > c.c_ts
+        and p.p_ts <= s.s_ts + interval 1 hour
+  group by 1, 2
+)
+select s.user_id as user_id, s.signup_id as signup_id,
+       scp.first_conversion_ts is not null as converted,
+       scp.first_conversion_ts as first_conversion_ts
+from s left join scp using (user_id, signup_id)
+"""
+
+
 def q_user_stats(spark, sf_dir):
     """Whole-key aggregate — the ReCalc/groupBy baseline
     (cpp/src/ReCalc.hpp:20-55 degenerate window = everything)."""
@@ -621,6 +720,8 @@ QUERIES = {
     "tumbling_sum_1h": q_tumbling_hour,
     "session_30m": q_session_30m,
     "asof_join_signup_purchase": q_asof_join,
+    "cep_three_rising": q_cep_three_rising,
+    "cep_funnel_1h": q_cep_funnel,
     "user_stats": q_user_stats,
 }
 
@@ -646,5 +747,7 @@ ORACLES = {
     "tumbling_sum_1h": ORACLE_TUMBLING_HOUR,
     "session_30m": ORACLE_SESSION_30M,
     "asof_join_signup_purchase": ORACLE_ASOF_JOIN,
+    "cep_three_rising": ORACLE_CEP_THREE_RISING,
+    "cep_funnel_1h": ORACLE_CEP_FUNNEL,
     "user_stats": ORACLE_USER_STATS,
 }
