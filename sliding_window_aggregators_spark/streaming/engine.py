@@ -288,6 +288,68 @@ def sliding_count_stream_tws(
     )
 
 
+def rising_pattern_stream(
+    df: DataFrame,
+    *,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    order_col: str = "turn_idx",
+    value_expr: str = "length(text)",
+    runs: int = 3,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Streaming CEP: emit every row completing ``runs`` strictly-rising
+    consecutive values within its key's stream (the classic three-rising-
+    ticks pattern; batch twin = lag windows, plans/events_queries.py
+    q_cep_three_rising). State per key = the last ``runs − 1`` values —
+    O(1), no window retention — carried across micro-batches so patterns
+    spanning a batch boundary still fire."""
+    out_schema = f"{key} string, {ts_col} timestamp, {order_col} int, v double"
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        tail = (
+            np.asarray(pickle.loads(bytes(state.get[0]))["tail"], dtype=np.float64)
+            if state.exists
+            else np.empty(0, dtype=np.float64)
+        )
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            pdf = pdf.sort_values([ts_col, order_col], kind="mergesort")
+            v = pdf["__v"].to_numpy(dtype=np.float64)
+            seq = np.concatenate([tail, v])
+            nt = len(tail)
+            if len(seq) >= runs:
+                # rising step ending at i; vectorized run-length = distance
+                # to the most recent non-rising position
+                r = np.concatenate([[False], seq[1:] > seq[:-1]])
+                idx = np.arange(len(seq))
+                last_stop = np.maximum.accumulate(np.where(~r, idx, -1))
+                runlen = idx - last_stop
+                fire_batch = (runlen >= (runs - 1))[nt:]
+            else:
+                fire_batch = np.zeros(len(v), dtype=bool)
+            if fire_batch.any():
+                sel = pdf[fire_batch]
+                yield pd.DataFrame(
+                    {
+                        key: key_tuple[0],
+                        ts_col: sel[ts_col].to_numpy(),
+                        order_col: sel[order_col].to_numpy(),
+                        "v": sel["__v"].to_numpy(dtype=np.float64),
+                    }
+                )
+            tail = np.concatenate([tail, v])[-(runs - 1) :]
+        state.update(
+            (bytearray(pickle.dumps({"v": 1, "tail": tail.tolist()})),)
+        )
+
+    prepared = df.withColumn("__v", F.expr(value_expr)).withWatermark(ts_col, watermark)
+    return prepared.groupBy(key).applyInPandasWithState(
+        fn, out_schema, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def salted_repartition(df: DataFrame, key: str = "conv_id", buckets: int = 8,
                        salt_col: str = "bucket") -> DataFrame:
     """Deterministic hot-key salting (north_rule): split each key's stream

@@ -351,3 +351,44 @@ def test_sliding_count_stream_tws_matches_batch(spark, stream_dirs):
     )
     assert len(got) == len(exp)
     assert got["wsum"].tolist() == exp["wsum"].tolist()
+
+
+def test_rising_pattern_stream_matches_batch(spark, stream_dirs):
+    """Streaming CEP (three rising ticks) fires exactly where the batch
+    lag-window twin fires, including patterns spanning the micro-batch
+    boundary (state carries the last runs−1 values)."""
+    from sliding_window_aggregators_spark.streaming.engine import (
+        rising_pattern_stream,
+    )
+
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(500, 15)
+    _write_chunk(spark, src, pdf.iloc[:250], "c0")
+    _write_chunk(spark, src, pdf.iloc[250:], "c1")
+
+    stream = rising_pattern_stream(
+        _read_stream(spark, src), value_expr="length(text)", runs=3
+    )
+    q, sink = write_stream_exactly_once(stream, out, ckpt)
+    q.awaitTermination(120)
+    got = (
+        sink.read_committed(spark)
+        .select("conv_id", "turn_idx")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp_rows = []
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values(["ts", "turn_idx"])
+        lens = g["text"].str.len().to_numpy()
+        for i in range(2, len(g)):
+            if lens[i - 2] < lens[i - 1] < lens[i]:
+                exp_rows.append((conv, int(g["turn_idx"].iloc[i])))
+    exp = (
+        pd.DataFrame(exp_rows, columns=["conv_id", "turn_idx"])
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) and len(exp) > 0
+    assert got.values.tolist() == exp.values.tolist()
