@@ -78,3 +78,86 @@ def test_ordered_state_random_inserts_and_evict(entries, cut):
     if (ts > cut).any():
         lo, hi = int(ts[ts > cut].min()), int(ts.max())
         assert st_.range_query(lo, hi) == float(vs[(ts >= lo) & (ts <= hi) & (ts > cut)].sum())
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(1, 500), st.integers(1, 100)),
+        min_size=1,
+        max_size=200,
+    ),
+    dur=st.integers(1, 300),
+    cut=st.integers(0, 199),
+)
+def test_time_segmented_kernel_property(data, dur, cut):
+    """TimeSegmentedKernel over random multi-key time series, split at a
+    random point, equals the per-key sliding_time_window reference."""
+    from sliding_window_aggregators_spark.operators.kernels import (
+        TimeSegmentedKernel,
+        sliding_time_window,
+    )
+
+    m = get_monoid("sum", np.int64)
+    data = sorted(data, key=lambda kv: (kv[0],))
+    keys = np.array([k for k, _, _ in data], dtype=np.int64)
+    # strictly increasing ts within key: cumulative deltas
+    ts = np.empty(len(data), dtype=np.int64)
+    vals = np.array([v for _, _, v in data], dtype=np.int64)
+    acc = {}
+    for i, (k, dt, _v) in enumerate(data):
+        acc[k] = acc.get(k, 0) + dt
+        ts[i] = acc[k]
+    kern = TimeSegmentedKernel(m, {"d": dur})
+    cut = min(cut, len(data))
+    parts = []
+    for lo, hi in ((0, cut), (cut, len(data))):
+        if hi > lo:
+            parts.append(
+                m.lower(kern.process(keys[lo:hi], ts[lo:hi], m.lift(vals[lo:hi]))["d"])
+            )
+    got = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+    exp_parts = []
+    for k in sorted(set(keys.tolist())):
+        sel = keys == k
+        exp_parts.append(
+            m.lower(sliding_time_window(m, ts[sel], m.lift(vals[sel]), dur))
+        )
+    exp = np.concatenate(exp_parts)
+    assert np.array_equal(got, exp)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-50, 50)),
+        min_size=1,
+        max_size=200,
+    ),
+    period=st.integers(1, 40),
+    cut=st.integers(0, 199),
+)
+def test_positional_segmented_kernel_property(data, period, cut):
+    """PositionalSegmentedKernel (sawtooth) over random multi-key input,
+    random split, equals the brute fold."""
+    from sliding_window_aggregators_spark.operators.kernels import (
+        PositionalSegmentedKernel,
+    )
+
+    m = get_monoid("sum", np.int64)
+    data = sorted(data, key=lambda kv: (kv[0],))
+    keys = np.array([k for k, _ in data], dtype=np.int64)
+    vals = np.array([v for _, v in data], dtype=np.int64)
+    kern = PositionalSegmentedKernel(m, lambda rn: rn - (rn % period), period - 1)
+    cut = min(cut, len(data))
+    parts = []
+    for lo, hi in ((0, cut), (cut, len(data))):
+        if hi > lo:
+            parts.append(m.lower(kern.process(keys[lo:hi], m.lift(vals[lo:hi]))))
+    got = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+    exp = []
+    for k in sorted(set(keys.tolist())):
+        v = vals[keys == k]
+        for i in range(len(v)):
+            exp.append(int(v[i - (i % period) : i + 1].sum()))
+    assert np.array_equal(got, np.array(exp, dtype=np.int64))
