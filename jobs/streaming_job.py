@@ -1,0 +1,92 @@
+"""Production launch shape for the streaming engine (north_rule: run via
+``spark-submit --py-files`` on a multi-executor cluster).
+
+    zip -r swag_spark.zip sliding_window_aggregators_spark/
+    spark-submit \
+      --py-files swag_spark.zip \
+      --conf spark.sql.shuffle.partitions=2048 \
+      --conf spark.sql.adaptive.enabled=true \
+      --conf spark.sql.execution.arrow.maxRecordsPerBatch=1048576 \
+      jobs/streaming_job.py \
+      --source /warehouse/transcripts --out /warehouse/rollups \
+      --checkpoint /checkpoints/rollups --monoid sum --duration "10 minutes"
+
+Reads the transcripts stream (``conv_id string, turn_idx int, role
+string, text string, tool string, ts timestamp`` — the BASELINE
+input_hint schema), runs the per-turn sliding event-time aggregate
+through the FiBA-equivalent ordered state, and writes exactly-once with
+per-partition lineage + per-batch metrics. Resumable: re-launching with
+the same ``--checkpoint`` continues from the last committed offset and
+replayed batches are idempotently skipped by the sink's commit log.
+
+Local smoke (this sandbox): ``python jobs/streaming_job.py --source
+<dir-of-parquet> --out /tmp/out --checkpoint /tmp/ckpt --available-now``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TRANSCRIPTS_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp"
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--source", required=True, help="stream source directory")
+    ap.add_argument("--out", required=True, help="sink directory")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--monoid", default="sum")
+    ap.add_argument("--value-expr", default="length(text)")
+    ap.add_argument("--duration", default="10 minutes")
+    ap.add_argument("--watermark", default="1 minute")
+    ap.add_argument("--salt-buckets", type=int, default=0,
+                    help="hot-conversation salting (0 = off)")
+    ap.add_argument("--available-now", action="store_true",
+                    help="drain available input then stop (batch-mode run)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from sliding_window_aggregators_spark.sources.session import _ship_package
+    from sliding_window_aggregators_spark.streaming import (
+        salted_repartition,
+        sliding_agg_stream,
+        write_stream_exactly_once,
+    )
+
+    # under spark-submit the session/master/executors come from the
+    # launcher; getOrCreate attaches to it (local runs get local[*])
+    spark = SparkSession.builder.appName("swag-streaming-job").getOrCreate()
+    _ship_package(spark)
+
+    # glob one level so both flat files and per-arrival chunk directories
+    # under the source root are picked up
+    stream = spark.readStream.schema(TRANSCRIPTS_SCHEMA).option(
+        "pathGlobFilter", "*.parquet"
+    ).parquet(os.path.join(args.source, "*"))
+    if args.salt_buckets:
+        stream = salted_repartition(stream, buckets=args.salt_buckets)
+    agg = sliding_agg_stream(
+        stream,
+        monoid_name=args.monoid,
+        value_expr=args.value_expr,
+        duration=args.duration,
+        watermark=args.watermark,
+        out_col="wagg",
+    )
+    q, sink = write_stream_exactly_once(
+        agg, args.out, args.checkpoint, available_now=args.available_now
+    )
+    q.awaitTermination()
+    print(f"committed batches: {sink.committed_batches()}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
