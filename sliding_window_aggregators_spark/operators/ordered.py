@@ -359,6 +359,8 @@ class OrderedAggState:
         import pickle
 
         d = pickle.loads(blob)
+        if d.get("v") != 1:
+            raise ValueError(f"unsupported OrderedAggState state version: {d.get('v')}")
         st = cls(monoid, ts_dtype=d["ts"].dtype)
         if len(d["ts"]):
             st._grow(0, d["ts"], d["partials"])
