@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "cep_funnel_1h",
     "user_stats",
     "dedup_exact",
+    "dedup_clusters",
     "dedup_minhash_lsh",
     "simhash32",
     "token_stats",

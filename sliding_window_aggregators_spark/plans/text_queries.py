@@ -537,8 +537,77 @@ where bit_count(xor(a.simhash32, b.simhash32)) <= 6
 )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH pair
+    graph, keeper = min doc_id per component — the step that turns pair
+    lists into dedup decisions (keep/drop) at corpus scale.
+
+    Spark-first iterative algorithm: min-label propagation — each round
+    every node takes the min of its own label and its neighbors' labels
+    (one join + one aggregate per round, all distributed; the driver loop
+    only checks the converged-count, never touches rows). Converges in
+    O(component diameter) rounds; near-dup components are shallow by
+    construction (stars around popular docs), so a handful of rounds
+    suffices — the same schedule GraphFrames' connectedComponents uses
+    before its large-star/small-star optimization kicks in.
+
+    DuckDB oracle: reachability closure via WITH RECURSIVE + min label
+    per node (exact for the test corpus sizes)."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = edges.cache()
+    labels = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lbl"))
+    for _ in range(20):  # diameter bound; converges far earlier
+        prop = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), F.col("lbl")
+        )
+        new_labels = (
+            labels.unionAll(prop).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        ).cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        if labels.is_cached:
+            labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("keeper_id"),
+        (F.col("node") != F.col("lbl")).alias("is_duplicate"),
+    )
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+with recursive pairs as (
+{_minhash_oracle()}
+),
+edges as (
+  select doc_a as a, doc_b as b from pairs
+  union all
+  select doc_b as a, doc_a as b from pairs
+),
+reach(node, lbl) as (
+  select doc_id, doc_id from documents
+  union
+  select e.b, r.lbl from reach r join edges e on e.a = r.node
+)
+select node as doc_id, min(lbl) as keeper_id,
+       min(lbl) <> node as is_duplicate
+from reach group by node
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -551,6 +620,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH_LSH,
