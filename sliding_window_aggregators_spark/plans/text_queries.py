@@ -196,15 +196,30 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
     rows_per_band = _N_HASH // _BANDS
-    bands = None
-    for b in range(_BANDS):
-        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
-        band = sig.select(
-            "doc_id",
+    # ONE pass over the signature aggregation: bands come out of an
+    # explode, not a union of per-band selects (a 4-way union referenced
+    # from both join sides would re-execute the whole shingle+minhash
+    # pipeline 8×: Spark does not reuse exchanges across union branches),
+    # and the tiny (doc, band, sig) table is persisted so the self-join's
+    # two sides share one computation.
+    band_structs = [
+        F.struct(
             F.lit(b).alias("band"),
-            F.concat_ws("_", *[F.col(c).cast("string") for c in cols]).alias("sig"),
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"mh{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            ).alias("sig"),
         )
-        bands = band if bands is None else bands.unionAll(band)
+        for b in range(_BANDS)
+    ]
+    bands = (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bs"))
+        .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        .persist()
+    )
     x = bands.alias("x")
     y = bands.alias("y")
     pairs = (
@@ -494,16 +509,28 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     but the Spark plan is shuffle-sized: no cross join anywhere
     (asserted by tests/test_text_queries.py plan check)."""
     fp = q_simhash(spark, sf_dir)
-    bands = None
-    for i in range(_SIM_N_BANDS):
-        lo, hi = _SIM_BOUNDS[i], _SIM_BOUNDS[i + 1]
-        band = fp.select(
-            "doc_id",
-            "simhash32",
+    # one pass over the fingerprint aggregation (explode, not a 7-way
+    # union — see the band construction note in q_dedup_minhash_lsh) and
+    # persist the small (doc, fp, band, bv) table so both self-join sides
+    # read one computation
+    band_structs = [
+        F.struct(
             F.lit(i).alias("band"),
-            F.expr(f"(simhash32 >> {lo}) % {1 << (hi - lo)}").alias("bv"),
+            F.expr(
+                f"(simhash32 >> {_SIM_BOUNDS[i]}) % "
+                f"{1 << (_SIM_BOUNDS[i + 1] - _SIM_BOUNDS[i])}"
+            ).alias("bv"),
         )
-        bands = band if bands is None else bands.unionAll(band)
+        for i in range(_SIM_N_BANDS)
+    ]
+    bands = (
+        fp.select("doc_id", "simhash32", F.explode(F.array(*band_structs)).alias("bs"))
+        .select(
+            "doc_id", "simhash32",
+            F.col("bs.band").alias("band"), F.col("bs.bv").alias("bv"),
+        )
+        .persist()
+    )
     x = bands.alias("x")
     y = bands.alias("y")
     # hamming is verified BEFORE the dedup-distinct: the xor+bit_count is
