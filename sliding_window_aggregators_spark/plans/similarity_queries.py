@@ -126,14 +126,21 @@ def q_embed_neardup(spark, sf_dir):
     vectors are re-joined, so the 64-dim arrays never ride the band
     shuffle."""
     e = _emb(spark, sf_dir)
-    buckets = None
-    for t in range(_LSH_TABLES):
-        bt = e.select(
-            "vec_id",
+    # all 4 tables from ONE pass over the scaled-int projection (explode,
+    # not a union of selects — union branches re-execute the projection
+    # per branch per join side); the (vec_id, tbl, bucket) table is tiny
+    bucket_structs = [
+        F.struct(
             F.lit(t).alias("tbl"),
             F.expr(_lsh_bucket_expr(t, one_based=False)).alias("bucket"),
         )
-        buckets = bt if buckets is None else buckets.unionAll(bt)
+        for t in range(_LSH_TABLES)
+    ]
+    buckets = (
+        e.select("vec_id", F.explode(F.array(*bucket_structs)).alias("tb"))
+        .select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        .persist()
+    )
     x = buckets.alias("x")
     y = buckets.alias("y")
     cand = (
