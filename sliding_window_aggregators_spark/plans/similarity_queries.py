@@ -215,7 +215,10 @@ def q_ann_ivf_topk(spark, sf_dir):
     probe their 4 nearest centroid lists only. Exact integer math
     throughout so the SQL oracle agrees; the Spark plan broadcasts the
     centroid table and prunes candidates by cluster id before scoring."""
-    e = _emb(spark, sf_dir)
+    # the scaled-int projection feeds the centroid table, the assignment,
+    # the probes AND the candidate scoring — persist it once (an IVF
+    # index build materializes exactly this in production)
+    e = _emb(spark, sf_dir).persist()
     cents = e.where(F.col("vec_id") < _IVF_K).select(
         F.col("vec_id").alias("cent_id"), F.col("iv").alias("cv"), F.col("norm").alias("cn")
     )
@@ -236,6 +239,7 @@ def q_ann_ivf_topk(spark, sf_dir):
         scored.withColumn("r", F.row_number().over(wa))
         .where(F.col("r") == 1)
         .select("vec_id", F.col("cent_id").alias("cluster"), "iv", "norm")
+        .persist()  # the IVF inverted lists — read by probes and queries
     )
     probes = (
         scored.where(F.col("vec_id") < _NQ)
