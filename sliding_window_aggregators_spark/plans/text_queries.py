@@ -586,7 +586,14 @@ def q_dedup_clusters(spark, sf_dir):
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     edges = edges.cache()
-    labels = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lbl"))
+    # iterate ONLY over edge-incident nodes: at corpus scale the vast
+    # majority of documents are isolated (their own keeper by definition)
+    # and must not ride every propagation round; they are unioned back at
+    # the end as trivial components
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .select("node", F.col("node").alias("lbl"))
+    )
     for _ in range(20):  # diameter bound; converges far earlier
         prop = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), F.col("lbl")
@@ -605,11 +612,17 @@ def q_dedup_clusters(spark, sf_dir):
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(
+    clustered = labels.select(
         F.col("node").alias("doc_id"),
         F.col("lbl").alias("keeper_id"),
         (F.col("node") != F.col("lbl")).alias("is_duplicate"),
     )
+    isolated = docs.join(
+        labels.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
+    ).select(
+        "doc_id", F.col("doc_id").alias("keeper_id"), F.lit(False).alias("is_duplicate")
+    )
+    return clustered.unionByName(isolated)
 
 
 ORACLE_DEDUP_CLUSTERS = f"""
