@@ -51,6 +51,12 @@ BENCH_QUERIES = [
     "shared_windows_3x",
     "multimodal_meta",
     "multimodal_features",
+    "hll_users_by_type",
+    "pack_sequences",
+    "stratified_sample",
+    "repetition_ratio",
+    "tfidf_top_terms",
+    "pii_scan",
 ]
 
 # window grid: a sample of benchmark_driver's 2^2..2^22 (full grid in

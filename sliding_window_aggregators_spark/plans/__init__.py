@@ -28,6 +28,12 @@ def all_queries():
         q.update(multimodal_queries.QUERIES)
     except ImportError:
         pass
+    try:
+        from . import pipeline_queries
+
+        q.update(pipeline_queries.QUERIES)
+    except ImportError:
+        pass
     return q
 
 
@@ -50,6 +56,12 @@ def all_oracles():
         from . import multimodal_queries
 
         o.update(multimodal_queries.ORACLES)
+    except ImportError:
+        pass
+    try:
+        from . import pipeline_queries
+
+        o.update(pipeline_queries.ORACLES)
     except ImportError:
         pass
     return o

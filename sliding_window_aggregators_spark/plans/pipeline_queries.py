@@ -1,0 +1,493 @@
+"""Second wave of training-data-pipeline operators: a deterministic
+HyperLogLog distinct sketch (the approximate-aggregate family the
+reference's BloomFilter belongs to — cpp/src/AggregationFunctions.hpp:
+325-380 is the membership sketch; this is its cardinality sibling),
+token-budget sequence packing, deterministic stratified sampling,
+repetition/boilerplate detection, TF-IDF term extraction, and a
+regex pattern/PII scan.
+
+Determinism discipline (same as text_queries): every hash is md5-derived
+(identical in Spark and DuckDB), all ranking keys are exact integers or
+single correctly-rounded IEEE divisions, every float output is produced
+by one identical expression in both engines — so each query has a full
+value-hash DuckDB oracle.
+
+Scale notes are per-operator; none of these plans contains a cross
+product, a driver-side collect, or a per-row Python UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (deterministic, full value oracle)
+# ---------------------------------------------------------------------------
+
+_HLL_P = 6  # 2^6 = 64 registers
+_HLL_M = 1 << _HLL_P
+# raw-estimator constant alpha_m * m^2, pre-scaled by 2^55 (the register
+# sum below is kept as an exact integer scaled by 2^55); evaluated ONCE in
+# Python and embedded as a single literal so both engines multiply nothing
+_HLL_C = 0.709 * float(_HLL_M * _HLL_M) * float(1 << 55)
+
+# 60-bit hash from the md5 hex prefix — identical in Spark and DuckDB
+_SPARK_H60 = (
+    "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)"
+)
+_DUCK_H60 = "(('0x' || substr(md5(cast(user_id as varchar)), 1, 15))::BIGINT)"
+
+
+def q_hll_users_by_type(spark, sf_dir):
+    """Distinct users per event_type, exact AND via a deterministic
+    64-register HyperLogLog: bucket = h % 64, rank = trailing zeros of
+    (h >> 6) + 1 (isolate-lowest-bit + bit_count — branch-free in both
+    engines), raw estimate = alpha·m² / Σ 2^-M_j with the harmonic sum
+    kept as an EXACT integer scaled by 2^55 (max 64·2^55 = 2^61 < int64),
+    so the only float op is one final division — bit-identical to the
+    DuckDB oracle.
+
+    Scale shape: one distinct on (event_type, user_id) — which also feeds
+    the exact count, so sketch and ground truth share the single wide
+    shuffle — then two tiny aggregations. At 100 TB the distinct's
+    map-side partial aggregation does the heavy lifting; the register
+    table is 64 rows per type. (In production the exact branch is what
+    you'd drop; it exists here as the sketch's in-query ground truth.)
+    """
+    pairs = (
+        _events(spark, sf_dir)
+        .select("event_type", "user_id")
+        .distinct()
+        .withColumn("h", F.expr(_SPARK_H60))
+        .withColumn("b", F.expr(f"h % {_HLL_M}"))
+        .withColumn("r", F.expr(f"shiftright(h, {_HLL_P})"))
+        .withColumn(
+            "rho",
+            F.expr("case when r = 0 then 55 else bit_count((r & -r) - 1) + 1 end"),
+        )
+    )
+    regs = pairs.groupBy("event_type", "b").agg(
+        F.max("rho").alias("m"), F.count(F.lit(1)).alias("nd")
+    )
+    per_type = regs.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 55 - m)")).alias("s_present"),
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("nd").alias("n_exact"),
+    )
+    s_total = F.col("s_present") + F.expr(f"shiftleft(cast({_HLL_M} - nb as bigint), 55)")
+    est = F.round(F.lit(_HLL_C) / s_total.cast("double"), 4)
+    return per_type.select(
+        "event_type",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        est.alias("hll_est"),
+    )
+
+
+ORACLE_HLL_USERS_BY_TYPE = f"""
+with pairs as (
+  select distinct event_type, user_id from events
+),
+hashed as (
+  select event_type, {_DUCK_H60} as h from pairs
+),
+rho as (
+  select event_type, h % {_HLL_M} as b,
+         case when (h >> {_HLL_P}) = 0 then 55
+              else bit_count(((h >> {_HLL_P}) & -(h >> {_HLL_P})) - 1) + 1 end as rho
+  from hashed
+),
+regs as (
+  select event_type, b, max(rho) as m, count(*) as nd
+  from rho group by 1, 2
+),
+per_type as (
+  select event_type,
+         sum((1::BIGINT << (55 - m)))::BIGINT as s_present,
+         count(*) as nb, sum(nd) as n_exact
+  from regs group by event_type
+)
+select event_type, cast(n_exact as bigint) as n_exact,
+       round({_HLL_C!r} / cast(s_present + (({_HLL_M} - nb)::BIGINT << 55) as double), 4)
+         as hll_est
+from per_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (token-budget greedy first-fit, contiguous per shard)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 128  # whitespace tokens per pack
+_PACK_SHARDS = 8  # parallelism unit; production would use ~4× cores
+
+
+def _greedy_pack(tok: np.ndarray, budget: int) -> np.ndarray:
+    """Greedy contiguous packing: each pack takes documents in order while
+    the running token total stays ≤ budget (always at least one document).
+    Vectorized per PACK, not per row: pack boundaries come from
+    searchsorted on the token cumsum, so the Python loop runs once per
+    emitted pack."""
+    n = len(tok)
+    out = np.empty(n, dtype=np.int64)
+    cum = np.cumsum(tok.astype(np.int64))
+    i, base, pack = 0, 0, 0
+    while i < n:
+        j = int(np.searchsorted(cum, base + budget, side="right"))
+        if j <= i:
+            j = i + 1  # single document over budget gets its own pack
+        out[i:j] = pack
+        base = int(cum[j - 1])
+        pack += 1
+        i = j
+    return out
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Training-batch sequence packing: shard the corpus (doc_id %
+    {shards}), order each shard by doc_id, and greedily pack consecutive
+    documents into token-budget-{budget} packs (a pack closes when adding
+    the next document would exceed the budget). Output: (doc_id, shard,
+    pack_id, n_tok).
+
+    Scale shape: packing is sequential BY DEFINITION within a shard and
+    embarrassingly parallel across shards — the shard count is the
+    parallelism knob (thousands at 100 TB). One shuffle to co-locate each
+    shard, one Arrow pass per shard; the kernel's Python loop is per
+    PACK, not per row. DuckDB oracle: the same recurrence as a recursive
+    CTE (exact for test scales)."""
+    df = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+            F.size(F.split("text", " ")).alias("n_tok"),
+        )
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        pdf["pack_id"] = _greedy_pack(pdf["n_tok"].to_numpy(), _PACK_BUDGET)
+        return pdf[["doc_id", "shard", "pack_id", "n_tok"]]
+
+    return df.groupBy("shard").applyInPandas(
+        pack, "doc_id long, shard long, pack_id long, n_tok int"
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+with recursive d as (
+  select doc_id, doc_id % {_PACK_SHARDS} as shard,
+         len(string_split(text, ' ')) as n_tok
+  from documents
+),
+o as (
+  select *, row_number() over (partition by shard order by doc_id) as rn from d
+),
+rec(shard, rn, doc_id, n_tok, acc, pack_id) as (
+  select shard, rn, doc_id, n_tok, n_tok, 0::BIGINT from o where rn = 1
+  union all
+  select o.shard, o.rn, o.doc_id, o.n_tok,
+         case when r.acc + o.n_tok > {_PACK_BUDGET} then o.n_tok
+              else r.acc + o.n_tok end,
+         case when r.acc + o.n_tok > {_PACK_BUDGET} then r.pack_id + 1
+              else r.pack_id end
+  from rec r join o on o.shard = r.shard and o.rn = r.rn + 1
+)
+select doc_id, shard, pack_id, cast(n_tok as int) as n_tok from rec
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+_SAMPLE_K = 5  # documents kept per stratum
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample: within each language stratum, rank
+    documents by md5(doc_id) (a fixed pseudo-random order reproducible in
+    any engine) and keep the top {k}. Emits (doc_id, lang, sample_rank).
+
+    Scale shape: one shuffle on the stratum key; per-stratum top-k is a
+    window rank here (fine while strata >> cores); at extreme per-stratum
+    sizes you'd swap rank for a hash-threshold filter (keep h < k/N_est)
+    which needs no sort at all — same determinism, zero-shuffle."""
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
+        .where(F.col("sample_rank") <= _SAMPLE_K)
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+with rk as (
+  select doc_id, lang,
+         row_number() over (
+           partition by lang order by md5(cast(doc_id as varchar)), doc_id
+         ) as sample_rank
+  from documents
+)
+select doc_id, lang, sample_rank from rk where sample_rank <= {_SAMPLE_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# repetition / boilerplate detection
+# ---------------------------------------------------------------------------
+
+# word-3-gram expression WITH multiplicity (unlike text_queries' distinct
+# shingles — repetition is exactly what dedup's distinct throws away)
+_SPARK_TRI = (
+    "case when size(t) >= 3 then "
+    "transform(sequence(1, size(t) - 2), "
+    "i -> concat_ws(' ', element_at(t, i), element_at(t, i+1), element_at(t, i+2))) "
+    "else array() end"
+)
+
+_DUCK_TRI = """
+with toks as (
+  select doc_id, string_split(text, ' ') as t from documents
+),
+tri as (
+  select doc_id, array_to_string(t[i:i+2], ' ') as g
+  from toks, lateral (select unnest(range(1, greatest(len(t) - 1, 1))) as i)
+)
+"""
+
+
+def q_repetition_ratio(spark, sf_dir):
+    """Boilerplate/repetition detector: the share of a document's word
+    3-grams taken by its single most repeated 3-gram (1.0 ≈ one phrase
+    looped; ~1/n_grams ≈ no repetition), plus that top 3-gram (ties →
+    lexicographically smallest). Documents under 3 tokens get ratio 0.
+
+    Scale shape: explode → two-level aggregation, all map-side-combinable;
+    the per-(doc, gram) count shuffle keys on doc_id+gram so no single
+    hot gram can skew a reducer (unlike corpus-wide gram counts)."""
+    return repetition_ratio_df(_docs(spark, sf_dir))
+
+
+def repetition_ratio_df(docs):
+    """Repetition detector over any (doc_id, text) DataFrame."""
+    c = (
+        docs
+        .withColumn("t", F.split("text", " "))
+        .withColumn("g", F.explode(F.expr(_SPARK_TRI)))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id")
+    agg = (
+        c.withColumn("n_grams", F.sum("cnt").over(w))
+        .withColumn("max_rep", F.max("cnt").over(w))
+        .where(F.col("cnt") == F.col("max_rep"))
+        .groupBy("doc_id", "n_grams", "max_rep")
+        .agg(F.min("g").alias("top_gram"))
+    )
+    out = agg.select(
+        "doc_id",
+        "n_grams",
+        "max_rep",
+        F.round(F.col("max_rep").cast("double") / F.col("n_grams"), 6).alias("rep_ratio"),
+        "top_gram",
+    )
+    all_docs = docs.select("doc_id")
+    return (
+        all_docs.join(out, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("max_rep", F.lit(0)).alias("max_rep"),
+            F.coalesce("rep_ratio", F.lit(0.0)).alias("rep_ratio"),
+            F.coalesce("top_gram", F.lit("")).alias("top_gram"),
+        )
+    )
+
+
+ORACLE_REPETITION_RATIO = (
+    _DUCK_TRI
+    + """,
+c as (select doc_id, g, count(*) as cnt from tri group by 1, 2),
+agg as (
+  select doc_id, sum(cnt) as n_grams, max(cnt) as max_rep from c group by doc_id
+),
+top as (
+  select c.doc_id, min(c.g) as top_gram
+  from c join agg on c.doc_id = agg.doc_id and c.cnt = agg.max_rep
+  group by c.doc_id
+)
+select d.doc_id,
+       coalesce(a.n_grams, 0) as n_grams,
+       coalesce(a.max_rep, 0) as max_rep,
+       coalesce(round(cast(a.max_rep as double) / a.n_grams, 6), 0.0) as rep_ratio,
+       coalesce(t.top_gram, '') as top_gram
+from documents d
+left join agg a on a.doc_id = d.doc_id
+left join top t on t.doc_id = d.doc_id
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-{k} characteristic terms per document by raw TF-IDF (term
+    frequency × inverse document frequency, idf as the exact rational
+    1/df — one correctly-rounded IEEE division, so the ranking key is
+    bit-identical across engines; ties → term asc).
+
+    Scale shape: token explode → (doc, tok) counts (one shuffle, map-side
+    combine) → df via a count window on tok (second shuffle; reused for
+    the join) → per-doc top-k window. No floats until the final ranking
+    division; no collect."""
+    tf = (
+        _docs(spark, sf_dir)
+        .withColumn("tok", F.explode(F.split("text", " ")))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_counts = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_counts, "tok").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= _TFIDF_K)
+        .select(
+            "doc_id",
+            F.col("tok").alias("term"),
+            "tf",
+            "df",
+            F.round("score", 6).alias("score"),
+            "term_rank",
+        )
+    )
+
+
+ORACLE_TFIDF_TOP_TERMS = f"""
+with toks as (
+  select doc_id, unnest(string_split(text, ' ')) as tok from documents
+),
+tf as (select doc_id, tok, count(*) as tf from toks group by 1, 2),
+dfc as (select tok, count(*) as df from tf group by tok),
+scored as (
+  select tf.doc_id, tf.tok, tf.tf, dfc.df,
+         cast(tf.tf as double) / dfc.df as score
+  from tf join dfc using (tok)
+),
+rk as (
+  select *, row_number() over (
+    partition by doc_id order by score desc, tok asc
+  ) as term_rank
+  from scored
+)
+select doc_id, tok as term, tf, df, round(score, 6) as score, term_rank
+from rk where term_rank <= {_TFIDF_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# regex pattern / PII scan
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to constructs Java regex (Spark) and RE2 (DuckDB)
+# treat identically: plain classes and counted repetition, no lookarounds,
+# no backreferences.
+_PAT_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PAT_URL = r"https?://[^ ]+"
+_PAT_PHONE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PAT_LONGWORD = r"[A-Za-z]{8,}"
+
+
+def q_pii_scan(spark, sf_dir):
+    """PII / pattern scan: per document, counts of email-, URL- and
+    phone-shaped spans plus long alphabetic tokens, and the length of the
+    text after redacting all three PII shapes. (The synthetic corpus
+    contains no PII by construction — those counts are zero here and
+    exercised with planted rows in pytest — while the long-word count
+    varies per document, keeping the regex path value-checked.)
+
+    Scale shape: a pure per-row projection — no shuffle at all; regex
+    evaluation stays JVM-side inside whole-stage codegen."""
+    return pii_scan_df(_docs(spark, sf_dir))
+
+
+def pii_scan_df(docs):
+    """PII/pattern scan over any (doc_id, text) DataFrame."""
+    t = F.col("text")
+
+    def n(pat):
+        return F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, F.lit(_PAT_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PAT_URL),
+            F.lit("<URL>"),
+        ),
+        F.lit(_PAT_PHONE),
+        F.lit("<PHONE>"),
+    )
+    return docs.select(
+        "doc_id",
+        n(_PAT_EMAIL).alias("n_emails"),
+        n(_PAT_URL).alias("n_urls"),
+        n(_PAT_PHONE).alias("n_phones"),
+        n(_PAT_LONGWORD).alias("n_long_words"),
+        F.length(redacted).alias("redacted_len"),
+    )
+
+
+ORACLE_PII_SCAN = f"""
+select doc_id,
+       len(regexp_extract_all(text, '{_PAT_EMAIL}')) as n_emails,
+       len(regexp_extract_all(text, '{_PAT_URL}')) as n_urls,
+       len(regexp_extract_all(text, '{_PAT_PHONE}')) as n_phones,
+       len(regexp_extract_all(text, '{_PAT_LONGWORD}')) as n_long_words,
+       length(regexp_replace(regexp_replace(regexp_replace(text,
+         '{_PAT_EMAIL}', '<EMAIL>', 'g'),
+         '{_PAT_URL}', '<URL>', 'g'),
+         '{_PAT_PHONE}', '<PHONE>', 'g')) as redacted_len
+from documents
+"""
+
+
+QUERIES = {
+    "hll_users_by_type": q_hll_users_by_type,
+    "pack_sequences": q_pack_sequences,
+    "stratified_sample": q_stratified_sample,
+    "repetition_ratio": q_repetition_ratio,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "pii_scan": q_pii_scan,
+}
+
+ORACLES = {
+    "hll_users_by_type": ORACLE_HLL_USERS_BY_TYPE,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "repetition_ratio": ORACLE_REPETITION_RATIO,
+    "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
+    "pii_scan": ORACLE_PII_SCAN,
+}
