@@ -1,4 +1,6 @@
 from .engine import (  # noqa: F401
+    dedup_stream,
+    hll_distinct_stream,
     salted_repartition,
     session_stream,
     sliding_agg_stream,

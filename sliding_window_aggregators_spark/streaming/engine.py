@@ -350,6 +350,95 @@ def rising_pattern_stream(
     )
 
 
+def dedup_stream(
+    df: DataFrame,
+    *,
+    keys: tuple = ("conv_id", "turn_idx"),
+    ts_col: str = "ts",
+    watermark: str = "1 minute",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming exact deduplication — the streaming twin of
+    plans/text_queries.py's dedup_exact, on Spark's built-in stateful
+    dedup operator.
+
+    ``within_watermark=True`` (default) uses
+    ``dropDuplicatesWithinWatermark``: per-key state expires once the key
+    is older than the watermark, so state is bounded by the watermark
+    horizon — the only shape that survives 10^12 turns (duplicates in
+    real transcript streams are replays/retries that arrive close
+    together). ``False`` uses ``dropDuplicates`` — exact over all time,
+    state grows with distinct keys (only for bounded key domains)."""
+    wm = df.withWatermark(ts_col, watermark)
+    if within_watermark:
+        return wm.dropDuplicatesWithinWatermark(list(keys))
+    return wm.dropDuplicates(list(keys))
+
+
+def hll_distinct_stream(
+    df: DataFrame,
+    *,
+    key: str = "conv_id",
+    value_expr: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 minute",
+    out_col: str = "hll_est",
+) -> DataFrame:
+    """Streaming distinct-count sketch per key: the deterministic
+    HyperLogLog of plans/pipeline_queries.py (same hash, same 64
+    registers, same exact-integer harmonic sum) with the register vector
+    as per-key streaming state — emits each key's updated estimate once
+    per micro-batch.
+
+    Sketches are the ideal streaming state: the register merge is
+    idempotent and commutative (np.maximum), so replayed or reordered
+    micro-batches cannot corrupt the estimate — exactly-once output from
+    at-least-once replay for free. The md5 → bucket/rank columns are
+    computed JVM-side BEFORE the stateful operator; the Python kernel
+    only scatter-maxes 64 int8 registers per key per batch (no per-row
+    Python, state is 64 bytes per key regardless of stream length)."""
+    # spec constants live with the batch twin
+    from ..plans.pipeline_queries import _HLL_C, _HLL_M, _HLL_P
+
+    h = (
+        f"cast(conv(substring(md5(cast(({value_expr}) as string)), 1, 15), 16, 10)"
+        " as bigint)"
+    )
+    prepared = (
+        df.withColumn("__h", F.expr(h))
+        .withColumn("__b", F.expr(f"__h % {_HLL_M}"))
+        .withColumn("__r", F.expr(f"shiftright(__h, {_HLL_P})"))
+        .withColumn(
+            "__rho",
+            F.expr("case when __r = 0 then 55 else bit_count((__r & -__r) - 1) + 1 end"),
+        )
+        .withWatermark(ts_col, watermark)
+    )
+    out_schema = f"{key} string, {out_col} double"
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        regs = (
+            np.frombuffer(bytes(state.get[0]), dtype=np.int8).copy()
+            if state.exists
+            else np.zeros(_HLL_M, dtype=np.int8)
+        )
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            b = pdf["__b"].to_numpy(dtype=np.int64)
+            rho = pdf["__rho"].to_numpy(dtype=np.int64).astype(np.int8)
+            np.maximum.at(regs, b, rho)
+            s = int(np.sum(1 << (55 - regs.astype(np.int64))))
+            yield pd.DataFrame(
+                {key: [key_tuple[0]], out_col: [round(_HLL_C / float(s), 4)]}
+            )
+        state.update((bytearray(regs.tobytes()),))
+
+    return prepared.groupBy(key).applyInPandasWithState(
+        fn, out_schema, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def salted_repartition(df: DataFrame, key: str = "conv_id", buckets: int = 8,
                        salt_col: str = "bucket") -> DataFrame:
     """Deterministic hot-key salting (north_rule): split each key's stream

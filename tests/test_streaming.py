@@ -392,3 +392,78 @@ def test_rising_pattern_stream_matches_batch(spark, stream_dirs):
     )
     assert len(got) == len(exp) and len(exp) > 0
     assert got.values.tolist() == exp.values.tolist()
+
+
+def test_dedup_stream_drops_cross_batch_replays(spark, stream_dirs):
+    """Streaming exact dedup: replayed rows (same conv_id, turn_idx) in a
+    later chunk must not reappear in the sink."""
+    from sliding_window_aggregators_spark.streaming import dedup_stream
+
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(300, 10)
+    # chunk 1 = first 200 rows; chunk 2 = last 100 PLUS a replay of 50
+    replay = pdf.iloc[100:150]
+    _write_chunk(spark, src, pdf.iloc[:200], "c0")
+    _write_chunk(spark, src, pd.concat([pdf.iloc[200:], replay]), "c1")
+
+    stream = dedup_stream(
+        _read_stream(spark, src), keys=("conv_id", "turn_idx"), watermark="1 minute"
+    )
+    q, sink = write_stream_exactly_once(stream, out, ckpt)
+    q.awaitTermination(120)
+    got = (
+        sink.read_committed(spark)
+        .select("conv_id", "turn_idx")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 300  # replays removed
+    assert not got.duplicated().any()
+
+
+def test_hll_distinct_stream_matches_batch_spec(spark, stream_dirs):
+    """Streaming HLL: after all chunks, each key's latest estimate equals
+    the batch-spec (first-principles Python) HLL over the key's values —
+    the register merge is order/replay-insensitive."""
+    import hashlib
+
+    from sliding_window_aggregators_spark.plans.pipeline_queries import (
+        _HLL_C,
+        _HLL_M,
+        _HLL_P,
+    )
+    from sliding_window_aggregators_spark.streaming import hll_distinct_stream
+
+    def hll_py(values):
+        regs = {}
+        for v in values:
+            h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+            b = h % _HLL_M
+            r = h >> _HLL_P
+            rho = 55 if r == 0 else ((r & -r).bit_length() - 1) + 1
+            regs[b] = max(regs.get(b, 0), rho)
+        s = sum(1 << (55 - m) for m in regs.values())
+        s += (_HLL_M - len(regs)) * (1 << 55)
+        return round(_HLL_C / float(s), 4)
+
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(400, 10)
+    _write_chunk(spark, src, pdf.iloc[:200], "c0")
+    _write_chunk(spark, src, pdf.iloc[200:], "c1")
+
+    stream = hll_distinct_stream(
+        _read_stream(spark, src), key="conv_id", value_expr="text"
+    )
+    q, sink = write_stream_exactly_once(stream, out, ckpt)
+    q.awaitTermination(120)
+    committed = sink.read_committed(spark).toPandas()
+    # latest estimate per key = the row from the highest batch id
+    latest = (
+        committed.sort_values("_batch_id")
+        .groupby("conv_id")
+        .tail(1)
+        .set_index("conv_id")["hll_est"]
+    )
+    for conv, g in pdf.groupby("conv_id"):
+        assert latest[conv] == hll_py(g["text"].tolist())
