@@ -26,7 +26,16 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-@pytest.mark.parametrize("name", ["dedup_simhash_pairs", "embed_neardup_lsh"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_simhash_pairs",
+        "embed_neardup_lsh",
+        "tfidf_top_terms",
+        "repetition_ratio",
+        "hll_users_by_type",
+    ],
+)
 def test_no_nested_loop_join(spark, name):
     import __spark_entry__ as entry
 
@@ -50,3 +59,16 @@ def test_kernel_queries_use_partitioned_scan_path(spark, name):
     plan = _plan(entry.queries()[name](spark, SF_DIR))
     assert "FlatMapGroupsInPandas" not in plan, plan
     assert "MapInPandas" in plan, plan
+
+
+def test_pii_scan_is_shuffle_free(spark):
+    """pii_scan is a pure per-row projection — any Exchange in its plan
+    would be a scale regression."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["pii_scan"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    # "*(1)" = whole-stage-codegen'd single stage; the scan must be pruned
+    # to exactly the two columns the projection needs
+    assert "*(1) Project" in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
