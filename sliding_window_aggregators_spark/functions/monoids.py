@@ -633,6 +633,71 @@ class BloomFilter(Monoid):
 
 
 # ---------------------------------------------------------------------------
+# HyperLogLog — distinct-count sketch (cardinality sibling of BloomFilter)
+# ---------------------------------------------------------------------------
+
+# 64 registers; rank capped at 55 (60-bit hash → 54 payload bits + "all
+# zero"); alpha_m·m² pre-scaled by 2^55 so the harmonic sum stays an exact
+# integer (≤ 64·2^55 = 2^61 < int64) and the ONLY float op in lower() is
+# one correctly-rounded division — the same spec, constant for constant,
+# as the SQL form in plans/pipeline_queries.py.
+HLL_P = 6
+HLL_M = 1 << HLL_P
+HLL_RHO_CAP = 55
+HLL_ALPHA_M2_SCALED = 0.709 * float(HLL_M * HLL_M) * float(1 << HLL_RHO_CAP)
+
+
+class HyperLogLog(Monoid):
+    """Windowed HyperLogLog distinct-count sketch — extends the reference's
+    sketch family (BloomFilter is its membership sibling,
+    cpp/src/AggregationFunctions.hpp:321-377) and demonstrates the §2
+    contract: ANY associative operator slots into the window algorithms.
+
+    Input is a PRECOMPUTED non-negative 60-bit hash (the engine computes
+    md5-derived hashes JVM-side; the monoid never hashes per row).
+    Partial = (…, 64) uint8 registers; combine = elementwise max
+    (idempotent, commutative — Two-Stacks territory, not invertible);
+    lower = the deterministic raw estimate."""
+
+    name = "hll"
+    idempotent = True
+    M = HLL_M
+
+    def lift(self, values):
+        h = np.asarray(values).astype(np.int64)
+        n = len(h)
+        b = (h % HLL_M).astype(np.int64)
+        r = h >> HLL_P
+        # rank = trailing zeros + 1: isolate lowest set bit (a power of two
+        # ≤ 2^54, exact in float64) and take log2; r == 0 → cap
+        low = (r & -r).astype(np.float64)
+        rho = np.where(
+            r == 0,
+            np.int64(HLL_RHO_CAP),
+            np.log2(np.maximum(low, 1.0)).astype(np.int64) + 1,
+        ).astype(np.uint8)
+        regs = np.zeros((n, HLL_M), dtype=np.uint8)
+        regs[np.arange(n), b] = rho
+        return {"regs": regs}
+
+    def identity(self, n=1):
+        return {"regs": np.zeros((n, HLL_M), dtype=np.uint8)}
+
+    def combine(self, a, b):
+        return {"regs": np.maximum(a["regs"], b["regs"])}
+
+    def lower(self, p):
+        s = (np.int64(1) << (HLL_RHO_CAP - p["regs"].astype(np.int64))).sum(axis=-1)
+        return np.round(HLL_ALPHA_M2_SCALED / s.astype(np.float64), 4)
+
+    def accumulate(self, p, axis=0):
+        # same contiguous-scan trick as BloomFilter.accumulate
+        t = np.ascontiguousarray(np.moveaxis(p["regs"], axis, -1))
+        np.maximum.accumulate(t, axis=-1, out=t)
+        return {"regs": np.ascontiguousarray(np.moveaxis(t, -1, axis))}
+
+
+# ---------------------------------------------------------------------------
 # Collect — the order-sensitivity witness (object-array partials; test paths)
 # ---------------------------------------------------------------------------
 
@@ -764,6 +829,7 @@ def registry(dtype=np.float64) -> dict[str, Monoid]:
         "mincount": MinCount(dtype),
         "relvar": RelativeVariation(dtype),
         "bloom": BloomFilter(),
+        "hll": HyperLogLog(),
         "collect": Collect(),
         "busyloop": BusyLoop(),
     }

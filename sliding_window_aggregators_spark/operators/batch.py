@@ -46,6 +46,7 @@ _OUT_SPARK_TYPE = {
     "mincount": "bigint",
     "relvar": "double",
     "bloom": "bigint",
+    "hll": "double",
     "argmax": "bigint",
 }
 

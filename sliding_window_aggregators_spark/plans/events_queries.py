@@ -311,6 +311,70 @@ from b {_WIN}
 """
 
 
+def q_kernel_hll(spark, sf_dir):
+    """Sliding distinct-count estimate (HyperLogLog monoid through the
+    Two-Stacks kernel): per user, the deterministic 64-register HLL of the
+    distinct cents values inside the last-100-rows window — the sketch
+    family's cardinality member lifted into the §2 'any associative
+    operator' machinery (functions/monoids.py HyperLogLog). The md5 hash
+    is computed JVM-side; the kernel only scatter/max-scans registers."""
+    df = _events(spark, sf_dir).withColumn(
+        "h",
+        F.expr(
+            "cast(conv(substring(md5(cast(cents as string)), 1, 15), 16, 10) as bigint)"
+        ),
+    )
+    return sliding_rows_kernel(
+        df, "user_id", ["ts", "event_id"], "h", "hll", W,
+        out="whll", id_cols=["user_id", "event_id"], int_values=True,
+    )
+
+
+def _hll_oracle() -> str:
+    from ..functions.monoids import HLL_ALPHA_M2_SCALED, HLL_M, HLL_P, HLL_RHO_CAP
+
+    # per-row sliding HLL in SQL: a band self-join on row position within
+    # the key reconstructs each row's frame (O(n·w) — oracle-only; the
+    # engine's kernel is O(n) amortized), then the same register max /
+    # exact scaled harmonic sum as the batch spec
+    return f"""
+with e0 as (
+  select user_id, event_id, {_CENTS} as cents,
+         row_number() over (partition by user_id order by ts, event_id) as rn
+  from events
+),
+h as (
+  select user_id, event_id, rn,
+         ('0x' || substr(md5(cast(cents as varchar)), 1, 15))::BIGINT as hv
+  from e0
+),
+r as (
+  select user_id, event_id, rn, hv % {HLL_M} as b,
+         case when (hv >> {HLL_P}) = 0 then {HLL_RHO_CAP}
+              else bit_count(((hv >> {HLL_P}) & -(hv >> {HLL_P})) - 1) + 1 end as rho
+  from h
+),
+frames as (
+  select a.user_id, a.event_id, b.b, max(b.rho) as m
+  from r a join r b
+    on a.user_id = b.user_id and b.rn between a.rn - {W - 1} and a.rn
+  group by 1, 2, 3
+),
+agg as (
+  select user_id, event_id,
+         sum((1::BIGINT << ({HLL_RHO_CAP} - m)))::BIGINT
+           + (({HLL_M} - count(*))::BIGINT << {HLL_RHO_CAP}) as s
+  from frames group by 1, 2
+)
+select user_id, event_id,
+       round({HLL_ALPHA_M2_SCALED!r} / cast(s as double), 4) as whll
+from agg
+"""
+
+
+ORACLE_KERNEL_HLL = _hll_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Event-time windows: RANGE frame / tumbling / session / as-of join
 # ---------------------------------------------------------------------------
@@ -712,6 +776,7 @@ QUERIES = {
     "kernel_stddev_w100": q_kernel_stddev,
     "kernel_argmax_w100": q_kernel_argmax,
     "kernel_bloom_w100": q_kernel_bloom,
+    "kernel_hll_w100": q_kernel_hll,
     "time_range_sum_1h": q_time_range_sum,
     "time_range_sum_1h_kernel": q_time_range_sum_kernel,
     "ooo_range_sum_1h": q_ooo_range_sum,
@@ -739,6 +804,7 @@ ORACLES = {
     "kernel_stddev_w100": ORACLE_KERNEL_STDDEV,
     "kernel_argmax_w100": ORACLE_KERNEL_ARGMAX,
     "kernel_bloom_w100": ORACLE_KERNEL_BLOOM,
+    "kernel_hll_w100": ORACLE_KERNEL_HLL,
     "time_range_sum_1h": ORACLE_TIME_RANGE_SUM,
     "time_range_sum_1h_kernel": ORACLE_TIME_RANGE_SUM,
     "ooo_range_sum_1h": ORACLE_OOO_RANGE_SUM,

@@ -36,12 +36,13 @@ def _events(spark, sf_dir):
 # HyperLogLog distinct-count sketch (deterministic, full value oracle)
 # ---------------------------------------------------------------------------
 
-_HLL_P = 6  # 2^6 = 64 registers
-_HLL_M = 1 << _HLL_P
-# raw-estimator constant alpha_m * m^2, pre-scaled by 2^55 (the register
-# sum below is kept as an exact integer scaled by 2^55); evaluated ONCE in
-# Python and embedded as a single literal so both engines multiply nothing
-_HLL_C = 0.709 * float(_HLL_M * _HLL_M) * float(1 << 55)
+# spec constants shared with the HyperLogLog monoid (functions/monoids.py)
+# and the streaming sketch state — one source of truth for the whole family
+from ..functions.monoids import (  # noqa: E402
+    HLL_ALPHA_M2_SCALED as _HLL_C,
+    HLL_M as _HLL_M,
+    HLL_P as _HLL_P,
+)
 
 # 60-bit hash from the md5 hex prefix — identical in Spark and DuckDB
 _SPARK_H60 = (
