@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "kernel_mincount_w100",
     "kernel_bloom_w100",
     "kernel_hll_w100",
+    "kernel_p99_w100",
     "time_range_sum_1h",
     "time_range_sum_1h_kernel",
     "ooo_range_sum_1h",

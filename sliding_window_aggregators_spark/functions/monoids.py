@@ -698,6 +698,60 @@ class HyperLogLog(Monoid):
 
 
 # ---------------------------------------------------------------------------
+# Histogram quantile — the sketch family's quantile member
+# ---------------------------------------------------------------------------
+
+HISTQ_B = 64  # buckets
+HISTQ_SHIFT = 10  # bucket width 2^10 (1024 cents ≈ $10) → covers 0..65535
+HISTQ_PCT = 99  # the quantile, in integer percent (exact ceil arithmetic)
+
+
+class HistogramQuantile(Monoid):
+    """Windowed approximate quantile via a fixed-grid histogram — the
+    quantile member of the sketch family (Bloom = membership, HLL =
+    cardinality). Completes the trio AND is the first INVERTIBLE
+    vector-partial monoid: combine = elementwise count addition, so
+    SubtractOnEvict's O(1)-amortized fast path applies to a 64-lane
+    partial exactly as it does to a scalar sum.
+
+    Partial = (…, 64) int64 bucket counts; bucket = min(max(v,0) >> 10,
+    63); lower = the lower bound (bucket << 10) of the smallest bucket
+    whose running count reaches ceil(pct·n/100) — all-integer arithmetic,
+    bit-identical to the SQL spec by construction."""
+
+    name = "histq"
+    invertible = True
+
+    def lift(self, values):
+        v = np.asarray(values).astype(np.int64)
+        b = np.minimum(np.maximum(v, 0) >> HISTQ_SHIFT, HISTQ_B - 1)
+        counts = np.zeros((len(v), HISTQ_B), dtype=np.int64)
+        counts[np.arange(len(v)), b] = 1
+        return {"counts": counts}
+
+    def identity(self, n=1):
+        return {"counts": np.zeros((n, HISTQ_B), dtype=np.int64)}
+
+    def combine(self, a, b):
+        return {"counts": a["counts"] + b["counts"]}
+
+    def inverse_combine(self, a, b):
+        return {"counts": a["counts"] - b["counts"]}
+
+    def lower(self, p):
+        counts = p["counts"]
+        total = counts.sum(axis=-1)
+        # ceil(pct·n / 100) in exact integers
+        k = (HISTQ_PCT * total + (100 - 1)) // 100
+        cum = np.cumsum(counts, axis=-1)
+        idx = np.argmax(cum >= k[..., None], axis=-1)
+        return (idx << HISTQ_SHIFT).astype(np.int64)
+
+    def accumulate(self, p, axis=0):
+        return {"counts": np.cumsum(p["counts"], axis=axis)}
+
+
+# ---------------------------------------------------------------------------
 # Collect — the order-sensitivity witness (object-array partials; test paths)
 # ---------------------------------------------------------------------------
 
@@ -830,6 +884,7 @@ def registry(dtype=np.float64) -> dict[str, Monoid]:
         "relvar": RelativeVariation(dtype),
         "bloom": BloomFilter(),
         "hll": HyperLogLog(),
+        "histq": HistogramQuantile(),
         "collect": Collect(),
         "busyloop": BusyLoop(),
     }

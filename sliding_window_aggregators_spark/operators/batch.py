@@ -47,6 +47,7 @@ _OUT_SPARK_TYPE = {
     "relvar": "double",
     "bloom": "bigint",
     "hll": "double",
+    "histq": "bigint",
     "argmax": "bigint",
 }
 

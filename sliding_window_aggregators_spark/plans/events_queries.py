@@ -375,6 +375,64 @@ from agg
 ORACLE_KERNEL_HLL = _hll_oracle()
 
 
+def q_kernel_p99(spark, sf_dir):
+    """Sliding p99 (histogram-quantile monoid through the kernel): per
+    user, the approximate 99th-percentile cents value of the last-100-rows
+    window from a 64-bucket fixed-grid histogram — the sketch family's
+    quantile member (functions/monoids.py HistogramQuantile), and the
+    invertible-VECTOR-partial case: SubtractOnEvict's O(1) fast path on a
+    64-lane count partial."""
+    df = _events(spark, sf_dir)
+    return sliding_rows_kernel(
+        df, "user_id", ["ts", "event_id"], "cents", "histq", W,
+        out="wp99_cents", id_cols=["user_id", "event_id"], int_values=True,
+    )
+
+
+def _histq_oracle() -> str:
+    from ..functions.monoids import HISTQ_B, HISTQ_PCT, HISTQ_SHIFT
+
+    width = 1 << HISTQ_SHIFT
+    # the same frame reconstruction as the HLL oracle (band self-join,
+    # O(n·w) — oracle-only), then the spec verbatim: smallest bucket whose
+    # running frame count reaches ceil(pct·n/100), emitted as bucket<<shift
+    return f"""
+with e0 as (
+  select user_id, event_id, {_CENTS} as cents,
+         row_number() over (partition by user_id order by ts, event_id) as rn
+  from events
+),
+r as (
+  select user_id, event_id, rn,
+         least(greatest(cents, 0) // {width}, {HISTQ_B - 1}) as bucket
+  from e0
+),
+frames as (
+  select a.user_id, a.event_id, b.bucket, count(*) as c
+  from r a join r b
+    on a.user_id = b.user_id and b.rn between a.rn - {W - 1} and a.rn
+  group by 1, 2, 3
+),
+tot as (select user_id, event_id, sum(c) as n from frames group by 1, 2),
+cum as (
+  select f.user_id, f.event_id, f.bucket,
+         sum(f.c) over (partition by f.user_id, f.event_id
+                        order by f.bucket) as cumc,
+         t.n
+  from frames f join tot t
+    on t.user_id = f.user_id and t.event_id = f.event_id
+)
+select user_id, event_id,
+       cast(min(bucket) * {width} as bigint) as wp99_cents
+from cum
+where cumc >= ({HISTQ_PCT} * n + 99) // 100
+group by user_id, event_id
+"""
+
+
+ORACLE_KERNEL_P99 = _histq_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Event-time windows: RANGE frame / tumbling / session / as-of join
 # ---------------------------------------------------------------------------
@@ -777,6 +835,7 @@ QUERIES = {
     "kernel_argmax_w100": q_kernel_argmax,
     "kernel_bloom_w100": q_kernel_bloom,
     "kernel_hll_w100": q_kernel_hll,
+    "kernel_p99_w100": q_kernel_p99,
     "time_range_sum_1h": q_time_range_sum,
     "time_range_sum_1h_kernel": q_time_range_sum_kernel,
     "ooo_range_sum_1h": q_ooo_range_sum,
@@ -805,6 +864,7 @@ ORACLES = {
     "kernel_argmax_w100": ORACLE_KERNEL_ARGMAX,
     "kernel_bloom_w100": ORACLE_KERNEL_BLOOM,
     "kernel_hll_w100": ORACLE_KERNEL_HLL,
+    "kernel_p99_w100": ORACLE_KERNEL_P99,
     "time_range_sum_1h": ORACLE_TIME_RANGE_SUM,
     "time_range_sum_1h_kernel": ORACLE_TIME_RANGE_SUM,
     "ooo_range_sum_1h": ORACLE_OOO_RANGE_SUM,
