@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..functions.monoids import get_monoid
+from ..operators.batch import _OUT_SPARK_TYPE
 from ..operators.kernels import sliding_time_window
 from ..operators.ordered import OrderedAggState
 
@@ -59,10 +60,7 @@ def sliding_agg_stream(
     dur_us = _interval_us(duration)
     monoid = get_monoid(monoid_name)
 
-    out_type = {"sum": "double", "count": "bigint", "max": "double",
-                "min": "double", "mean": "double", "geomean": "double",
-                "mincount": "bigint", "relvar": "double", "bloom": "bigint",
-                "stddev": "double"}[monoid_name]
+    out_type = _OUT_SPARK_TYPE[monoid_name]
     out_schema = f"{key} string, {ts_col} timestamp, {out_col} {out_type}"
 
     def fn(
@@ -155,10 +153,7 @@ def sliding_count_stream(
     into the state store between batches.
     """
     monoid = get_monoid(monoid_name)
-    out_type = {"sum": "double", "count": "bigint", "max": "double",
-                "min": "double", "mean": "double", "geomean": "double",
-                "mincount": "bigint", "relvar": "double", "bloom": "bigint",
-                "stddev": "double"}[monoid_name]
+    out_type = _OUT_SPARK_TYPE[monoid_name]
     out_schema = (
         f"{key} string, {ts_col} timestamp, {order_col} int, {out_col} {out_type}"
     )
@@ -233,10 +228,7 @@ def sliding_count_stream_tws(
     )
 
     monoid = get_monoid(monoid_name)
-    out_type = {"sum": "double", "count": "bigint", "max": "double",
-                "min": "double", "mean": "double", "geomean": "double",
-                "mincount": "bigint", "relvar": "double", "bloom": "bigint",
-                "stddev": "double"}[monoid_name]
+    out_type = _OUT_SPARK_TYPE[monoid_name]
     out_schema = (
         f"{key} string, {ts_col} timestamp, {order_col} int, {out_col} {out_type}"
     )

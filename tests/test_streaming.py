@@ -467,3 +467,61 @@ def test_hll_distinct_stream_matches_batch_spec(spark, stream_dirs):
     )
     for conv, g in pdf.groupby("conv_id"):
         assert latest[conv] == hll_py(g["text"].tolist())
+
+
+def test_sliding_agg_stream_histq_vector_partials(spark, stream_dirs):
+    """The histogram-quantile monoid (64-lane vector partials) through the
+    event-time stream engine: OrderedAggState serde + interval folds must
+    handle array-shaped partials; checked against a brute per-turn
+    recompute of the same spec."""
+    from sliding_window_aggregators_spark.functions.monoids import (
+        HISTQ_B,
+        HISTQ_PCT,
+        HISTQ_SHIFT,
+    )
+
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(400, 20)
+    _write_chunk(spark, src, pdf.iloc[:200], "c0")
+    _write_chunk(spark, src, pdf.iloc[200:], "c1")
+
+    stream = sliding_agg_stream(
+        _read_stream(spark, src),
+        monoid_name="histq",
+        value_expr="length(text)",
+        duration="2 minutes",
+        out_col="wp99",
+    )
+    q, sink = write_stream_exactly_once(stream, out, ckpt)
+    q.awaitTermination(120)
+    got = (
+        sink.read_committed(spark)
+        .select("conv_id", "ts", "wp99")
+        .toPandas()
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+
+    def brute_p99(vals):
+        import numpy as np
+
+        b = np.minimum(np.maximum(np.asarray(vals, dtype=np.int64), 0) >> HISTQ_SHIFT, HISTQ_B - 1)
+        counts = np.bincount(b, minlength=HISTQ_B)
+        k = (HISTQ_PCT * counts.sum() + 99) // 100
+        return int(np.argmax(np.cumsum(counts) >= k) << HISTQ_SHIFT)
+
+    exp_rows = []
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values("ts")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        lens = g["text"].str.len().to_numpy()
+        for i in range(len(g)):
+            mask = ts[: i + 1] >= ts[i] - 120_000_000
+            exp_rows.append((conv, g["ts"].iloc[i], brute_p99(lens[: i + 1][mask])))
+    exp = (
+        pd.DataFrame(exp_rows, columns=["conv_id", "ts", "wp99"])
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert got["wp99"].tolist() == exp["wp99"].tolist()
