@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "repetition_ratio",
     "tfidf_top_terms",
     "pii_scan",
+    "pricing_summary",
+    "customer_running_total",
+    "region_revenue",
 ]
 
 # window grid: a sample of benchmark_driver's 2^2..2^22 (full grid in

@@ -34,6 +34,12 @@ def all_queries():
         q.update(pipeline_queries.QUERIES)
     except ImportError:
         pass
+    try:
+        from . import tpch_queries
+
+        q.update(tpch_queries.QUERIES)
+    except ImportError:
+        pass
     return q
 
 
@@ -62,6 +68,12 @@ def all_oracles():
         from . import pipeline_queries
 
         o.update(pipeline_queries.ORACLES)
+    except ImportError:
+        pass
+    try:
+        from . import tpch_queries
+
+        o.update(tpch_queries.ORACLES)
     except ImportError:
         pass
     return o

@@ -72,3 +72,25 @@ def test_pii_scan_is_shuffle_free(spark):
     # to exactly the two columns the projection needs
     assert "*(1) Project" in plan, plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_region_revenue_broadcasts_dimensions(spark):
+    """The star query must broadcast the dimension chain: three
+    BroadcastHashJoins, no SortMergeJoin, no shuffle of the fact side
+    before the aggregate."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["region_revenue"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark):
+    """Q1 shape: the shipdate filter must reach the parquet scan and the
+    scan must read only the 6 needed columns (of 11)."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["pricing_summary"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1], plan
