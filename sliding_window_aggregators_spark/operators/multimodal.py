@@ -116,6 +116,47 @@ def thumbnail_dims(width: np.ndarray, height: np.ndarray, max_side: int = 128):
     return tw, th
 
 
+def media_metadata(media: DataFrame, max_side: int = 128) -> DataFrame:
+    """Metadata-only pass: thumbnail fit, frame sampling, audio duration —
+    everything :func:`media_features` derives WITHOUT touching pixel data
+    (the production shape: container headers/EXIF are bytes-cheap; pixel
+    decode is the expensive stage you run only when features are asked
+    for). Same output columns as the meta projection of media_features;
+    one mapInPandas pass that reads blob LENGTHS but never decodes."""
+
+    def gen(batches):
+        for pdf in batches:
+            tw, th = thumbnail_dims(
+                pdf["width"].to_numpy(), pdf["height"].to_numpy(), max_side
+            )
+            n_frames = pdf["n_frames"].to_numpy()
+            sampled = np.where(
+                pdf["kind"].to_numpy() == "video", (n_frames + 3) // 4, 0
+            ).astype("int32")
+            blob_bytes = np.array([len(b) for b in pdf["blob"]], dtype=np.int64)
+            duration_us = np.where(
+                pdf["kind"].to_numpy() == "audio",
+                (blob_bytes * 1_000_000) // np.maximum(pdf["sample_rate"].to_numpy(), 1),
+                0,
+            ).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "thumb_w": tw,
+                    "thumb_h": th,
+                    "sampled_frames": sampled,
+                    "audio_usec": duration_us,
+                }
+            )
+
+    return media.mapInPandas(
+        gen,
+        "doc_id long, kind string, thumb_w int, thumb_h int, "
+        "sampled_frames int, audio_usec long",
+    )
+
+
 def media_features(media: DataFrame, max_side: int = 128) -> DataFrame:
     """Decode (stub) → resize dims → per-media features, one mapInPandas
     pass: mean/std of the decoded plane, a 4-bin histogram feature vector,

@@ -11,7 +11,7 @@ through feature extraction — not SQL-expressible → rows-only + pytest.
 
 from __future__ import annotations
 
-from ..operators.multimodal import media_features, synth_media
+from ..operators.multimodal import media_features, media_metadata, synth_media
 
 
 def _media(spark, sf_dir):
@@ -20,10 +20,12 @@ def _media(spark, sf_dir):
 
 
 def q_multimodal_meta(spark, sf_dir):
-    feats = media_features(_media(spark, sf_dir))
-    return feats.select(
-        "doc_id", "kind", "thumb_w", "thumb_h", "sampled_frames", "audio_usec"
-    )
+    """Metadata extraction only — runs the decode-FREE pass
+    (operators/multimodal.py media_metadata): a metadata pipeline must
+    not pay for pixel decode, exactly as a production pipeline reads
+    container headers without demuxing frames. (media_features' meta
+    columns are pinned equal to this in tests/test_multimodal.py.)"""
+    return media_metadata(_media(spark, sf_dir))
 
 
 ORACLE_MULTIMODAL_META = """

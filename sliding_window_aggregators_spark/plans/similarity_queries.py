@@ -233,6 +233,9 @@ def q_ann_ivf_topk(spark, sf_dir):
                 6,
             ),
         )
+        # assignment AND probes both rank this K×N score table — persist so
+        # the centroid dot products (the expensive leg) run once, not twice
+        .persist()
     )
     wa = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
     assign = (

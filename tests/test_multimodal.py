@@ -68,3 +68,20 @@ def test_media_features_matches_python_oracle(spark):
             assert row.sampled_frames == (8 + i % 24 + 3) // 4
         if kind == "audio":
             assert row.audio_usec == (w * h // 16) * 1_000_000 // 16000
+
+
+def test_media_metadata_matches_features_meta_columns(spark):
+    """The decode-free metadata pass must agree with the full feature
+    pass on every shared column."""
+    from sliding_window_aggregators_spark.operators.multimodal import (
+        media_features,
+        media_metadata,
+        synth_media,
+    )
+
+    docs = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    media = synth_media(spark, docs)
+    cols = ["doc_id", "kind", "thumb_w", "thumb_h", "sampled_frames", "audio_usec"]
+    a = media_metadata(media).select(cols).toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = media_features(media).select(cols).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
