@@ -273,9 +273,22 @@ BENCH_r*.json `kernel_turns_per_sec` (windows 2^2..2^22): sum ≈ 30-35M
 turns/s, geomean ≈ 15-22M turns/s, bloom ≈ 0.1-0.4M turns/s (512-byte
 partials; the reference also runs bloom at 25-100× fewer iterations).
 """
-    with open(os.path.join(HERE, "BENCH", "BASELINE.md"), "w") as fh:
+    # preserve hand-written history: everything from the first "##
+    # Measurement variance" marker on survives a re-run (the generated
+    # part is only the header + fresh tables above it)
+    path = os.path.join(HERE, "BENCH", "BASELINE.md")
+    marker = "## Measurement variance"
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        idx = old.find(marker)
+        if idx >= 0:
+            tail = old[idx:]
+    with open(path, "w") as fh:
         fh.write(md)
-    print("wrote BENCH/BASELINE.md")
+        if tail:
+            fh.write("\n" + tail)
+    print("wrote BENCH/BASELINE.md (history preserved)" if tail else "wrote BENCH/BASELINE.md")
 
 
 if __name__ == "__main__":
