@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "embed_neardup_lsh",
     "shared_windows_3x",
+    "shared_hll_3x",
     "multimodal_meta",
     "multimodal_features",
     "hll_users_by_type",

@@ -590,6 +590,77 @@ from {_EV}
 """
 
 
+_DAY_US = 86_400_000_000
+_SHARED_HLL_DURS = {"hll_1d": _DAY_US, "hll_7d": 7 * _DAY_US, "hll_30d": 30 * _DAY_US}
+
+
+def q_shared_hll(spark, sf_dir):
+    """Window sharing × sketch: per user, the HLL distinct-count estimate
+    of transaction values over THREE event-time horizons (1d/7d/30d),
+    answered from ONE shared per-key state — the rangeQuery shared-window
+    mode with a vector-partial sketch monoid instead of a scalar sum.
+    Hash JVM-side; the kernel folds (…,64) register partials once per
+    duration from one sort + one prefix structure."""
+    df = _events(spark, sf_dir).withColumn(
+        "h",
+        F.expr(
+            "cast(conv(substring(md5(cast(cents as string)), 1, 15), 16, 10) as bigint)"
+        ),
+    )
+    return sliding_time_kernel_partitioned(
+        df, "user_id", "ts", "h", "hll", dict(_SHARED_HLL_DURS),
+        id_cols=["user_id", "event_id"], tiebreak=["event_id"], int_values=True,
+    )
+
+
+def _shared_hll_oracle() -> str:
+    from ..functions.monoids import HLL_ALPHA_M2_SCALED, HLL_M, HLL_P, HLL_RHO_CAP
+
+    base = f"""
+with e0 as (
+  select user_id, event_id, ts, {_CENTS} as cents from events
+),
+r as (
+  select user_id, event_id, ts,
+         hv % {HLL_M} as b,
+         case when (hv >> {HLL_P}) = 0 then {HLL_RHO_CAP}
+              else bit_count(((hv >> {HLL_P}) & -(hv >> {HLL_P})) - 1) + 1 end as rho
+  from (
+    select *, ('0x' || substr(md5(cast(cents as varchar)), 1, 15))::BIGINT as hv
+    from e0
+  )
+)"""
+    parts, joins = [], []
+    for col, dur in _SHARED_HLL_DURS.items():
+        parts.append(f"""
+frames_{col} as (
+  select a.user_id, a.event_id, b.b, max(b.rho) as m
+  from r a join r b
+    on a.user_id = b.user_id
+   and epoch_us(b.ts) between epoch_us(a.ts) - {dur} and epoch_us(a.ts)
+  group by 1, 2, 3
+),
+est_{col} as (
+  select user_id, event_id,
+         round({HLL_ALPHA_M2_SCALED!r} / cast(
+           sum((1::BIGINT << ({HLL_RHO_CAP} - m)))::BIGINT
+           + (({HLL_M} - count(*))::BIGINT << {HLL_RHO_CAP}) as double), 4) as {col}
+  from frames_{col} group by 1, 2
+)""")
+        joins.append(f"est_{col}")
+    sel = ", ".join(_SHARED_HLL_DURS)
+    q = base + "," + ",".join(parts) + f"""
+select user_id, event_id, {sel}
+from {joins[0]}
+join {joins[1]} using (user_id, event_id)
+join {joins[2]} using (user_id, event_id)
+"""
+    return q
+
+
+ORACLE_SHARED_HLL = _shared_hll_oracle()
+
+
 def q_tumbling_hour(spark, sf_dir):
     df = _events(spark, sf_dir)
     return (
@@ -841,6 +912,7 @@ QUERIES = {
     "ooo_range_sum_1h": q_ooo_range_sum,
     "sawtooth_sum_w50": q_sawtooth_sum,
     "shared_windows_3x": q_shared_windows,
+    "shared_hll_3x": q_shared_hll,
     "tumbling_sum_1h": q_tumbling_hour,
     "session_30m": q_session_30m,
     "asof_join_signup_purchase": q_asof_join,
@@ -870,6 +942,7 @@ ORACLES = {
     "ooo_range_sum_1h": ORACLE_OOO_RANGE_SUM,
     "sawtooth_sum_w50": ORACLE_SAWTOOTH_SUM,
     "shared_windows_3x": ORACLE_SHARED_WINDOWS,
+    "shared_hll_3x": ORACLE_SHARED_HLL,
     "tumbling_sum_1h": ORACLE_TUMBLING_HOUR,
     "session_30m": ORACLE_SESSION_30M,
     "asof_join_signup_purchase": ORACLE_ASOF_JOIN,
