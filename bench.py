@@ -111,6 +111,39 @@ def kernel_throughput(scale: int = 1) -> dict:
     return out
 
 
+def sketch_throughput(scale: int = 1) -> dict:
+    """Turns/sec for the beyond-reference sketch monoids (hll registers,
+    histq bucket counts — 64-lane vector partials) through the same
+    steady-state count-window loop as the main grid; reported under a
+    separate key so the main grid stays protocol-identical to the
+    reference's sum/geomean/bloom set."""
+    import numpy as np
+
+    from sliding_window_aggregators_spark.functions import get_monoid
+    from sliding_window_aggregators_spark.operators import SlidingCountWindow
+
+    n = max(2**16, 2**20 // scale)
+    vals = (1 + (np.arange(n) % 10007)).astype(np.int64)  # int inputs (hash/cents)
+    out = {}
+    sink = 0.0
+    for op in ("hll", "histq"):
+        for w in (2**6, 2**14):
+            m = get_monoid(op)
+            k = SlidingCountWindow(m, w)
+            warm = min(w, n // 2)
+            k.process(vals[:warm])
+            t0 = time.perf_counter()
+            step = 65536
+            i = warm
+            while i < n:
+                res = k.process(vals[i : i + step])
+                sink += float(res[-1])
+                i += step
+            out[f"{op}_w{w}"] = round((n - warm) / (time.perf_counter() - t0), 1)
+    out["_anti_dce"] = sink
+    return out
+
+
 def ooo_throughput() -> dict:
     """Out-of-order kernel throughput (≡ ooo_benchmark_driver: steady
     evict-oldest + insert at t−d + query, permanent OOO distance
@@ -241,6 +274,7 @@ def main() -> None:
         "queries": times,
         "sf": float(sf),
         "kernel_turns_per_sec": kt,
+        "sketch_turns_per_sec": sketch_throughput(scale),
         "ooo_turns_per_sec": ooo_throughput(),
         "kernel_latency": kernel_latency(),
         "cpus": cpus,
