@@ -94,11 +94,18 @@ def q_sliding_mean(spark, sf_dir):
 
 
 def q_sliding_geomean(spark, sf_dir):
+    """Geomean over (1 + cents): the shift keeps every input strictly
+    positive (the raw stream contains exact zeros at sf ≥ 0.1, where
+    ln(value) is an error in DuckDB and a null-skip in Spark — a
+    divergence, not a value), and 1 + cents is an exact integer both
+    engines lift identically."""
     df = _events(spark, sf_dir)
     return df.select(
         "user_id",
         "event_id",
-        F.round(F.exp(F.avg(F.log("value")).over(_w_rows())), 6).alias("wgeomean"),
+        F.round(
+            F.exp(F.avg(F.log(F.col("cents") + F.lit(1).cast("double"))).over(_w_rows())), 6
+        ).alias("wgeomean"),
     )
 
 
@@ -139,8 +146,9 @@ from {_EV} {_WIN}
 """
 
 ORACLE_SLIDING_GEOMEAN = f"""
-select user_id, event_id, round(exp(avg(ln(value)) over w), 6) as wgeomean
-from events {_WIN}
+select user_id, event_id,
+       round(exp(avg(ln(cast(1 + cents as double))) over w), 6) as wgeomean
+from {_EV} {_WIN}
 """
 
 ORACLE_SLIDING_ARGMAX = f"""

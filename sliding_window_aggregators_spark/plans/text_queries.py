@@ -362,32 +362,35 @@ from documents
 
 
 def q_quality_score(spark, sf_dir):
-    """Deterministic quality heuristic: length saturation + lexical
-    diversity + mean token length (ints → one double expression)."""
+    """Deterministic quality heuristic: length saturation (0.4 weight) +
+    lexical diversity (0.3) + mean token length saturation (0.3),
+    computed as ONE exact rational — numerator and denominator are
+    int64, so the single double division is bit-identical across engines
+    (a three-term float sum + round() was tie-fragile: Spark rounds the
+    shortest decimal repr, DuckDB the binary value; at sf0.1 two rows
+    landed on a .xxxxxx5 tie and differed in the 6th decimal).
+
+    quality = (nt·min(nc,400) + 300·nu + 30·min(10·nt, nc)) / (1000·nt)
+    ≡ 0.4·min(1, nc/400) + 0.3·(nu/nt) + 0.3·min(1, (nc/nt)/10)."""
     df = _docs(spark, sf_dir).withColumn("t", F.split("text", " "))
-    n_chars = F.length("text").cast("double")
-    n_tok = F.size("t").cast("double")
-    n_uniq = F.size(F.array_distinct("t")).cast("double")
-    score = F.round(
-        0.4 * F.least(F.lit(1.0), n_chars / 400.0)
-        + 0.3 * (n_uniq / n_tok)
-        + 0.3 * F.least(F.lit(1.0), (n_chars / n_tok) / 10.0),
-        6,
-    )
+    nc = F.length("text").cast("long")
+    nt = F.size("t").cast("long")
+    nu = F.size(F.array_distinct("t")).cast("long")
+    num = nt * F.least(nc, F.lit(400)) + 300 * nu + 30 * F.least(10 * nt, nc)
+    score = num.cast("double") / (1000 * nt).cast("double")
     return df.select("doc_id", score.alias("quality"))
 
 
 ORACLE_QUALITY_SCORE = """
 with t as (
-  select doc_id, cast(length(text) as double) as nc,
-         cast(len(string_split(text, ' ')) as double) as nt,
-         cast(len(list_distinct(string_split(text, ' '))) as double) as nu
+  select doc_id, cast(length(text) as bigint) as nc,
+         cast(len(string_split(text, ' ')) as bigint) as nt,
+         cast(len(list_distinct(string_split(text, ' '))) as bigint) as nu
   from documents
 )
 select doc_id,
-       round(0.4 * least(1.0, nc / 400.0)
-             + 0.3 * (nu / nt)
-             + 0.3 * least(1.0, (nc / nt) / 10.0), 6) as quality
+       cast(nt * least(nc, 400) + 300 * nu + 30 * least(10 * nt, nc) as double)
+         / cast(1000 * nt as double) as quality
 from t
 """
 
