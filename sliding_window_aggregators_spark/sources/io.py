@@ -3,7 +3,9 @@
 The reference's ``data_benchmark`` consumes CSV event datasets
 (cpp/src/data_benchmark.cc:102-140); this module gives every query the
 same data regardless of container: parquet (the primary columnar path —
-predicate pushdown + column pruning reach the scan), CSV and JSON-lines
+predicate pushdown + column pruning reach the scan), ORC (the other
+native columnar format — same pushdown/pruning machinery), CSV and
+JSON-lines
 (row formats — Spark still prunes columns at the parse step when a
 schema is supplied).
 
@@ -20,7 +22,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-_READERS = ("parquet", "csv", "json")
+_READERS = ("parquet", "orc", "csv", "json")
 
 
 def _infer_format(path: str, fmt: str | None) -> str:

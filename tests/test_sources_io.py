@@ -113,3 +113,23 @@ def test_bucketed_layout_scan_kernel_zero_shuffle(spark, tmp_path):
     )
     exp = {(r["user_id"], r["event_id"]): r["s"] for r in exp_df.collect()}
     assert got == exp
+
+
+def test_same_results_across_orc(spark, tmp_path):
+    """ORC — Spark's other native columnar format — must agree with
+    parquet, and its scan must get the same pushdown treatment."""
+    pq = read_table(spark, f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    orc_path = str(tmp_path / "events.orc")
+    write_table(pq, orc_path, fmt="orc")
+    orc = read_table(spark, orc_path)  # format inferred from extension
+    assert _agg(orc) == _agg(pq)
+    plan = (
+        orc.where(F.col("user_id") == 7)
+        .select("event_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]" in plan, plan
