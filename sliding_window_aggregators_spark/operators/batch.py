@@ -487,3 +487,51 @@ def with_cents(df: DataFrame, value: str = "value", out: str = "cents") -> DataF
     """Exact integer representation of a 2-decimal money column — makes
     sums/maxes bit-identical across engines (no float summation order)."""
     return df.withColumn(out, F.round(F.col(value) * 100).cast("long"))
+
+
+# SQL-expressible monoids: Catalyst has a native windowed aggregate whose
+# semantics match the monoid's lower(fold(...)) exactly for these
+_SQL_WINDOW_FN = {
+    "sum": "sum",
+    "count": "count",
+    "max": "max",
+    "min": "min",
+    "mean": "avg",
+}
+
+
+def sliding_rows_auto(
+    df: DataFrame,
+    key: str,
+    order: Sequence[str],
+    value: str,
+    monoid_name: str,
+    w: int,
+    out: str,
+    id_cols: Sequence[str] = (),
+    int_values: bool = False,
+) -> DataFrame:
+    """Physical-path dispatcher: the engine's public count-window entry.
+
+    Monoids Catalyst can express as a native ROWS-frame aggregate (sum /
+    count / max / min / mean) run as a plain ``Window.rowsBetween`` —
+    whole-stage codegen, zero Python. Everything else (Bloom, HLL,
+    HistogramQuantile, MinCount, RelVar, reference-exact GeoMean, ArgMax)
+    takes the partitioned kernel route
+    (:func:`sliding_rows_kernel_partitioned`). Same single shuffle on
+    ``key`` either way; tested result-equal where both paths apply."""
+    fn = _SQL_WINDOW_FN.get(monoid_name)
+    if fn is None:
+        return sliding_rows_kernel_partitioned(
+            df, key, order, value, monoid_name, w, out,
+            id_cols=id_cols, int_values=int_values,
+        )
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    id_cols = list(id_cols) or [key] + list(order)
+    win = Window.partitionBy(key).orderBy(*order).rowsBetween(-(w - 1), 0)
+    agg = getattr(F, fn)(F.lit(1) if monoid_name == "count" else value).over(win)
+    if monoid_name == "count":
+        agg = agg.cast("long")
+    return df.select(*id_cols, agg.alias(out))

@@ -106,3 +106,47 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.options(**options).format(fmt).save(path)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    fmt: str | None = None,
+) -> tuple[int, int]:
+    """Small-file compaction — the 100 TB operational chore: a streaming
+    sink or partitioned ingest leaves thousands of KB-scale files whose
+    per-file open/footer cost eventually dominates scans. Rewrites the
+    table with ``ceil(rows / target_rows_per_file)`` output files and
+    atomically swaps directories (write to ``<path>.__compact__``, rename
+    over). Returns (files_before, files_after).
+
+    In an Iceberg/production deployment this is the table format's
+    rewrite-data-files action; the directory swap stands in for the
+    snapshot commit."""
+    import math
+    import shutil
+
+    fmt = _infer_format(path, fmt)
+    df = read_table(spark, path, fmt=fmt)
+    n = df.count()
+    files_before = sum(
+        1
+        for _dir, _sub, files in os.walk(path)
+        for f in files
+        if not f.startswith(("_", "."))
+    )
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    tmp = path.rstrip("/") + ".__compact__"
+    df.repartition(n_files).write.mode("overwrite").format(fmt).save(tmp)
+    old = path.rstrip("/") + ".__old__"
+    os.rename(path.rstrip("/"), old)
+    os.rename(tmp, path.rstrip("/"))
+    shutil.rmtree(old)
+    files_after = sum(
+        1
+        for _dir, _sub, files in os.walk(path)
+        for f in files
+        if not f.startswith(("_", "."))
+    )
+    return files_before, files_after

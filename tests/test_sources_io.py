@@ -133,3 +133,18 @@ def test_same_results_across_orc(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]" in plan, plan
+
+
+def test_compact_table_reduces_files_preserving_rows(spark, tmp_path):
+    from sliding_window_aggregators_spark.sources.io import compact_table
+
+    path = str(tmp_path / "frag")
+    src = read_table(spark, f"{SF_DIR}/events.parquet")
+    src.repartition(40).write.parquet(path)  # fragment: 40 small files
+    before_rows = spark.read.parquet(path).count()
+    files_before, files_after = compact_table(spark, path, target_rows_per_file=10**6)
+    assert files_before >= 40
+    assert files_after == 1
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows
+    assert after.agg(F.sum("event_id")).collect() == src.agg(F.sum("event_id")).collect()

@@ -104,3 +104,41 @@ def test_entry_smoke(spark):
 
     df = entry.entry(spark)
     assert df.count() > 0
+
+
+def test_sliding_rows_auto_paths_agree(spark, transcripts):
+    """The dispatcher's two physical paths must be result-equal: for a
+    SQL-expressible monoid the auto route is a native Window frame (no
+    Python stage); for the rest it is the partitioned kernel. Both are
+    checked against each other on the same input."""
+    from sliding_window_aggregators_spark.operators.batch import (
+        sliding_rows_auto,
+        sliding_rows_kernel_partitioned,
+    )
+
+    args = ("conv_id", ["ts", "turn_idx"], "len", 10)
+    a = sliding_rows_auto(
+        transcripts, args[0], args[1], args[2], "sum", args[3],
+        out="w", id_cols=["conv_id", "turn_idx"], int_values=True,
+    )
+    b = sliding_rows_kernel_partitioned(
+        transcripts, args[0], args[1], args[2], "sum", args[3],
+        out="w", id_cols=["conv_id", "turn_idx"], int_values=True,
+    )
+    # SQL path emits double for sum; align types before compare
+    n_bad = (
+        a.select("conv_id", "turn_idx", F.col("w").cast("long").alias("w")).alias("a")
+        .join(b.alias("b"), ["conv_id", "turn_idx"])
+        .where("a.w <> b.w")
+        .count()
+    )
+    assert n_bad == 0
+    # SQL-expressible monoid → no Python stage in the plan
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+    # non-SQL monoid → kernel route
+    c = sliding_rows_auto(
+        transcripts, args[0], args[1], args[2], "mincount", args[3],
+        out="w", id_cols=["conv_id", "turn_idx"], int_values=True,
+    )
+    assert "MapInPandas" in c._jdf.queryExecution().executedPlan().toString()
