@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "repetition_ratio",
     "tfidf_top_terms",
     "pii_scan",
+    "decontaminate",
     "pricing_summary",
     "customer_running_total",
     "region_revenue",

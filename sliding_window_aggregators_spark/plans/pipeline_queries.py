@@ -475,8 +475,86 @@ from documents
 """
 
 
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_DECON_N = 4  # n-gram width: long enough that shared n-grams signal copying
+# (production decontamination uses 8-13; 4 fits this synthetic corpus's
+# n-gram repetition profile so the verdict column is actually exercised)
+_EVAL_MOD = 97  # doc_id % 97 == 0 → the held-out "benchmark" set
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    word-{n}-gram with the held-out eval set (doc_id % {mod} == 0 stands
+    in for the benchmark corpus). For each training document: the number
+    of distinct eval-overlapping {n}-grams and the contamination verdict.
+
+    Scale shape: the train and eval sides explode to (gram, doc) and meet
+    in an equi-join ON THE GRAM — never a doc×doc product; the eval gram
+    table is tiny relative to the corpus (and broadcastable when it fits,
+    which Catalyst decides from stats). Long n-grams make shared keys
+    rare, so the join output is sparse; the same hot-gram consideration
+    as MinHash applies if eval sets contain boilerplate (not the case at
+    {n}=8)."""
+    docs = _docs(spark, sf_dir)
+    grams = (
+        docs.withColumn("t", F.split("text", " "))
+        .where(F.size("t") >= _DECON_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {_DECON_N - 1}), "
+                    f"i -> concat_ws(' ', slice(t, i, {_DECON_N})))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    ev = grams.where(F.col("doc_id") % _EVAL_MOD == 0).select("g").distinct()
+    train = grams.where(F.col("doc_id") % _EVAL_MOD != 0)
+    hits = train.join(ev, "g").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_contaminated_grams")
+    )
+    base = docs.where(F.col("doc_id") % _EVAL_MOD != 0).select("doc_id")
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_contaminated_grams", F.lit(0)).alias("n_contaminated_grams"),
+        (F.coalesce("n_contaminated_grams", F.lit(0)) > 0).alias("is_contaminated"),
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+with toks as (
+  select doc_id, string_split(text, ' ') as t from documents
+),
+grams as (
+  select distinct doc_id, array_to_string(t[i:i+{_DECON_N - 1}], ' ') as g
+  from toks, lateral (
+    select unnest(range(1, greatest(len(t) - {_DECON_N - 2}, 1))) as i
+  )
+  where len(t) >= {_DECON_N}
+),
+ev as (select distinct g from grams where doc_id % {_EVAL_MOD} = 0),
+train as (select * from grams where doc_id % {_EVAL_MOD} <> 0),
+hits as (
+  select doc_id, count(*) as n_contaminated_grams
+  from train join ev using (g) group by doc_id
+)
+select d.doc_id,
+       coalesce(h.n_contaminated_grams, 0) as n_contaminated_grams,
+       coalesce(h.n_contaminated_grams, 0) > 0 as is_contaminated
+from documents d
+left join hits h on h.doc_id = d.doc_id
+where d.doc_id % {_EVAL_MOD} <> 0
+"""
+
+
 QUERIES = {
     "hll_users_by_type": q_hll_users_by_type,
+    "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
     "stratified_sample": q_stratified_sample,
     "repetition_ratio": q_repetition_ratio,
@@ -486,6 +564,7 @@ QUERIES = {
 
 ORACLES = {
     "hll_users_by_type": ORACLE_HLL_USERS_BY_TYPE,
+    "decontaminate": ORACLE_DECONTAMINATE,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "repetition_ratio": ORACLE_REPETITION_RATIO,
