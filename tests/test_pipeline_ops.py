@@ -230,6 +230,7 @@ def test_tfidf_top_terms_rank_and_tiebreak(spark):
         "repetition_ratio",
         "tfidf_top_terms",
         "pii_scan",
+        "decontaminate",
     ],
 )
 def test_pipeline_queries_vs_duckdb(spark, name):
