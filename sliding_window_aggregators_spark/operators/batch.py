@@ -532,6 +532,10 @@ def sliding_rows_auto(
     id_cols = list(id_cols) or [key] + list(order)
     win = Window.partitionBy(key).orderBy(*order).rowsBetween(-(w - 1), 0)
     agg = getattr(F, fn)(F.lit(1) if monoid_name == "count" else value).over(win)
-    if monoid_name == "count":
-        agg = agg.cast("long")
-    return df.select(*id_cols, agg.alias(out))
+    # the two routes must be schema-interchangeable: cast the native
+    # aggregate to the same output type the kernel path declares (e.g.
+    # sum over a long column is bigint natively but double via the
+    # monoid). NULL semantics precondition (both routes): a non-null
+    # value column — native aggregates skip NULLs while the kernel lifts
+    # them into the partial, so null-bearing inputs are out of contract.
+    return df.select(*id_cols, agg.cast(_OUT_SPARK_TYPE[monoid_name]).alias(out))

@@ -38,6 +38,12 @@ from ..operators.batch import (
 # exercised by pytest lockstep tests.
 sliding_rows_kernel = sliding_rows_kernel_partitioned
 
+def _cents_md5_60() -> str:
+    from .pipeline_queries import spark_md5_60
+
+    return spark_md5_60("cents")
+
+
 W = 100  # the reference test window (cpp/src/test.cc:83)
 HOUR_US = 3_600_000_000
 
@@ -328,9 +334,7 @@ def q_kernel_hll(spark, sf_dir):
     is computed JVM-side; the kernel only scatter/max-scans registers."""
     df = _events(spark, sf_dir).withColumn(
         "h",
-        F.expr(
-            "cast(conv(substring(md5(cast(cents as string)), 1, 15), 16, 10) as bigint)"
-        ),
+        F.expr(_cents_md5_60()),
     )
     return sliding_rows_kernel(
         df, "user_id", ["ts", "event_id"], "h", "hll", W,
@@ -611,9 +615,7 @@ def q_shared_hll(spark, sf_dir):
     duration from one sort + one prefix structure."""
     df = _events(spark, sf_dir).withColumn(
         "h",
-        F.expr(
-            "cast(conv(substring(md5(cast(cents as string)), 1, 15), 16, 10) as bigint)"
-        ),
+        F.expr(_cents_md5_60()),
     )
     return sliding_time_kernel_partitioned(
         df, "user_id", "ts", "h", "hll", dict(_SHARED_HLL_DURS),

@@ -44,11 +44,21 @@ from ..functions.monoids import (  # noqa: E402
     HLL_P as _HLL_P,
 )
 
-# 60-bit hash from the md5 hex prefix — identical in Spark and DuckDB
-_SPARK_H60 = (
-    "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)"
-)
-_DUCK_H60 = "(('0x' || substr(md5(cast(user_id as varchar)), 1, 15))::BIGINT)"
+# 60-bit hash from the md5 hex prefix — identical in Spark and DuckDB.
+# THE one definition of the HLL input hash: every batch/kernel/streaming
+# HLL form and every oracle builds its hash through these two helpers.
+
+
+def spark_md5_60(expr: str) -> str:
+    return f"cast(conv(substring(md5(cast(({expr}) as string)), 1, 15), 16, 10) as bigint)"
+
+
+def duck_md5_60(expr: str) -> str:
+    return f"(('0x' || substr(md5(cast(({expr}) as varchar)), 1, 15))::BIGINT)"
+
+
+_SPARK_H60 = spark_md5_60("user_id")
+_DUCK_H60 = duck_md5_60("user_id")
 
 
 def q_hll_users_by_type(spark, sf_dir):
@@ -305,7 +315,9 @@ def repetition_ratio_df(docs):
         "doc_id",
         "n_grams",
         "max_rep",
-        F.round(F.col("max_rep").cast("double") / F.col("n_grams"), 6).alias("rep_ratio"),
+        # floor parts-per-million (see tfidf: round(double) of a simple
+        # rational is a cross-engine tie hazard; integer ppm is exact)
+        F.expr("(max_rep * cast(1000000 as bigint)) div n_grams").alias("rep_ppm"),
         "top_gram",
     )
     all_docs = docs.select("doc_id")
@@ -315,7 +327,7 @@ def repetition_ratio_df(docs):
             "doc_id",
             F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
             F.coalesce("max_rep", F.lit(0)).alias("max_rep"),
-            F.coalesce("rep_ratio", F.lit(0.0)).alias("rep_ratio"),
+            F.coalesce("rep_ppm", F.lit(0)).alias("rep_ppm"),
             F.coalesce("top_gram", F.lit("")).alias("top_gram"),
         )
     )
@@ -336,7 +348,7 @@ top as (
 select d.doc_id,
        coalesce(a.n_grams, 0) as n_grams,
        coalesce(a.max_rep, 0) as max_rep,
-       coalesce(round(cast(a.max_rep as double) / a.n_grams, 6), 0.0) as rep_ratio,
+       coalesce((a.max_rep * 1000000::BIGINT) // a.n_grams, 0) as rep_ppm,
        coalesce(t.top_gram, '') as top_gram
 from documents d
 left join agg a on a.doc_id = d.doc_id
@@ -373,6 +385,10 @@ def q_tfidf_top_terms(spark, sf_dir):
         "score", F.col("tf").cast("double") / F.col("df")
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    # display score = exact integer parts-per-million via FLOOR division —
+    # round(double, 6) of a simple rational like 1/3200 (= 0.0003125, a
+    # 7th-decimal tie) rounds differently in Spark (shortest-decimal-repr
+    # HALF_UP) and DuckDB (binary value); floor ppm is engine-independent
     return (
         scored.withColumn("term_rank", F.row_number().over(w))
         .where(F.col("term_rank") <= _TFIDF_K)
@@ -381,7 +397,7 @@ def q_tfidf_top_terms(spark, sf_dir):
             F.col("tok").alias("term"),
             "tf",
             "df",
-            F.round("score", 6).alias("score"),
+            F.expr("(tf * cast(1000000 as bigint)) div df").alias("score_ppm"),
             "term_rank",
         )
     )
@@ -404,7 +420,8 @@ rk as (
   ) as term_rank
   from scored
 )
-select doc_id, tok as term, tf, df, round(score, 6) as score, term_rank
+select doc_id, tok as term, tf, df,
+       (tf * 1000000::BIGINT) // df as score_ppm, term_rank
 from rk where term_rank <= {_TFIDF_K}
 """
 
@@ -487,17 +504,19 @@ _EVAL_MOD = 97  # doc_id % 97 == 0 → the held-out "benchmark" set
 
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: flag training documents sharing any
-    word-{n}-gram with the held-out eval set (doc_id % {mod} == 0 stands
-    in for the benchmark corpus). For each training document: the number
-    of distinct eval-overlapping {n}-grams and the contamination verdict.
+    word-_DECON_N-gram (4 here) with the held-out eval set (doc_id %
+    _EVAL_MOD == 0 stands in for the benchmark corpus). For each training
+    document: the number of distinct eval-overlapping grams and the
+    contamination verdict.
 
     Scale shape: the train and eval sides explode to (gram, doc) and meet
     in an equi-join ON THE GRAM — never a doc×doc product; the eval gram
     table is tiny relative to the corpus (and broadcastable when it fits,
-    which Catalyst decides from stats). Long n-grams make shared keys
-    rare, so the join output is sparse; the same hot-gram consideration
-    as MinHash applies if eval sets contain boilerplate (not the case at
-    {n}=8)."""
+    which Catalyst decides from stats). Longer n-grams make shared keys
+    rarer, so the join output is sparse. At the production widths (8-13)
+    hot grams are no concern; at this corpus's width (4) a boilerplate
+    gram shared by many documents WOULD fan the join out — the
+    MinHash-style df cap is the mitigation if that appears."""
     docs = _docs(spark, sf_dir)
     grams = (
         docs.withColumn("t", F.split("text", " "))

@@ -147,17 +147,22 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # similarity as exact integer parts-per-million via FLOOR division:
+    # round(double, 6) of a simple rational (|A∩B| / |A∪B|) is a
+    # cross-engine tie hazard (Spark rounds the shortest decimal repr,
+    # DuckDB the binary value — e.g. 1/3200 = 0.0003125 splits them);
+    # floor ppm of int64 counts is bit-identical by construction
     out = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sa"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sb"), "doc_b")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter").cast("double") / (F.col("sa") + F.col("sb") - F.col("inter")), 6
+            "jaccard_ppm",
+            F.expr(
+                "(inter * cast(1000000 as bigint)) div (sa + sb - inter)"
             ),
         )
-        .where(F.col("jaccard") >= _JACCARD_TAU)
-        .select("doc_a", "doc_b", "jaccard")
+        .where(F.col("jaccard_ppm") >= int(_JACCARD_TAU * 1_000_000))
+        .select("doc_a", "doc_b", "jaccard_ppm")
     )
     return out
 
@@ -171,11 +176,11 @@ inter as (
   group by 1, 2
 )
 select doc_a, doc_b,
-       round(cast(i as double) / (sa.sz + sb.sz - i), 6) as jaccard
+       (i * 1000000::BIGINT) // (sa.sz + sb.sz - i) as jaccard_ppm
 from inter
 join sizes sa on sa.doc_id = doc_a
 join sizes sb on sb.doc_id = doc_b
-where round(cast(i as double) / (sa.sz + sb.sz - i), 6) >= {_JACCARD_TAU}
+where (i * 1000000::BIGINT) // (sa.sz + sb.sz - i) >= {int(_JACCARD_TAU * 1_000_000)}
 """
 
 

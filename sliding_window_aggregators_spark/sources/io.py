@@ -113,21 +113,39 @@ def compact_table(
     path: str,
     target_rows_per_file: int = 1_000_000,
     fmt: str | None = None,
+    partition_by: list[str] | None = None,
 ) -> tuple[int, int]:
     """Small-file compaction — the 100 TB operational chore: a streaming
     sink or partitioned ingest leaves thousands of KB-scale files whose
     per-file open/footer cost eventually dominates scans. Rewrites the
     table with ``ceil(rows / target_rows_per_file)`` output files and
-    atomically swaps directories (write to ``<path>.__compact__``, rename
-    over). Returns (files_before, files_after).
+    swaps directories (write to ``<path>.__compact__``, then two renames).
+    Returns (files_before, files_after).
 
-    In an Iceberg/production deployment this is the table format's
-    rewrite-data-files action; the directory swap stands in for the
-    snapshot commit."""
+    Hive-partitioned tables MUST pass ``partition_by`` or the rewrite
+    flattens the directory layout (and loses partition pruning).
+
+    Crash-safety contract: the swap is two renames, not one atomic op —
+    a crash between them leaves the data intact at ``<path>.__old__``
+    (never lost, but the table path is briefly absent). Leftover
+    ``.__old__`` / ``.__compact__`` directories from an interrupted run
+    are cleaned up at the start of the next. In an Iceberg/production
+    deployment this whole dance is the table format's atomic
+    rewrite-data-files snapshot commit."""
     import math
     import shutil
 
     fmt = _infer_format(path, fmt)
+    base = path.rstrip("/")
+    tmp = base + ".__compact__"
+    old = base + ".__old__"
+    # recover from a previous interrupted run
+    if os.path.exists(old) and not os.path.exists(base):
+        os.rename(old, base)  # crash landed between the two renames
+    for leftover in (tmp, old):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+
     df = read_table(spark, path, fmt=fmt)
     n = df.count()
     files_before = sum(
@@ -137,11 +155,13 @@ def compact_table(
         if not f.startswith(("_", "."))
     )
     n_files = max(1, math.ceil(n / target_rows_per_file))
-    tmp = path.rstrip("/") + ".__compact__"
-    df.repartition(n_files).write.mode("overwrite").format(fmt).save(tmp)
-    old = path.rstrip("/") + ".__old__"
-    os.rename(path.rstrip("/"), old)
-    os.rename(tmp, path.rstrip("/"))
+    # write through write_table so format defaults (e.g. CSV headers)
+    # match what read_table expects on the way back in
+    write_table(
+        df.repartition(n_files), tmp, fmt=fmt, partition_by=partition_by
+    )
+    os.rename(base, old)
+    os.rename(tmp, base)
     shutil.rmtree(old)
     files_after = sum(
         1

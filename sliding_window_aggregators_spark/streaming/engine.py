@@ -389,15 +389,16 @@ def hll_distinct_stream(
     computed JVM-side BEFORE the stateful operator; the Python kernel
     only scatter-maxes 64 int8 registers per key per batch (no per-row
     Python, state is 64 bytes per key regardless of stream length)."""
-    # spec constants live with the batch twin
-    from ..plans.pipeline_queries import _HLL_C, _HLL_M, _HLL_P
+    # spec constants + the one hash definition live with the batch twin
+    from ..plans.pipeline_queries import _HLL_C, _HLL_M, _HLL_P, spark_md5_60
 
-    h = (
-        f"cast(conv(substring(md5(cast(({value_expr}) as string)), 1, 15), 16, 10)"
-        " as bigint)"
-    )
+    h = spark_md5_60(value_expr)
     prepared = (
         df.withColumn("__h", F.expr(h))
+        # NULL values contribute nothing to a distinct count; without this
+        # filter md5(NULL) → NULL → NaN would reach the register scatter as
+        # an unsafe int cast (INT64_MIN index → executor IndexError)
+        .where(F.col("__h").isNotNull())
         .withColumn("__b", F.expr(f"__h % {_HLL_M}"))
         .withColumn("__r", F.expr(f"shiftright(__h, {_HLL_P})"))
         .withColumn(

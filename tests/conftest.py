@@ -29,3 +29,28 @@ def ref_stream(n: int) -> np.ndarray:
     """The reference's synthetic value stream 1 + (i % 101)
     (cpp/src/benchmark_core.h:115)."""
     return (1 + (np.arange(n) % 101)).astype(float)
+
+
+def hll_reference(values):
+    """First-principles Python implementation of the repo's HLL spec
+    (functions/monoids.py constants) — THE test oracle for every HLL
+    form (batch query, kernel monoid, streaming state)."""
+    import hashlib
+
+    from sliding_window_aggregators_spark.functions.monoids import (
+        HLL_ALPHA_M2_SCALED,
+        HLL_M,
+        HLL_P,
+        HLL_RHO_CAP,
+    )
+
+    regs = {}
+    for v in values:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        b = h % HLL_M
+        r = h >> HLL_P
+        rho = HLL_RHO_CAP if r == 0 else ((r & -r).bit_length() - 1) + 1
+        regs[b] = max(regs.get(b, 0), rho)
+    s = sum(1 << (HLL_RHO_CAP - m) for m in regs.values())
+    s += (HLL_M - len(regs)) * (1 << HLL_RHO_CAP)
+    return round(HLL_ALPHA_M2_SCALED / float(s), 4)

@@ -2,7 +2,6 @@
 the packing kernel, the HLL sketch spec, and the PII scan, plus
 invariant checks on the driver queries at sf0.001."""
 
-import hashlib
 import os
 
 import numpy as np
@@ -11,9 +10,6 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from sliding_window_aggregators_spark.plans.pipeline_queries import (
-    _HLL_C,
-    _HLL_M,
-    _HLL_P,
     _PACK_BUDGET,
     _PACK_SHARDS,
     _SAMPLE_K,
@@ -84,17 +80,7 @@ def test_pack_sequences_budget_invariant(spark):
 # ---------------------------------------------------------------------------
 
 
-def hll_py(values):
-    regs = {}
-    for v in values:
-        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
-        b = h % _HLL_M
-        r = h >> _HLL_P
-        rho = 55 if r == 0 else ((r & -r).bit_length() - 1) + 1
-        regs[b] = max(regs.get(b, 0), rho)
-    s = sum(1 << (55 - m) for m in regs.values())
-    s += (_HLL_M - len(regs)) * (1 << 55)
-    return round(_HLL_C / float(s), 4)
+from conftest import hll_reference as hll_py  # one spec oracle for all HLL forms
 
 
 def test_hll_query_matches_python_oracle(spark):
@@ -164,8 +150,8 @@ def test_repetition_ratio_planted(spark):
     assert got[1]["n_grams"] == 7
     assert got[1]["max_rep"] == 3
     assert got[1]["top_gram"] == "a b c"
-    assert got[1]["rep_ratio"] == round(3 / 7, 6)
-    assert got[2]["n_grams"] == 0 and got[2]["rep_ratio"] == 0.0
+    assert got[1]["rep_ppm"] == (3 * 1_000_000) // 7
+    assert got[2]["n_grams"] == 0 and got[2]["rep_ppm"] == 0
     assert got[3]["max_rep"] == 1 and got[3]["top_gram"] == "p q r"
 
 

@@ -426,26 +426,8 @@ def test_hll_distinct_stream_matches_batch_spec(spark, stream_dirs):
     """Streaming HLL: after all chunks, each key's latest estimate equals
     the batch-spec (first-principles Python) HLL over the key's values —
     the register merge is order/replay-insensitive."""
-    import hashlib
-
-    from sliding_window_aggregators_spark.plans.pipeline_queries import (
-        _HLL_C,
-        _HLL_M,
-        _HLL_P,
-    )
+    from conftest import hll_reference as hll_py
     from sliding_window_aggregators_spark.streaming import hll_distinct_stream
-
-    def hll_py(values):
-        regs = {}
-        for v in values:
-            h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
-            b = h % _HLL_M
-            r = h >> _HLL_P
-            rho = 55 if r == 0 else ((r & -r).bit_length() - 1) + 1
-            regs[b] = max(regs.get(b, 0), rho)
-        s = sum(1 << (55 - m) for m in regs.values())
-        s += (_HLL_M - len(regs)) * (1 << 55)
-        return round(_HLL_C / float(s), 4)
 
     src, out, ckpt = stream_dirs
     pdf = transcripts_pandas(400, 10)
