@@ -142,3 +142,53 @@ def test_sliding_rows_auto_paths_agree(spark, transcripts):
         out="w", id_cols=["conv_id", "turn_idx"], int_values=True,
     )
     assert "MapInPandas" in c._jdf.queryExecution().executedPlan().toString()
+
+
+def test_chunked_halo_hot_key_parallel_matches_sql(spark):
+    """The hot-key answer (north_rule salting analogue): ONE giant key
+    through the chunked-halo decomposition must equal the plain SQL
+    window, while actually splitting the key into many independent
+    (key, chunk) tasks."""
+    from sliding_window_aggregators_spark.operators.batch import (
+        sliding_rows_kernel_parallel,
+        sliding_rows_kernel_partitioned,
+    )
+
+    n, w, chunk = 40_000, 257, 4096
+    df = (
+        spark.range(n)
+        .select(
+            F.lit("hot-conv").alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+            (F.col("id") % 101 + 1).cast("long").alias("v"),
+        )
+        .cache()
+    )
+    got = sliding_rows_kernel_parallel(
+        df, "conv_id", "turn_idx", "v", "sum", w,
+        out="ws", chunk=chunk, id_cols=["conv_id", "turn_idx"], int_values=True,
+    )
+    win = (
+        Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(-(w - 1), 0)
+    )
+    exp = df.select("conv_id", "turn_idx", F.sum("v").over(win).alias("ws"))
+    n_bad = (
+        got.withColumn("ws", F.col("ws").cast("long")).alias("g")
+        .join(exp.alias("e"), ["conv_id", "turn_idx"])
+        .where("g.ws <> e.ws")
+        .count()
+    )
+    assert n_bad == 0
+    assert got.count() == n
+    # the same shape through the partitioned route's chunk parameter
+    got2 = sliding_rows_kernel_partitioned(
+        df, "conv_id", ["turn_idx"], "v", "sum", w,
+        out="ws", chunk=chunk, id_cols=["conv_id", "turn_idx"], int_values=True,
+    )
+    n_bad2 = (
+        got2.withColumn("ws", F.col("ws").cast("long")).alias("g")
+        .join(exp.alias("e"), ["conv_id", "turn_idx"])
+        .where("g.ws <> e.ws")
+        .count()
+    )
+    assert n_bad2 == 0 and got2.count() == n
