@@ -45,6 +45,7 @@ from ..functions.monoids import (
     Monoid,
     Partial,
     p_concat,
+    p_copy,
     p_len,
     p_slice,
     p_take,
@@ -138,7 +139,13 @@ class OrderedAggState:
     def _flush_repairs(self) -> None:
         if self._dirty is not None:
             if self._n:
-                self._repair(*self._dirty)
+                # clamp to the live window: ancestors of already-evicted
+                # leaves are never decomposed into by folds, so repairing
+                # them after a large bulk_evict would be pure waste (an
+                # O(evicted) latency spike on the first query)
+                a = max(self._dirty[0], self._lo)
+                b = min(self._dirty[1], self._lo + self._n)
+                self._repair(a, b)
             self._dirty = None
 
     def _write(self, at: int, ts_vals: np.ndarray, parts: Partial) -> None:
@@ -227,9 +234,13 @@ class OrderedAggState:
         ts = np.asarray(ts, dtype=self._ts_dtype)
         if len(ts) == 0:
             return
-        order = np.argsort(ts, kind="stable")
-        ts = ts[order]
-        partials = p_take(partials, order)
+        if len(ts) > 1 and not bool((ts[1:] >= ts[:-1]).all()):
+            # only unsorted batches pay the argsort + full partial copy;
+            # the hot streaming path pre-sorts each micro-batch, making
+            # already-sorted the common case
+            order = np.argsort(ts, kind="stable")
+            ts = ts[order]
+            partials = p_take(partials, order)
         self._query_cache = None
 
         strictly_inc = len(ts) == 1 or bool((ts[1:] > ts[:-1]).all())
@@ -308,16 +319,22 @@ class OrderedAggState:
 
     # ------------------------------------------------------------------
     def at(self, t) -> Partial | None:
-        """Partial stored at exactly t (FiBA at(), FiBA.hpp:1661)."""
+        """Partial stored at exactly t (FiBA at(), FiBA.hpp:1661).
+        Returns a detached COPY — a snapshot, not a live view (a view
+        would silently track later combines at t, then freeze to a stale
+        buffer whenever _grow re-seats the arrays)."""
         i = int(np.searchsorted(self.ts, t, side="left"))
         if i < self._n and self.ts[i] == t:
-            return p_take(self.partials, slice(i, i + 1))
+            return p_copy(p_take(self.partials, slice(i, i + 1)))
         return None
 
     def query_partial(self) -> Partial:
+        """Fold over the whole live window. Returns a detached COPY so a
+        caller mutating the result (e.g. in-place combine arithmetic)
+        cannot poison the internal query cache."""
         if self._query_cache is None:
             self._query_cache = self._range_fold(self._lo, self._lo + self._n)
-        return self._query_cache
+        return p_copy(self._query_cache)
 
     def query(self):
         return self.m.lower1(self.query_partial())
@@ -361,6 +378,22 @@ class OrderedAggState:
         d = pickle.loads(blob)
         if d.get("v") != 1:
             raise ValueError(f"unsupported OrderedAggState state version: {d.get('v')}")
+        # the version tag alone can't catch a monoid/config change between
+        # job runs; mismatched partial schemas would otherwise corrupt
+        # silently (float state truncated into an int monoid) or die deep
+        # inside _write with an opaque KeyError
+        ident = monoid.identity(1)
+        if set(d["partials"]) != set(ident):
+            raise ValueError(
+                f"state/monoid mismatch: stored partial fields "
+                f"{sorted(d['partials'])} != {monoid.name!r} fields {sorted(ident)}"
+            )
+        for k, v in d["partials"].items():
+            if v.dtype != ident[k].dtype:
+                raise ValueError(
+                    f"state/monoid dtype mismatch on field {k!r}: stored "
+                    f"{v.dtype} != {monoid.name!r} {ident[k].dtype}"
+                )
         st = cls(monoid, ts_dtype=d["ts"].dtype)
         if len(d["ts"]):
             st._grow(0, d["ts"], d["partials"])

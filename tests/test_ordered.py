@@ -5,6 +5,7 @@ cpp/src/bulk_test.cc, FIXTURES.md §F4-F6)."""
 from collections import Counter
 
 import numpy as np
+import pytest
 
 from sliding_window_aggregators_spark.functions import get_monoid
 from sliding_window_aggregators_spark.operators import OrderedAggState
@@ -204,3 +205,58 @@ def test_bulk_evict_is_offset_only_zero_combines():
     assert m.combined == 0
     assert st.size() == n - n // 2 - 1
     assert st.query() == st.size()
+
+
+def test_at_and_query_partial_return_detached_snapshots():
+    """at()/query_partial() hand out copies: later mutations must not leak
+    into held snapshots, and caller mutations must not poison the cache."""
+    m = get_monoid("sum")
+    st = OrderedAggState(m)
+    st.bulk_insert(np.array([1, 2, 3]), m.lift(np.array([10.0, 20.0, 30.0])))
+    snap = st.at(2)
+    st.insert(2, m.lift1(5.0))  # combine-in-place at existing ts
+    assert float(snap["v"][0]) == 20.0  # snapshot unchanged
+    assert float(st.at(2)["v"][0]) == 25.0
+    qp = st.query_partial()
+    qp["v"][0] = 999.0  # caller scribbles on the result
+    assert st.query() == 65.0  # cache unpoisoned (10+25+30)
+
+
+def test_loads_rejects_monoid_mismatch():
+    m = get_monoid("sum")
+    st = OrderedAggState(m)
+    st.bulk_insert(np.array([1, 2]), m.lift(np.array([1.0, 2.0])))
+    blob = st.dumps()
+    with pytest.raises(ValueError, match="mismatch"):
+        OrderedAggState.loads(blob, get_monoid("mean"))
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        OrderedAggState.loads(blob, get_monoid("sum", np.int64))
+    # matching monoid still round-trips
+    st2 = OrderedAggState.loads(blob, get_monoid("sum"))
+    assert st2.query() == 3.0
+
+
+def test_flush_after_huge_evict_is_cheap():
+    """The dirty span is clamped to the live window: after evicting almost
+    everything, the first fold must repair only the survivors' ancestors
+    (counted via a combine-counting monoid wrapper)."""
+    m = get_monoid("sum")
+
+    class CountingSum(type(m)):
+        calls = 0
+
+        def combine(self, a, b):
+            CountingSum.calls += max(
+                len(next(iter(a.values()))) if a else 1, 1
+            )
+            return super().combine(a, b)
+
+    cm = CountingSum()
+    st = OrderedAggState(cm)
+    n = 16384
+    ts = np.arange(n, dtype=np.int64)
+    st.bulk_insert(ts, cm.lift(np.ones(n)))
+    st.bulk_evict(int(ts[-11]))  # keep the last 10
+    CountingSum.calls = 0
+    assert st.query() == 10.0
+    assert CountingSum.calls < 200, CountingSum.calls  # not O(evicted)
