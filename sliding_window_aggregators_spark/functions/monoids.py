@@ -772,6 +772,7 @@ class Collect(Monoid):
     name = "collect"
     commutative = False
     invertible = True  # inverse_combine removes elements (hpp:426)
+    scan2d = False  # accumulate is 1-D-only → kernels dispatch two-stacks
 
     def lift(self, values):
         return {"ls": _obj_array([(v,) for v in np.asarray(values).tolist()])}

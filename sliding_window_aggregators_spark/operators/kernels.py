@@ -236,9 +236,10 @@ class SubtractOnEvictKernel:
         self.size = 0
         self.total: Partial = monoid.identity(1)
 
-    def _grow_phase(self, p: Partial) -> Partial | None:
-        """Handle rows while size < w without a ring. Returns the remaining
-        suffix of ``p`` to process in ring mode (None if fully consumed)."""
+    def _grow_phase(self, p: Partial) -> tuple[Partial, Partial | None]:
+        """Handle rows while size < w without a ring. Returns (per-row
+        outputs for the consumed prefix, remaining suffix of ``p`` to
+        process in ring mode — None if fully consumed)."""
         m, w = self.m, self.w
         n = p_len(p)
         take = min(n, w - self.size)
@@ -256,8 +257,7 @@ class SubtractOnEvictKernel:
             )
             self.pending = []
             self.head = 0
-        self._grow_out = out
-        return p_slice(p, take, None) if take < n else None
+        return out, (p_slice(p, take, None) if take < n else None)
 
     def push_bulk(self, p: Partial) -> Partial:
         m, w = self.m, self.w
@@ -265,8 +265,7 @@ class SubtractOnEvictKernel:
         if n == 0:
             return p
         if self.size < w:
-            rest = self._grow_phase(p)
-            out_grow = self._grow_out
+            out_grow, rest = self._grow_phase(p)
             if rest is None:
                 return out_grow
             return p_concat(out_grow, self.push_bulk(rest))
@@ -312,9 +311,12 @@ class SlidingCountWindow:
     (cpp/src/benchmark_core.h:96-121). Strategy:
 
     - invertible monoid → :class:`SubtractOnEvictKernel` (O(1)/row);
-    - ``w`` ≤ first-batch size → stateless block kernel over a raw tail
+    - ``w`` ≤ 4096 → stateless block kernel over a raw tail
       (O(m + w)/batch, zero Python loops);
     - else → persistent :class:`TwoStacksKernel` (amortized O(1)/row).
+
+    Monoids whose ``accumulate`` cannot run on the block kernel's 2-D
+    blocked layout (``scan2d = False``: Collect) always take two-stacks.
     """
 
     def __init__(self, monoid: Monoid, w: int, strategy: str = "auto"):
@@ -324,9 +326,13 @@ class SlidingCountWindow:
         self._impl = None
         self._tail: Partial | None = None  # block strategy state
 
-    def _choose(self, first_batch_len: int) -> str:
+    def _choose(self) -> str:
         if self.strategy != "auto":
             return self.strategy
+        if not getattr(self.m, "scan2d", True):
+            # e.g. Collect: accumulate is 1-D-only, so neither SOE's
+            # prefix scans nor the blocked 2-D scan apply
+            return "twostacks"
         if self.m.invertible and self.m.name != "collect":
             return "soe"
         # block costs O(m + w) per batch (bad when w ≫ batch); two-stacks is
@@ -342,7 +348,7 @@ class SlidingCountWindow:
 
     def process_partials(self, p: Partial) -> Partial:
         if self._impl is None:
-            strat = self._choose(p_len(p))
+            strat = self._choose()
             if strat == "soe":
                 self._impl = SubtractOnEvictKernel(self.m, self.w)
             elif strat == "twostacks":
@@ -367,26 +373,39 @@ class SlidingCountWindow:
     # reconstructs fresh kernels from the arrays.
 
     def state_dict(self) -> dict:
+        # every array is COPIED: the SOE ring (and two-stacks chunks) are
+        # mutated in place by the next process() call, so returning live
+        # references would silently corrupt a snapshot serialized later
+        # (deferred/batched state commits)
+        def cp(x):
+            if x is None:
+                return None
+            if isinstance(x, dict):
+                return p_copy(x)
+            if isinstance(x, list):
+                return [cp(i) for i in x]
+            return x
+
         d: dict = {"v": 1, "w": self.w, "strategy": self.strategy}
         if self._impl is None:
             d["impl"] = None
         elif self._impl == "block":
             d["impl"] = "block"
-            d["tail"] = self._tail
+            d["tail"] = cp(self._tail)
         elif isinstance(self._impl, SubtractOnEvictKernel):
             k = self._impl
             d["impl"] = "soe"
             d["soe"] = {
-                "ring": k.ring, "pending": k.pending, "head": k.head,
-                "size": k.size, "total": k.total,
+                "ring": cp(k.ring), "pending": cp(k.pending), "head": k.head,
+                "size": k.size, "total": cp(k.total),
             }
         else:
             k = self._impl
             d["impl"] = "twostacks"
             d["ts"] = {
-                "front_vals": k.front_vals, "front_agg": k.front_agg,
-                "front_pos": k.front_pos, "back": k.back,
-                "back_len": k.back_len, "back_sum": k.back_sum,
+                "front_vals": cp(k.front_vals), "front_agg": cp(k.front_agg),
+                "front_pos": k.front_pos, "back": cp(k.back),
+                "back_len": k.back_len, "back_sum": cp(k.back_sum),
             }
         return d
 
@@ -467,7 +486,11 @@ def _sparse_table_fold(m: Monoid, p: Partial, starts, ends) -> Partial:
         if not sel.any():
             continue
         half = 1 << kk
-        a = p_take(levels[kk], starts[sel])
+        # clamp BOTH gathers: an empty query at the array end has
+        # starts == n, which would index out of bounds before the
+        # empty-mask below ever applies (the mask overwrites the result,
+        # so any in-range index is fine)
+        a = p_take(levels[kk], np.minimum(starts[sel], p_len(levels[kk]) - 1))
         b = p_take(levels[kk], np.maximum(ends[sel] - half, 0))
         res = m.combine(a, b)
         for key in out:
@@ -619,10 +642,16 @@ class SegmentedSlidingKernel:
         starts = np.maximum(idx - w + 1, first)
         ends = idx + 1
         out = interval_fold(m, p, starts, ends)
-        # retain the last segment's tail for the next batch
+        # retain the last segment's tail for the next batch — COPIED, not a
+        # view: a view would pin the whole concatenated batch's arrays
+        # alive between batches (~batch/w × the intended O(w) footprint)
         last_start = int(first[-1])
         tail_from = max(last_start, ntail + n - (w - 1)) if w > 1 else ntail + n
-        self.carry_tail = p_slice(p, tail_from, None) if w > 1 else m.identity(0)
+        self.carry_tail = (
+            {k: np.ascontiguousarray(v[tail_from:]) for k, v in p.items()}
+            if w > 1
+            else m.identity(0)
+        )
         self.carry_key = last_key
         return p_slice(out, ntail, None)
 
@@ -675,14 +704,14 @@ class PositionalSegmentedKernel:
             return m.identity(0)
         ntail = 0
         rn_base = 0
-        if (
-            self.carry_p is not None
-            and p_len(self.carry_p)
-            and first_key == self.carry_key
-        ):
-            ntail = p_len(self.carry_p)
+        if self.carry_p is not None and first_key == self.carry_key:
+            # the position counter carries even when the carry TAIL is
+            # empty (start_fn(next rn) may need no look-back rows, but the
+            # segment's absolute rn must still continue, not restart at 0)
             rn_base = self.carry_rn0
-            p = p_concat(self.carry_p, p)
+            if p_len(self.carry_p):
+                ntail = p_len(self.carry_p)
+                p = p_concat(self.carry_p, p)
         total = ntail + n
         seg_start = np.where(change, np.arange(n) + ntail, 0)
         if ntail:
@@ -697,6 +726,11 @@ class PositionalSegmentedKernel:
         if bool((win_start_rn < rn - self.max_back).any()):
             raise ValueError("start_fn exceeded max_back look-back")
         starts = idx - (rn - win_start_rn)  # concatenated coordinates
+        # clamp to each row's segment start: a start_fn that returns a
+        # position before the segment (e.g. negative) must not fold in the
+        # previous key's rows — or wrap to the array end via negative
+        # indexing in the sparse-table path
+        starts = np.maximum(starts, first)
         out = interval_fold(m, p, starts, idx + 1)
         # carry: open segment's last ≤ max_back rows back to the earliest
         # position any future row's window can reach
@@ -831,8 +865,11 @@ def sliding_time_window(
     ``youngest − oldest > duration`` i.e. KEEPS ts ≥ youngest − duration
     (cpp/src/benchmark_core.h:584-590), matching inclusive_start=True.
 
-    ``ts`` must be sorted ascending. Duplicate timestamps all fall in
-    every window touching that instant (searchsorted side='right').
+    ``ts`` must be sorted ascending. Tie rule: row i's window ends AT row
+    i (ends = i + 1), so earlier rows sharing ts_i are included but LATER
+    same-instant rows are not — per-arrival prefix semantics. (The
+    streaming engine's post-insert side='right' query, engine.py, is the
+    variant where all same-ts rows see each other.)
     """
     ts = np.asarray(ts)
     side = "left" if inclusive_start else "right"

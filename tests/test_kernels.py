@@ -129,3 +129,42 @@ def test_sawtooth_block_vs_brute():
                 k = SlidingCountWindow(m, w, strategy=strat)
                 got = k.process(data).tolist()
                 assert got == exp, (w, strat, rep)
+
+
+def test_collect_dispatches_off_block_strategy():
+    """Collect's accumulate is 1-D-only; the auto dispatcher must route it
+    to two-stacks even at small w (block would crash on the 2-D scan)."""
+    m = get_monoid("collect")
+    k = SlidingCountWindow(m, 3)
+    out = m.lower(k.process_partials(m.lift(np.array([1.0, 2.0, 3.0, 4.0]))))
+    assert [list(x) for x in out] == [[1.0], [1.0, 2.0], [1.0, 2.0, 3.0], [2.0, 3.0, 4.0]]
+
+
+def test_interval_fold_empty_query_at_array_end():
+    """Empty interval touching the end (starts == ends == n) must return
+    identity, not IndexError — for every fold strategy."""
+    from sliding_window_aggregators_spark.operators.kernels import interval_fold
+
+    for name in ("max", "sum", "mincount"):  # sparse-table / prefix / tree
+        m = get_monoid(name)
+        p = m.lift(np.array([1.0, 2.0, 3.0]))
+        out = m.lower(
+            interval_fold(m, p, np.array([0, 3]), np.array([3, 3]))
+        )
+        assert len(out) == 2, name
+
+
+def test_state_dict_is_a_detached_snapshot():
+    """state_dict must copy the ring/chunks: the next process() mutates
+    them in place and would otherwise corrupt a deferred serialization."""
+    import pickle
+
+    m = get_monoid("sum")
+    k = SlidingCountWindow(m, 3, strategy="soe")
+    k.process(np.array([1.0, 2.0, 3.0]))
+    snap = k.state_dict()
+    blob_before = pickle.dumps(snap)
+    k.process(np.array([100.0, 200.0]))
+    assert pickle.dumps(snap) == blob_before  # snapshot unchanged
+    k2 = SlidingCountWindow.from_state_dict(snap, m)
+    assert k2.process(np.array([4.0]))[0] == 2.0 + 3.0 + 4.0

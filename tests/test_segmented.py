@@ -177,3 +177,52 @@ def test_positional_segmented_sawtooth_vs_brute(name):
             s = i - (i % PERIOD)
             exp.append(m.lower1(m.lift_reduce(v[s : i + 1])))
     assert np.array_equal(got, np.array(exp)), name
+
+
+def test_positional_negative_start_clamps_to_segment():
+    """A start_fn that can return a position before the segment start must
+    clamp — not fold in the previous key's rows or wrap to the array end."""
+    from sliding_window_aggregators_spark.operators.kernels import (
+        PositionalSegmentedKernel,
+    )
+
+    for name in ("sum", "max"):  # prefix-diff path and sparse-table path
+        m = get_monoid(name)
+        k = PositionalSegmentedKernel(m, lambda rn: rn - 2, 2)
+        keys = np.array(["A"] * 5 + ["B"] * 3)
+        vals = np.array([100.0] * 5 + [1.0, 1.0, 1.0])
+        out = m.lower(k.process(keys, m.lift(vals)))
+        if name == "sum":
+            assert out[5:].tolist() == [1.0, 2.0, 3.0]
+        else:
+            assert out[5:].tolist() == [1.0, 1.0, 1.0]
+    # single key, max: rn-1 at row 0 must not wrap to the array end
+    m = get_monoid("max")
+    k = PositionalSegmentedKernel(m, lambda rn: np.maximum(rn - 1, rn - 1), 1)
+    out = m.lower(k.process(np.array(["x"] * 4), m.lift(np.array([5.0, 1.0, 1.0, 9.0]))))
+    assert out.tolist() == [5.0, 5.0, 1.0, 9.0]
+
+
+def test_positional_rn_carries_across_empty_tail_boundary():
+    """The absolute position counter must survive a batch boundary even
+    when the look-back tail is empty (start_fn(next rn) needs no rows but
+    the rn-dependent branch must not reset to 0)."""
+    from sliding_window_aggregators_spark.operators.kernels import (
+        PositionalSegmentedKernel,
+    )
+
+    m = get_monoid("sum")
+
+    def start_fn(rn):
+        return np.where(rn < 8, rn - rn % 4, rn - rn % 8)
+
+    vals = np.arange(16, dtype=np.float64)
+    keys = np.array(["k"] * 16)
+    one = PositionalSegmentedKernel(m, start_fn, 7)
+    exp = m.lower(one.process(keys, m.lift(vals))).tolist()
+    two = PositionalSegmentedKernel(m, start_fn, 7)
+    got = (
+        m.lower(two.process(keys[:8], m.lift(vals[:8]))).tolist()
+        + m.lower(two.process(keys[8:], m.lift(vals[8:]))).tolist()
+    )
+    assert got == exp
