@@ -18,7 +18,11 @@ DEBS'17 / VLDB J. 2021).
 
 from __future__ import annotations
 
-from ..functions.monoids import Monoid, Partial, p_take
+from collections import deque
+
+import numpy as np
+
+from ..functions.monoids import Monoid, Partial
 
 
 class _Scalar:
@@ -52,7 +56,7 @@ class ReCalc:
 
     def __init__(self, monoid: Monoid):
         self.m = monoid
-        self.win: list = []
+        self.win: deque = deque()
 
     def size(self) -> int:
         return len(self.win)
@@ -61,18 +65,16 @@ class ReCalc:
         self.win.append(v)
 
     def evict(self) -> None:
-        self.win.pop(0)
+        self.win.popleft()
 
     def query(self):
-        import numpy as np
-
         if not self.win:
             return self.m.lower1(self.m.identity(1))
         if self.win and isinstance(self.win[0], tuple):  # argmax (arg, key)
             args = np.asarray([t[0] for t in self.win])
             keys = np.asarray([t[1] for t in self.win])
             return self.m.lower1(self.m.reduce(self.m.lift((args, keys))))
-        return self.m.lower1(self.m.lift_reduce(np.asarray(self.win)))
+        return self.m.lower1(self.m.lift_reduce(np.asarray(list(self.win))))
 
 
 class SubtractOnEvict:
@@ -87,7 +89,7 @@ class SubtractOnEvict:
             raise TypeError("SubtractOnEvict requires an invertible monoid")
         self.m = monoid
         self.op = _Scalar(monoid)
-        self.win: list[Partial] = []
+        self.win: deque = deque()
         self.total = self.op.identity
 
     def size(self) -> int:
@@ -99,7 +101,7 @@ class SubtractOnEvict:
         self.total = self.op.combine(self.total, p)
 
     def evict(self) -> None:
-        old = self.win.pop(0)
+        old = self.win.popleft()
         self.total = self.m.inverse_combine(self.total, old)
 
     def query(self):
@@ -204,6 +206,7 @@ class DABALite:
         self.op = _Scalar(monoid)
         self.q: list[Partial] = []
         self.offset = 0  # popped-from-front count; indices below are absolute
+        self._head = 0  # consumed front slots kept for O(1) eviction
         self.l = self.r = self.a = self.b = 0
         self.mid_sum = self.op.identity
         self.back_sum = self.op.identity
@@ -213,16 +216,16 @@ class DABALite:
         return self.offset
 
     def _end(self) -> int:
-        return self.offset + len(self.q)
+        return self.offset + self.size()
 
     def _get(self, i: int) -> Partial:
-        return self.q[i - self.offset]
+        return self.q[i - self.offset + self._head]
 
     def _set(self, i: int, v: Partial) -> None:
-        self.q[i - self.offset] = v
+        self.q[i - self.offset + self._head] = v
 
     def size(self) -> int:
-        return len(self.q)
+        return len(self.q) - self._head
 
     def _is_front_empty(self) -> bool:
         return self.b == self._begin()
@@ -240,12 +243,17 @@ class DABALite:
         self._step()
 
     def evict(self) -> None:
-        self.q.pop(0)
+        # lazy compaction (see DABA.evict): O(1) pointer move, amortized
+        # O(1) physical cleanup
+        self._head += 1
         self.offset += 1
+        if self._head > 32 and self._head * 2 > len(self.q):
+            del self.q[: self._head]
+            self._head = 0
         self._step()
 
     def query(self):
-        if not self.q:
+        if not self.size():
             return self.op.lower(self.op.identity)
         return self.op.lower(self.op.combine(self._get_alpha(), self.back_sum))
 
@@ -287,7 +295,7 @@ class ImplicitTwoStacksLite:
 
     def __init__(self, monoid: Monoid):
         self.op = _Scalar(monoid)
-        self.q: list[Partial] = []
+        self.q: deque = deque()
         self.num_flipped = 0
         self.back_sum = self.op.identity
 
@@ -300,17 +308,20 @@ class ImplicitTwoStacksLite:
         self.q.append(p)
 
     def _flip(self) -> None:  # hpp:60-77
+        # already O(n): rebuild the deque with suffix aggregates in place
         acc = self.op.identity
-        for i in range(len(self.q) - 1, -1, -1):
-            acc = self.op.combine(self.q[i], acc)
-            self.q[i] = acc
+        flipped = []
+        for x in reversed(self.q):
+            acc = self.op.combine(x, acc)
+            flipped.append(acc)
+        self.q = deque(reversed(flipped))
         self.back_sum = self.op.identity
         self.num_flipped = len(self.q)
 
     def evict(self) -> None:
         if self.num_flipped == 0:
             self._flip()
-        self.q.pop(0)
+        self.q.popleft()
         self.num_flipped -= 1
 
     def query(self):
@@ -327,7 +338,7 @@ class ABA:
 
     def __init__(self, monoid: Monoid):
         self.op = _Scalar(monoid)
-        self.q: list[list] = []  # [val, agg]
+        self.q: deque = deque()  # [val, agg] entries
         self.b = 0  # boundary: entries [0, b) are flipped front
 
     def size(self) -> int:
@@ -339,13 +350,13 @@ class ABA:
         self.q.append([p, self.op.combine(prev, p)])
 
     def evict(self) -> None:
-        if self.b == 0:  # front empty → in-place suffix flip (hpp:55-64)
+        if self.b == 0:  # front empty → suffix flip (hpp:55-64; O(n) by design)
             acc = self.op.identity
-            for i in range(len(self.q) - 1, -1, -1):
-                acc = self.op.combine(self.q[i][0], acc)
-                self.q[i][1] = acc
+            for node in reversed(self.q):
+                acc = self.op.combine(node[0], acc)
+                node[1] = acc
             self.b = len(self.q)
-        self.q.pop(0)
+        self.q.popleft()
         self.b -= 1
 
     def query(self):
@@ -366,19 +377,20 @@ class DABA:
         self.op = _Scalar(monoid)
         self.q: list[list] = []  # [val, agg]
         self.offset = 0
+        self._head = 0  # consumed front slots kept for O(1) eviction
         self.l = self.r = self.a = self.b = 0
 
     def _begin(self):
         return self.offset
 
     def _end(self):
-        return self.offset + len(self.q)
+        return self.offset + self.size()
 
     def _node(self, i):
-        return self.q[i - self.offset]
+        return self.q[i - self.offset + self._head]
 
     def size(self) -> int:
-        return len(self.q)
+        return len(self.q) - self._head
 
     def _is_front_empty(self):
         return self.b == self._begin()
@@ -402,12 +414,19 @@ class DABA:
         self._step()
 
     def evict(self) -> None:
-        self.q.pop(0)
+        # lazy compaction: advance the head pointer (O(1)); physically drop
+        # the consumed prefix only when it dominates the list (amortized
+        # O(1)/evict, preserving the worst-case O(1) combine count the
+        # reference's DABA is about — list.pop(0) would memmove O(n))
+        self._head += 1
         self.offset += 1
+        if self._head > 32 and self._head * 2 > len(self.q):
+            del self.q[: self._head]
+            self._head = 0
         self._step()
 
     def query(self):
-        if not self.q:
+        if not self.size():
             return self.op.lower(self.op.identity)
         return self.op.lower(self.op.combine(self._get_alpha(), self._get_back()))
 
@@ -538,20 +557,9 @@ class DynamicFlatFIT:
         if self.sz < len(self.buf) // (2 * self.THRES):
             self._rescale(len(self.buf) // self.THRES)
 
-    def query(self):
-        if self.sz == 0:
-            return self.op.lower(self.op.identity)
-        trace = []
-        cur = self.front
-        while cur != self.back:
-            trace.append(cur)
-            cur = self.buf[cur][1]
-        acc = self.op.identity
-        while trace:
-            i = trace.pop()
-            acc = self.op.combine(self.buf[i][0], acc)
-            self.buf[i] = [acc, self.back]
-        return self.op.lower(self.op.combine(acc, self.buf[self.back][0]))
+    # identical trace-chase + path compression as the static variant —
+    # one implementation serves both
+    query = FlatFIT.query
 
 
 class Reactive:
@@ -687,19 +695,13 @@ class OkasakisQueue:
         self.F = None
         self.B = None
         self.N = None
+        self._n = 0  # O(1) size: walking F/B would force every suspension
 
     def _agg(self, node):
         return node.agg if node is not None else self.op.identity
 
-    def _len(self, node):
-        n = 0
-        while node is not None:
-            n += 1
-            node = node.tail()
-        return n
-
     def size(self) -> int:
-        return self._len(self.F) + self._len(self.B)
+        return self._n
 
     def _rot(self, L, R, A):
         """rot(L, R, A) ≡ L ++ reverse(R) ++ A with per-cons aggregates;
@@ -735,10 +737,12 @@ class OkasakisQueue:
     def insert(self, v) -> None:
         p = self.op.lift(v)
         self.B = _Cons(p, self.op.combine(self._agg(self.B), p), self.B)
+        self._n += 1
         self._step()
 
     def evict(self) -> None:
         self.F = self.F.tail()
+        self._n -= 1
         self._step()
 
     def query(self):
@@ -857,7 +861,8 @@ class AMTA:
         if t is None:
             t = 0 if not self.tails else self.youngest() + 1
         self.insert_lifted(t, self.op.lift(v))
-        self._size += 1
+        if self._size >= 0:  # size tracking stops after bulk_evict (sentinel)
+            self._size += 1
 
     def insert_lifted(self, t, lifted: Partial) -> None:  # AMTA.hpp:321-353
         has_carry = True

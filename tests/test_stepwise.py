@@ -143,3 +143,18 @@ def test_amta_bulk_evict_vs_brute():
         assert alg.query() == expected, (rep, cut)
         alg.insert(-1.0, t=int(ts[-1]) + 10)
         assert alg.query() == expected + [-1.0]
+
+
+def test_amta_size_sentinel_stable_after_bulk_evict():
+    """After bulk_evict the reference stops size tracking (sentinel −1);
+    the sentinel must STAY −1 — an unguarded increment would drift it to
+    plausible-looking wrong counts that a size-driven evict loop trusts."""
+    m = get_monoid("sum")
+    alg = make("amta", m)
+    for i in range(10):
+        alg.insert(float(i), t=i)
+    alg.bulk_evict(4)
+    assert alg.size() == -1
+    alg.insert(99.0, t=100)
+    alg.evict()
+    assert alg.size() == -1  # still the sentinel, not 0/1 drift
