@@ -70,7 +70,7 @@ def _run_kernel(pdf, order_cols, value, monoid_name, w, out, id_cols, dtype):
     else:
         res = k.process(vals.astype(np.int64) if dtype == np.int64 else vals)
     cols = {c: pdf[c].to_numpy()[idx] for c in id_cols}
-    if monoid_name == "stddev":
+    if monoid_name in ("stddev", "relvar"):
         res = np.where(np.isnan(res), None, res)
     cols[out] = res
     return pd.DataFrame(cols)
@@ -260,7 +260,7 @@ def sliding_rows_kernel_partitioned(
             else:
                 p = m.lift(vals)
             res = m.lower(kernel.process(segkey, p))
-            if monoid_name == "stddev":
+            if monoid_name in ("stddev", "relvar"):
                 res = np.where(np.isnan(res), None, res)
             cols = {c: pdf[c].to_numpy() for c in id_cols}
             if halo_col is not None:
@@ -363,7 +363,7 @@ def sliding_rows_kernel_scan(
             else:
                 p = m.lift(vals)
             res = m.lower(kernel.process(pdf[key].to_numpy(), p))
-            if monoid_name == "stddev":
+            if monoid_name in ("stddev", "relvar"):
                 res = np.where(np.isnan(res), None, res)
             cols = {c: pdf[c].to_numpy() for c in id_cols}
             cols[out] = res

@@ -117,7 +117,7 @@ def q_sliding_geomean(spark, sf_dir):
 
 def q_sliding_argmax(spark, sf_dir):
     df = _events(spark, sf_dir).withColumn(
-        "k", F.col("cents") * 10_000_000 + F.col("event_id")
+        "k", F.col("cents") * (1 << 40) + F.col("event_id")
     )
     return df.select(
         "user_id",
@@ -158,7 +158,7 @@ from {_EV} {_WIN}
 """
 
 ORACLE_SLIDING_ARGMAX = f"""
-select user_id, event_id, arg_max(event_id, cents * 10000000 + event_id) over w as warg_event
+select user_id, event_id, arg_max(event_id, cents * 1099511627776 + event_id) over w as warg_event
 from {_EV} {_WIN}
 """
 
@@ -231,7 +231,7 @@ def q_kernel_argmax(spark, sf_dir):
     cpp/src/AggregationFunctions.hpp:297; keys made unique so the SQL
     oracle agrees regardless of tie rule)."""
     df = _events(spark, sf_dir).withColumn(
-        "k", F.col("cents") * 10_000_000 + F.col("event_id")
+        "k", F.col("cents") * (1 << 40) + F.col("event_id")
     )
     return sliding_rows_kernel(
         df, "user_id", ["ts", "event_id"], "k", "argmax", W,
@@ -311,7 +311,14 @@ def _bloom_mix_sql(a: str, b: str) -> str:
 # with hash_k(v) % 4096 == 0 for one of the K=4 pinned glibc salts
 # (srand(1001) draws, hpp:367) — SQL-expressible as a per-row boolean + a
 # windowed max, giving the Bloom sketch a FULL value-hash oracle.
-_BLOOM_HV = _bloom_mix_sql("101::HUGEINT", "cast(cents as HUGEINT)")
+# two's complement in HUGEINT so negative values hash exactly like the
+# kernel's int64→uint64 reinterpretation (the money column is ≥ 0 today,
+# but the oracle must not silently diverge if that changes)
+_BLOOM_HV = _bloom_mix_sql(
+    "101::HUGEINT",
+    "((cast(cents as HUGEINT) + 18446744073709551616::HUGEINT)"
+    " % 18446744073709551616::HUGEINT)",
+)
 _BLOOM_HIT0 = " or ".join(
     f"({_bloom_mix_sql('hv', f'{int(s)}::HUGEINT')} % 4096) = 0"
     for s in (469353932, 2078239751, 916013951, 1943028792)
@@ -474,7 +481,8 @@ def q_time_range_sum_kernel(spark, sf_dir):
     df = _events(spark, sf_dir)
     return sliding_time_kernel_partitioned(
         df, "user_id", "ts", "cents", "sum", {"hsum_cents": HOUR_US},
-        id_cols=["user_id", "event_id"], int_values=True, out_cast="bigint",
+        id_cols=["user_id", "event_id"], tiebreak=["event_id"],
+        int_values=True, out_cast="bigint",
     )
 
 
@@ -484,6 +492,28 @@ from {_EV}
 window w as (partition by user_id order by epoch_us(ts)
              range between 3600000000 preceding and current row)
 """
+
+
+def _arrival_range_sum_oracle(alias: str, dur_us: int) -> str:
+    """Per-ARRIVAL event-time sum: row i folds rows at or before it in
+    (ts, event_id) order with ts >= ts_i - D — the kernel time queries'
+    documented tie rule (kernels.py sliding_time_window: later same-ts
+    peers are NOT included), which a SQL RANGE frame cannot express
+    (RANGE includes all equal-ts peers). Band join keeps the oracle
+    deterministic under duplicate timestamps; identical to the RANGE
+    frame whenever (user_id, ts) is unique (true of current fixtures)."""
+    return f"""
+with e as (select user_id, event_id, ts, {_CENTS} as cents from events)
+select a.user_id, a.event_id, cast(sum(b.cents) as bigint) as {alias}
+from e a join e b
+  on a.user_id = b.user_id
+ and epoch_us(b.ts) >= epoch_us(a.ts) - {dur_us}
+ and (b.ts < a.ts or (b.ts = a.ts and b.event_id <= a.event_id))
+group by a.user_id, a.event_id
+"""
+
+
+ORACLE_TIME_RANGE_SUM_KERNEL = _arrival_range_sum_oracle("hsum_cents", HOUR_US)
 
 
 def q_ooo_range_sum(spark, sf_dir):
@@ -532,12 +562,7 @@ def q_ooo_range_sum(spark, sf_dir):
     )
 
 
-ORACLE_OOO_RANGE_SUM = f"""
-select user_id, event_id, cast(sum(cents) over w as bigint) as osum_cents
-from {_EV}
-window w as (partition by user_id order by epoch_us(ts)
-             range between 3600000000 preceding and current row)
-"""
+ORACLE_OOO_RANGE_SUM = ORACLE_TIME_RANGE_SUM.replace("hsum_cents", "osum_cents")
 
 _SAW = 50  # sawtooth period: window drains to 1 row then refills to 50
 
@@ -590,15 +615,21 @@ def q_shared_windows(spark, sf_dir):
     )
 
 
+# per-arrival semantics (see _arrival_range_sum_oracle): one band join
+# over the LONGEST horizon, conditional sums carve out the shorter ones
 ORACLE_SHARED_WINDOWS = f"""
-select user_id, event_id,
-       cast(sum(cents) over (partition by user_id order by epoch_us(ts)
-           range between 600000000 preceding and current row) as bigint) as sum_10m,
-       cast(sum(cents) over (partition by user_id order by epoch_us(ts)
-           range between 3600000000 preceding and current row) as bigint) as sum_1h,
-       cast(sum(cents) over (partition by user_id order by epoch_us(ts)
-           range between 21600000000 preceding and current row) as bigint) as sum_6h
-from {_EV}
+with e as (select user_id, event_id, ts, {_CENTS} as cents from events)
+select a.user_id, a.event_id,
+       cast(sum(case when epoch_us(b.ts) >= epoch_us(a.ts) - 600000000
+                then b.cents else 0 end) as bigint) as sum_10m,
+       cast(sum(case when epoch_us(b.ts) >= epoch_us(a.ts) - 3600000000
+                then b.cents else 0 end) as bigint) as sum_1h,
+       cast(sum(b.cents) as bigint) as sum_6h
+from e a join e b
+  on a.user_id = b.user_id
+ and epoch_us(b.ts) >= epoch_us(a.ts) - 21600000000
+ and (b.ts < a.ts or (b.ts = a.ts and b.event_id <= a.event_id))
+group by a.user_id, a.event_id
 """
 
 
@@ -647,7 +678,8 @@ frames_{col} as (
   select a.user_id, a.event_id, b.b, max(b.rho) as m
   from r a join r b
     on a.user_id = b.user_id
-   and epoch_us(b.ts) between epoch_us(a.ts) - {dur} and epoch_us(a.ts)
+   and epoch_us(b.ts) >= epoch_us(a.ts) - {dur}
+   and (b.ts < a.ts or (b.ts = a.ts and b.event_id <= a.event_id))
   group by 1, 2, 3
 ),
 est_{col} as (
@@ -717,7 +749,7 @@ def q_session_30m(spark, sf_dir):
 
 ORACLE_SESSION_30M = f"""
 with o as (
-  select user_id, ts, cents,
+  select user_id, event_id, ts, cents,
          lag(ts) over (partition by user_id order by ts, event_id) as prev_ts
   from {_EV}
 ),
@@ -727,7 +759,7 @@ flg as (
   from o
 ),
 g as (
-  select *, sum(news) over (partition by user_id order by ts
+  select *, sum(news) over (partition by user_id order by ts, event_id
                             rows unbounded preceding) as sid
   from flg
 )
@@ -948,7 +980,7 @@ ORACLES = {
     "kernel_hll_w100": ORACLE_KERNEL_HLL,
     "kernel_p99_w100": ORACLE_KERNEL_P99,
     "time_range_sum_1h": ORACLE_TIME_RANGE_SUM,
-    "time_range_sum_1h_kernel": ORACLE_TIME_RANGE_SUM,
+    "time_range_sum_1h_kernel": ORACLE_TIME_RANGE_SUM_KERNEL,
     "ooo_range_sum_1h": ORACLE_OOO_RANGE_SUM,
     "sawtooth_sum_w50": ORACLE_SAWTOOTH_SUM,
     "shared_windows_3x": ORACLE_SHARED_WINDOWS,

@@ -226,3 +226,56 @@ def test_positional_rn_carries_across_empty_tail_boundary():
         + m.lower(two.process(keys[8:], m.lift(vals[8:]))).tolist()
     )
     assert got == exp
+
+
+def test_time_kernel_query_deterministic_under_duplicate_timestamps(spark, tmp_path):
+    """Per-arrival tie rule, end to end: duplicate (user_id, ts) rows must
+    give deterministic per-row results that the band-join oracle (which
+    encodes the same (ts, event_id) arrival order) reproduces exactly —
+    a RANGE-frame oracle cannot (it includes later same-ts peers)."""
+    import os
+
+    import duckdb
+    import pandas as pd
+
+    from sliding_window_aggregators_spark.plans.events_queries import (
+        ORACLE_TIME_RANGE_SUM_KERNEL,
+        q_time_range_sum_kernel,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    rows = pd.DataFrame(
+        {
+            "event_id": np.arange(8),
+            "ts": [base, base,
+                   base + pd.Timedelta("10min"), base + pd.Timedelta("10min"),
+                   base + pd.Timedelta("10min"),
+                   base + pd.Timedelta("2h"), base + pd.Timedelta("2h"),
+                   base + pd.Timedelta("3h")],
+            "user_id": [1] * 8,
+            "event_type": ["x"] * 8,
+            "value": [0.2, 0.3, 0.5, 0.7, 1.1, 1.3, 1.7, 1.9],
+            "props": ["{}"] * 8,
+        }
+    )
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "events.parquet")
+    )
+    got = (
+        q_time_range_sum_kernel(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("event_id")["hsum_cents"]
+        .tolist()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"create view events as select * from "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    exp = (
+        con.sql(ORACLE_TIME_RANGE_SUM_KERNEL)
+        .df()
+        .sort_values("event_id")["hsum_cents"]
+        .tolist()
+    )
+    assert got == exp == [20, 50, 100, 170, 280, 130, 300, 490]
