@@ -263,6 +263,9 @@ def main() -> None:
         times[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        # drop per-query persisted blocks so later timings aren't skewed
+        # by earlier queries' cache occupancy
+        spark.catalog.clearCache()
 
     # under host throttling (see _vm_membw) shrink the kernel grids so the
     # run still completes; rates are per-turn and stay comparable

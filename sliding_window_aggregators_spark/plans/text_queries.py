@@ -76,8 +76,8 @@ def _docs(spark, sf_dir):
 def _shingles(spark, sf_dir):
     """Distinct word-3-gram shingles per doc (the MinHash/Jaccard base),
     with the hot-shingle guard applied: shingles appearing in more than
-    ``_MAX_SHINGLE_DF`` documents are dropped via a broadcast anti-join
-    (the hot set is tiny by construction — only near-ubiquitous shingles)."""
+    ``_MAX_SHINGLE_DF`` documents are dropped via a document-frequency
+    count window over the shingle (see the shuffle-structure note below)."""
     from pyspark.sql.window import Window
 
     sh = (
@@ -404,16 +404,20 @@ _STOP = ["the", "a", "of", "and", "to"]
 
 
 def q_lang_id(spark, sf_dir):
-    """Stopword-ratio language-ID heuristic (n-gram-free variant): ratio of
-    English stopword tokens; ≥ 2% → 'en' else 'unk'."""
+    """Stopword-ratio language-ID heuristic (n-gram-free variant): share of
+    English stopword tokens; ≥ 2% → 'en' else 'unk'. The ratio is exact
+    integer parts-per-million (floor division) — round(double, 6) of the
+    simple rational n_stop/n_tokens is the cross-engine tie hazard this
+    file eliminates everywhere else."""
     df = _docs(spark, sf_dir).withColumn("t", F.split("text", " "))
-    stop_arr = F.array(*[F.lit(s) for s in _STOP])
-    n_stop = F.size(F.filter("t", lambda x: F.array_contains(stop_arr, x)))
-    ratio = F.round(n_stop.cast("double") / F.size("t"), 6)
+    ppm = F.expr(
+        f"(size(filter(t, x -> array_contains(array({','.join(repr(w) for w in _STOP)}), x)))"
+        " * cast(1000000 as bigint)) div size(t)"
+    )
     return df.select(
         "doc_id",
-        ratio.alias("stopword_ratio"),
-        F.when(ratio >= 0.02, F.lit("en")).otherwise(F.lit("unk")).alias("pred_lang"),
+        ppm.alias("stop_ppm"),
+        F.when(ppm >= 20_000, F.lit("en")).otherwise(F.lit("unk")).alias("pred_lang"),
         "lang",
     )
 
@@ -424,12 +428,12 @@ with t as (
 ),
 r as (
   select doc_id, lang,
-         round(cast(len(list_filter(toks, x -> x in ('the','a','of','and','to')))
-                    as double) / len(toks), 6) as stopword_ratio
+         (len(list_filter(toks, x -> x in ('the','a','of','and','to')))
+          * 1000000::BIGINT) // len(toks) as stop_ppm
   from t
 )
-select doc_id, stopword_ratio,
-       case when stopword_ratio >= 0.02 then 'en' else 'unk' end as pred_lang, lang
+select doc_id, stop_ppm,
+       case when stop_ppm >= 20000 then 'en' else 'unk' end as pred_lang, lang
 from r
 """
 
@@ -602,7 +606,8 @@ def q_dedup_clusters(spark, sf_dir):
         edges.select(F.col("src").alias("node")).distinct()
         .select("node", F.col("node").alias("lbl"))
     )
-    for _ in range(20):  # diameter bound; converges far earlier
+    converged = False
+    for _ in range(200):  # safety bound ≫ any real near-dup diameter
         prop = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), F.col("lbl")
         )
@@ -619,7 +624,15 @@ def q_dedup_clusters(spark, sf_dir):
             labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # a silent cap would return WRONG clusters (nodes > cap hops from
+        # their component's min id keep stale labels); refuse instead
+        raise RuntimeError(
+            "dedup_clusters: label propagation did not converge within the "
+            "round bound — component diameter exceeds 200"
+        )
     clustered = labels.select(
         F.col("node").alias("doc_id"),
         F.col("lbl").alias("keeper_id"),

@@ -39,15 +39,20 @@ _TEXT_BLOCK = (
 # identical signed-64 arithmetic runs in NumPy int64 and Spark LONG (ANSI-safe)
 _ZIPF_MULT = 2654435761
 _ROLE_MULT = 2246822519
+_ZIPF_S = 1.2
+# the ONE exponent both generators raise (1-u) to: computing -1/(s-1) in
+# Python and hard-coding -5.0 in SQL yields two doubles that differ in the
+# last ulp and disagree on floor() for ~1.8k of the 1e6 u values
+_ZIPF_EXP = -1.0 / (_ZIPF_S - 1.0)
 
 
-def _zipf_conv(i: np.ndarray, n_convs: int, s: float = 1.2) -> np.ndarray:
+def _zipf_conv(i: np.ndarray, n_convs: int, s: float = _ZIPF_S) -> np.ndarray:
     """Deterministic Zipf-ish conversation assignment: turn i → conv via a
     multiplicative hash mapped through the Zipf inverse CDF
     (rank ∝ u^(-1/(s-1)) truncated to n_convs). Pure integer/float math —
     identical in the Spark generator."""
     u = ((i * _ZIPF_MULT) % 1_000_003).astype(np.float64) / 1_000_003.0  # [0,1)
-    rank = np.floor(np.power(1.0 - u, -1.0 / (s - 1.0))) - 1.0
+    rank = np.floor(np.power(1.0 - u, -1.0 / (s - 1.0))) - 1.0  # == _ZIPF_EXP at the default s
     return np.minimum(rank, n_convs - 1).astype(np.int64)
 
 
@@ -80,7 +85,10 @@ def transcripts_pandas(n_turns: int, n_convs: int = 100, ooo_distance: int = 0,
     if ooo_every > 0:
         late = (i % ooo_every) == (ooo_every - 1)
         ts_off = np.where(late, np.maximum(i - ooo_distance, 0), i)
-    # dense per-conv turn_idx in ts order
+    # dense per-conv turn_idx in ARRIVAL (generation) order — under the
+    # OOO variants a row's ts can precede its predecessors' while its
+    # turn_idx stays later; that inversion is exactly what the OOO tests
+    # need (turn_idx is the stable total order, ts is the event time)
     df = pd.DataFrame(
         {
             "conv_id": np.char.add("conv", np.char.zfill(conv.astype(str), 6)),
@@ -111,7 +119,7 @@ def transcripts_spark(spark, n_turns: int, n_convs: int = 100):
     df = df.withColumn(
         "_conv",
         F.least(
-            F.floor(F.least(F.pow(1.0 - F.col("_u"), -1.0 / 0.2), F.lit(9.0e18))) - 1,
+            F.floor(F.least(F.pow(1.0 - F.col("_u"), F.lit(_ZIPF_EXP)), F.lit(9.0e18))) - 1,
             F.lit(n_convs - 1),
         ).cast("long"),
     )
@@ -135,7 +143,10 @@ def transcripts_spark(spark, n_turns: int, n_convs: int = 100):
         "ts", F.timestamp_seconds(F.unix_timestamp(F.lit("2024-01-01 00:00:00")) + F.col("i"))
     )
     df = df.withColumn(
-        "conv_id", F.concat(F.lit("conv"), F.lpad(F.col("_conv").cast("string"), 6, "0"))
+        # %06d pads but never truncates — lpad(…, 6) would cut conversation
+        # numbers above 999999 to their first six digits (id collisions),
+        # while the pandas twin's zfill leaves them intact
+        "conv_id", F.format_string("conv%06d", F.col("_conv"))
     )
     w = Window.partitionBy("conv_id").orderBy("i")
     df = df.withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))

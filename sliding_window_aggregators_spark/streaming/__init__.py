@@ -7,5 +7,10 @@ from .engine import (  # noqa: F401
     sliding_count_stream,
     tumbling_stream,
 )
-from .join import user_assistant_join, user_assistant_join_batch  # noqa: F401
+from .join import (  # noqa: F401
+    user_assistant_join,
+    user_assistant_join_batch,
+    user_next_reply,
+    user_next_reply_batch,
+)
 from .sink import ExactlyOnceParquetSink, write_stream_exactly_once  # noqa: F401

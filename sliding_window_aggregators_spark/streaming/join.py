@@ -6,6 +6,22 @@ Built entirely from Spark's watermarked stream-stream join machinery:
 both sides carry watermarks, and the join condition bounds the assistant
 turn's event time to [user_ts, user_ts + horizon] so state on both sides
 is provably expirable.
+
+Two shapes:
+
+- :func:`user_assistant_join` — EVERY reply inside the horizon (the raw
+  interval join; one row per (user turn, reply) pair);
+- :func:`user_next_reply` — §F7's semantics proper: each user turn joined
+  to its FIRST reply only (interval join → per-user-turn min-by, a second
+  stateful operator chained after the join).
+
+Each has a batch twin built from the same plan builder (the streaming
+variant only adds watermarks), so differential tests compare one plan,
+not two hand-copies. The user's ``text`` column is deliberately NOT
+carried through the join: every projected column of both sides lives in
+the stream-stream join state for the full watermark horizon, and text is
+the dominant column width — join on the narrow keys, re-join text later
+if a consumer needs it.
 """
 
 from __future__ import annotations
@@ -14,74 +30,91 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _interval_join(
+    turns: DataFrame, horizon: str, watermark: str | None
+) -> DataFrame:
+    """Shared plan: user turns ⋈ replies within [u_ts, u_ts + horizon].
+    ``watermark=None`` builds the batch twin (same plan, no watermarks)."""
+    users = turns.where(F.col("role") == "user").select(
+        F.col("conv_id").alias("u_conv"),
+        F.col("turn_idx").alias("u_turn"),
+        F.col("ts").alias("u_ts"),
+    )
+    replies = turns.where(F.col("role").isin("assistant", "tool")).select(
+        F.col("conv_id").alias("r_conv"),
+        F.col("turn_idx").alias("r_turn"),
+        F.col("role").alias("r_role"),
+        F.col("tool").alias("r_tool"),
+        F.col("ts").alias("r_ts"),
+    )
+    if watermark is not None:
+        users = users.withWatermark("u_ts", watermark)
+        replies = replies.withWatermark("r_ts", watermark)
+    cond = (
+        (users.u_conv == replies.r_conv)
+        & (replies.r_ts >= users.u_ts)
+        & (replies.r_ts <= F.col("u_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return users.join(replies, cond, "inner").select(
+        F.col("u_conv").alias("conv_id"),
+        F.col("u_turn").alias("user_turn"),
+        "u_ts",
+        F.col("r_turn").alias("reply_turn"),
+        "r_role",
+        "r_tool",
+        "r_ts",
+    )
+
+
 def user_assistant_join(
     turns: DataFrame,
     *,
     horizon: str = "60 seconds",
     watermark: str = "2 minutes",
 ) -> DataFrame:
-    """Join each user turn to every assistant/tool turn of the same
-    conversation within ``horizon`` after it."""
-    users = (
-        turns.where(F.col("role") == "user")
-        .select(
-            F.col("conv_id").alias("u_conv"),
-            F.col("turn_idx").alias("u_turn"),
-            F.col("ts").alias("u_ts"),
-            F.col("text").alias("u_text"),
-        )
-        .withWatermark("u_ts", watermark)
-    )
-    replies = (
-        turns.where(F.col("role").isin("assistant", "tool"))
-        .select(
-            F.col("conv_id").alias("r_conv"),
-            F.col("turn_idx").alias("r_turn"),
-            F.col("role").alias("r_role"),
-            F.col("tool").alias("r_tool"),
-            F.col("ts").alias("r_ts"),
-        )
-        .withWatermark("r_ts", watermark)
-    )
-    cond = (
-        (users.u_conv == replies.r_conv)
-        & (replies.r_ts >= users.u_ts)
-        & (replies.r_ts <= F.col("u_ts") + F.expr(f"INTERVAL {horizon}"))
-    )
-    return users.join(replies, cond, "inner").select(
-        F.col("u_conv").alias("conv_id"),
-        F.col("u_turn").alias("user_turn"),
-        "u_ts",
-        F.col("r_turn").alias("reply_turn"),
-        "r_role",
-        "r_tool",
-        "r_ts",
-    )
+    """Join each user turn to EVERY assistant/tool turn of the same
+    conversation within ``horizon`` after it (the raw interval join)."""
+    return _interval_join(turns, horizon, watermark)
 
 
 def user_assistant_join_batch(turns: DataFrame, horizon: str = "60 seconds") -> DataFrame:
     """The batch twin of :func:`user_assistant_join` (same plan minus
     watermarks) — used for differential testing of the streaming output."""
-    users = turns.where(F.col("role") == "user").select(
-        F.col("conv_id").alias("u_conv"), F.col("turn_idx").alias("u_turn"),
-        F.col("ts").alias("u_ts"), F.col("text").alias("u_text"),
-    )
-    replies = turns.where(F.col("role").isin("assistant", "tool")).select(
-        F.col("conv_id").alias("r_conv"), F.col("turn_idx").alias("r_turn"),
-        F.col("role").alias("r_role"), F.col("tool").alias("r_tool"),
-        F.col("ts").alias("r_ts"),
-    )
-    cond = (
-        (users.u_conv == replies.r_conv)
-        & (replies.r_ts >= users.u_ts)
-        & (replies.r_ts <= F.col("u_ts") + F.expr(f"INTERVAL {horizon}"))
-    )
-    return users.join(replies, cond, "inner").select(
-        F.col("u_conv").alias("conv_id"),
-        F.col("u_turn").alias("user_turn"),
+    return _interval_join(turns, horizon, None)
+
+
+def _first_reply(joined: DataFrame) -> DataFrame:
+    """Per user turn, keep only the earliest reply — ties on r_ts broken
+    by reply turn_idx so the result is deterministic."""
+    return joined.groupBy("conv_id", "user_turn", "u_ts").agg(
+        F.min_by(
+            F.struct("reply_turn", "r_role", "r_tool", "r_ts"),
+            F.struct("r_ts", "reply_turn"),
+        ).alias("r")
+    ).select(
+        "conv_id",
+        "user_turn",
         "u_ts",
-        F.col("r_turn").alias("reply_turn"),
-        "r_role",
-        "r_tool",
-        "r_ts",
+        F.col("r.reply_turn").alias("reply_turn"),
+        F.col("r.r_role").alias("r_role"),
+        F.col("r.r_tool").alias("r_tool"),
+        F.col("r.r_ts").alias("r_ts"),
     )
+
+
+def user_next_reply(
+    turns: DataFrame,
+    *,
+    horizon: str = "60 seconds",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """FIXTURES.md §F7 semantics: each user turn joined to its NEXT
+    assistant/tool reply within the horizon (one row per answered user
+    turn). Streaming shape: interval join → per-user-turn min-by — two
+    chained stateful operators, both expirable under the watermark."""
+    return _first_reply(_interval_join(turns, horizon, watermark))
+
+
+def user_next_reply_batch(turns: DataFrame, horizon: str = "60 seconds") -> DataFrame:
+    """Batch twin of :func:`user_next_reply`."""
+    return _first_reply(_interval_join(turns, horizon, None))

@@ -13,7 +13,7 @@ from pyspark.sql.window import Window
 from sliding_window_aggregators_spark.functions import get_monoid
 from sliding_window_aggregators_spark.operators import SlidingCountWindow
 from sliding_window_aggregators_spark.operators.batch import sliding_rows_kernel
-from sliding_window_aggregators_spark.sources import transcripts_spark
+from sliding_window_aggregators_spark.sources import transcripts_pandas, transcripts_spark
 
 SF_DIR = os.environ.get("SWAG_TEST_SF_DIR", "/root/testdata/sf0.001")
 
@@ -192,3 +192,24 @@ def test_chunked_halo_hot_key_parallel_matches_sql(spark):
         .count()
     )
     assert n_bad2 == 0 and got2.count() == n
+
+
+def test_generator_parity_pandas_vs_spark(spark):
+    """The two synthesizers must emit row-identical tables (the Spark twin
+    derives every column from the same integer recurrences — including the
+    SHARED Zipf exponent constant; a hand-inlined -5.0 differed from
+    -1/(s-1) in the last ulp and flipped floor() on ~1.8k of 1e6 hash
+    values)."""
+    a = (
+        transcripts_pandas(8000, 500)
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    b = (
+        transcripts_spark(spark, 8000, 500)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    for col in ("conv_id", "turn_idx", "role", "text", "tool", "ts"):
+        assert a[col].fillna("∅").tolist() == b[col].fillna("∅").tolist(), col

@@ -507,3 +507,67 @@ def test_sliding_agg_stream_histq_vector_partials(spark, stream_dirs):
     )
     assert len(got) == len(exp)
     assert got["wp99"].tolist() == exp["wp99"].tolist()
+
+
+def test_user_next_reply_matches_brute(spark, stream_dirs):
+    """§F7 semantics: each user turn → its FIRST reply within the horizon;
+    streaming (join → min-by, two chained stateful ops) vs batch twin vs
+    a brute pandas recompute."""
+    from sliding_window_aggregators_spark.streaming import (
+        user_next_reply,
+        user_next_reply_batch,
+    )
+
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(400, 12)
+    _write_chunk(spark, src, pdf, "c0")
+
+    batch = (
+        user_next_reply_batch(spark.createDataFrame(pdf), horizon="60 seconds")
+        .toPandas()
+        .sort_values(["conv_id", "user_turn"])
+        .reset_index(drop=True)
+    )
+    # brute: per user turn, earliest reply within 60s (ties → lower turn)
+    exp_rows = []
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values(["ts", "turn_idx"])
+        reps = g[g["role"].isin(["assistant", "tool"])]
+        for _, u in g[g["role"] == "user"].iterrows():
+            cand = reps[
+                (reps["ts"] >= u["ts"])
+                & (reps["ts"] <= u["ts"] + pd.Timedelta(seconds=60))
+            ].sort_values(["ts", "turn_idx"])
+            if len(cand):
+                exp_rows.append((conv, int(u["turn_idx"]), int(cand.iloc[0]["turn_idx"])))
+    exp = (
+        pd.DataFrame(exp_rows, columns=["conv_id", "user_turn", "reply_turn"])
+        .sort_values(["conv_id", "user_turn"])
+        .reset_index(drop=True)
+    )
+    assert len(batch) == len(exp) and len(exp) > 0
+    assert batch[["conv_id", "user_turn", "reply_turn"]].values.tolist() == exp.values.tolist()
+
+    stream = user_next_reply(_read_stream(spark, src), horizon="60 seconds")
+    q, sink = write_stream_exactly_once(stream, out, ckpt)
+    q.awaitTermination(120)
+    got = (
+        sink.read_committed(spark)
+        .select("conv_id", "user_turn", "reply_turn")
+        .toPandas()
+        .sort_values(["conv_id", "user_turn"])
+        .reset_index(drop=True)
+    )
+    # append-mode semantics: groups whose event time is still inside the
+    # watermark horizon at end-of-input are correctly WITHHELD (they would
+    # finalize when later data advances the watermark); compare on the
+    # closed region and require no spurious rows anywhere
+    got_set = {tuple(r) for r in got.values.tolist()}
+    exp_set = {tuple(r) for r in exp.values.tolist()}
+    assert got_set <= exp_set  # nothing wrong was emitted
+    u_ts = pdf[pdf["role"] == "user"].set_index(["conv_id", "turn_idx"])["ts"]
+    closed_cut = pdf["ts"].max() - pd.Timedelta(seconds=200)  # 2min wm + slack
+    closed = {
+        t for t in exp_set if u_ts.loc[(t[0], t[1])] <= closed_cut
+    }
+    assert closed and closed <= got_set  # everything finalized was emitted

@@ -103,6 +103,11 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"ERROR {name}: {type(e).__name__}: {e}")
             fails.append(name)
+        finally:
+            # queries persist/cache intermediates for intra-query reuse;
+            # drop them between queries so one long session doesn't
+            # accumulate every query's blocks in executor storage
+            spark.catalog.clearCache()
     print("FAILURES:", fails or "none")
     spark.stop()
     sys.exit(1 if fails else 0)
