@@ -47,7 +47,14 @@ def main() -> None:
     ap.add_argument("--duration", default="10 minutes")
     ap.add_argument("--watermark", default="1 minute")
     ap.add_argument("--salt-buckets", type=int, default=0,
-                    help="hot-conversation salting (0 = off)")
+                    help="hot-conversation salting for --tumbling mode "
+                         "(0 = off; a no-op for the sliding aggregate, "
+                         "whose stateful groupBy re-shuffles on the bare "
+                         "key — see streaming/engine.py)")
+    ap.add_argument("--tumbling", default=None, metavar="SIZE",
+                    help="run a tumbling aggregate of this window size "
+                         "(e.g. '1 hour') instead of the per-turn sliding "
+                         "aggregate; salting applies here")
     ap.add_argument("--available-now", action="store_true",
                     help="drain available input then stop (batch-mode run)")
     args = ap.parse_args()
@@ -56,8 +63,9 @@ def main() -> None:
 
     from sliding_window_aggregators_spark.sources.session import _ship_package
     from sliding_window_aggregators_spark.streaming import (
-        salted_repartition,
         sliding_agg_stream,
+        tumbling_stream,
+        tumbling_stream_salted,
         write_stream_exactly_once,
     )
 
@@ -71,16 +79,27 @@ def main() -> None:
     stream = spark.readStream.schema(TRANSCRIPTS_SCHEMA).option(
         "pathGlobFilter", "*.parquet"
     ).parquet(os.path.join(args.source, "*"))
-    if args.salt_buckets:
-        stream = salted_repartition(stream, buckets=args.salt_buckets)
-    agg = sliding_agg_stream(
-        stream,
-        monoid_name=args.monoid,
-        value_expr=args.value_expr,
-        duration=args.duration,
-        watermark=args.watermark,
-        out_col="wagg",
-    )
+    if args.tumbling:
+        # distributive tumbling aggregate — the mode where salting is real
+        if args.salt_buckets:
+            agg = tumbling_stream_salted(
+                stream, size=args.tumbling, value_expr=args.value_expr,
+                watermark=args.watermark, buckets=args.salt_buckets,
+            )
+        else:
+            agg = tumbling_stream(
+                stream, size=args.tumbling, value_expr=args.value_expr,
+                watermark=args.watermark,
+            )
+    else:
+        agg = sliding_agg_stream(
+            stream,
+            monoid_name=args.monoid,
+            value_expr=args.value_expr,
+            duration=args.duration,
+            watermark=args.watermark,
+            out_col="wagg",
+        )
     q, sink = write_stream_exactly_once(
         agg, args.out, args.checkpoint, available_now=args.available_now
     )

@@ -109,6 +109,28 @@ def sliding_rows_kernel(
     return df.groupBy(key).applyInPandas(kernel, schema)
 
 
+def _with_chunk_halo(df, pos: str, chunk: int, w: int):
+    """Own/halo row construction shared by the chunked-halo paths: row p is
+    owned by chunk p//chunk and replicated into the next chunk when within
+    the last w−1 positions before its boundary."""
+    if w > chunk:
+        raise ValueError(
+            f"chunked-halo needs w ≤ chunk (w={w}, chunk={chunk}): the halo "
+            "only replicates from the immediately preceding chunk"
+        )
+    own = df.withColumn("_chunk", (F.col(pos) / chunk).cast("long")).withColumn(
+        "_halo", F.lit(False)
+    )
+    if w <= 1:
+        return own
+    halo = (
+        df.where((F.col(pos) % chunk) >= chunk - (w - 1))
+        .withColumn("_chunk", (F.col(pos) / chunk).cast("long") + 1)
+        .withColumn("_halo", F.lit(True))
+    )
+    return own.unionByName(halo)
+
+
 def sliding_rows_kernel_parallel(
     df: DataFrame,
     key: str,
@@ -135,24 +157,11 @@ def sliding_rows_kernel_parallel(
     ``(conv_id, hash-bucket)`` repartition: one 10^9-turn conversation
     becomes 10^9/chunk parallel tasks instead of one straggler.
     """
-    if w > chunk:
-        raise ValueError(
-            f"chunked-halo needs w ≤ chunk (w={w}, chunk={chunk}): the halo "
-            "only replicates from the immediately preceding chunk"
-        )
     id_cols = list(id_cols) or [key, pos]
     dtype = np.int64 if int_values else np.float64
     needed = list(dict.fromkeys([key, pos, value, *id_cols]))
     df = df.select(*needed)
-    own = df.withColumn("_chunk", (F.col(pos) / chunk).cast("long")).withColumn(
-        "_halo", F.lit(False)
-    )
-    halo = (
-        df.where((F.col(pos) % chunk) >= chunk - (w - 1))
-        .withColumn("_chunk", (F.col(pos) / chunk).cast("long") + 1)
-        .withColumn("_halo", F.lit(True))
-    ) if w > 1 else None
-    allrows = own.unionByName(halo) if halo is not None else own
+    allrows = _with_chunk_halo(df, pos, chunk, w)
     schema = ", ".join(
         [f"`{c}` {t}" for c, t in zip(id_cols, _spark_types(df, id_cols))]
         + [f"`{out}` {_OUT_SPARK_TYPE[monoid_name]}"]
@@ -171,6 +180,8 @@ def sliding_rows_kernel_parallel(
         halo_mask = pdf["_halo"].to_numpy()[idx]
         keep = ~halo_mask
         cols = {c: pdf[c].to_numpy()[idx][keep] for c in id_cols}
+        if monoid_name in ("stddev", "relvar"):
+            res = np.where(np.isnan(res), None, res)
         cols[out] = res[keep]
         return pd.DataFrame(cols)
 
@@ -214,21 +225,7 @@ def sliding_rows_kernel_partitioned(
     part_cols = [key]
     halo_col = None
     if chunk is not None:
-        if w > chunk:
-            raise ValueError("chunked-halo needs w ≤ chunk")
-        pos = order[0]
-        own = df.withColumn("_chunk", (F.col(pos) / chunk).cast("long")).withColumn(
-            "_halo", F.lit(False)
-        )
-        if w > 1:
-            halo = (
-                df.where((F.col(pos) % chunk) >= chunk - (w - 1))
-                .withColumn("_chunk", (F.col(pos) / chunk).cast("long") + 1)
-                .withColumn("_halo", F.lit(True))
-            )
-            df = own.unionByName(halo)
-        else:
-            df = own
+        df = _with_chunk_halo(df, order[0], chunk, w)
         part_cols = [key, "_chunk"]
         halo_col = "_halo"
     schema = ", ".join(

@@ -43,7 +43,7 @@ def _blob_for(key: int, nbytes: int) -> bytes:
     ).tobytes()
 
 
-def synth_media(spark, df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synth_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a deterministic media blob + typed metadata to each row.
 
     kind cycles image/audio/video; dims/rates/frame-counts derive from the
@@ -87,7 +87,9 @@ def _fake_decode(blob: bytes, width: int, height: int) -> np.ndarray:
     into a (height, width) uint8 luminance plane."""
     raw = np.frombuffer(blob, dtype=np.uint8)
     need = width * height
-    reps = -(-need // max(len(raw), 1))
+    if len(raw) == 0:  # empty blob → zero plane (tiling nothing can't fill)
+        return np.zeros((height, width), dtype=np.uint8)
+    reps = -(-need // len(raw))
     return np.tile(raw, reps)[:need].reshape(height, width)
 
 
@@ -116,6 +118,24 @@ def thumbnail_dims(width: np.ndarray, height: np.ndarray, max_side: int = 128):
     return tw, th
 
 
+def _meta_columns(pdf: pd.DataFrame, max_side: int) -> dict:
+    """The metadata derivations both media passes share: thumbnail fit,
+    sampled-frame count, audio duration (integer math only)."""
+    tw, th = thumbnail_dims(pdf["width"].to_numpy(), pdf["height"].to_numpy(), max_side)
+    n_frames = pdf["n_frames"].to_numpy()
+    sampled = np.where(
+        pdf["kind"].to_numpy() == "video", (n_frames + 3) // 4, 0
+    ).astype("int32")
+    blob_bytes = np.array([len(b) for b in pdf["blob"]], dtype=np.int64)
+    duration_us = np.where(
+        pdf["kind"].to_numpy() == "audio",
+        (blob_bytes * 1_000_000) // np.maximum(pdf["sample_rate"].to_numpy(), 1),
+        0,
+    ).astype("int64")
+    return {"thumb_w": tw, "thumb_h": th, "sampled_frames": sampled,
+            "audio_usec": duration_us}
+
+
 def media_metadata(media: DataFrame, max_side: int = 128) -> DataFrame:
     """Metadata-only pass: thumbnail fit, frame sampling, audio duration —
     everything :func:`media_features` derives WITHOUT touching pixel data
@@ -126,29 +146,8 @@ def media_metadata(media: DataFrame, max_side: int = 128) -> DataFrame:
 
     def gen(batches):
         for pdf in batches:
-            tw, th = thumbnail_dims(
-                pdf["width"].to_numpy(), pdf["height"].to_numpy(), max_side
-            )
-            n_frames = pdf["n_frames"].to_numpy()
-            sampled = np.where(
-                pdf["kind"].to_numpy() == "video", (n_frames + 3) // 4, 0
-            ).astype("int32")
-            blob_bytes = np.array([len(b) for b in pdf["blob"]], dtype=np.int64)
-            duration_us = np.where(
-                pdf["kind"].to_numpy() == "audio",
-                (blob_bytes * 1_000_000) // np.maximum(pdf["sample_rate"].to_numpy(), 1),
-                0,
-            ).astype("int64")
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "kind": pdf["kind"],
-                    "thumb_w": tw,
-                    "thumb_h": th,
-                    "sampled_frames": sampled,
-                    "audio_usec": duration_us,
-                }
-            )
+            meta = _meta_columns(pdf, max_side)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "kind": pdf["kind"], **meta})
 
     return media.mapInPandas(
         gen,
@@ -171,33 +170,18 @@ def media_features(media: DataFrame, max_side: int = 128) -> DataFrame:
                 (np.bincount(p.ravel() >> 6, minlength=4) / p.size).astype("float32")
                 for p in planes
             ]
-            tw, th = thumbnail_dims(
-                pdf["width"].to_numpy(), pdf["height"].to_numpy(), max_side
-            )
-            n_frames = pdf["n_frames"].to_numpy()
-            # ceil(n/4) via (n+3)//4: positive ints only, so floor ==
-            # truncate and every SQL dialect agrees
-            sampled = np.where(
-                pdf["kind"].to_numpy() == "video", (n_frames + 3) // 4, 0
-            ).astype("int32")
-            # integer microseconds (exact in every engine; no float rounding)
-            blob_bytes = np.array([len(b) for b in pdf["blob"]], dtype=np.int64)
-            duration_us = np.where(
-                pdf["kind"].to_numpy() == "audio",
-                (blob_bytes * 1_000_000) // np.maximum(pdf["sample_rate"].to_numpy(), 1),
-                0,
-            ).astype("int64")
+            meta = _meta_columns(pdf, max_side)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "kind": pdf["kind"],
-                    "thumb_w": tw,
-                    "thumb_h": th,
+                    "thumb_w": meta["thumb_w"],
+                    "thumb_h": meta["thumb_h"],
                     "pix_mean": np.round(mean, 6),
                     "pix_std": np.round(std, 6),
                     "hist4": hist,
-                    "sampled_frames": sampled,
-                    "audio_usec": duration_us,
+                    "sampled_frames": meta["sampled_frames"],
+                    "audio_usec": meta["audio_usec"],
                 }
             )
 

@@ -16,7 +16,7 @@ from ..operators.multimodal import media_features, media_metadata, synth_media
 
 def _media(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return synth_media(spark, docs)
+    return synth_media(docs)
 
 
 def q_multimodal_meta(spark, sf_dir):

@@ -6,6 +6,7 @@ from .engine import (  # noqa: F401
     sliding_agg_stream,
     sliding_count_stream,
     tumbling_stream,
+    tumbling_stream_salted,
 )
 from .join import (  # noqa: F401
     user_assistant_join,

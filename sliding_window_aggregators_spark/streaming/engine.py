@@ -13,17 +13,18 @@ stream, keyed by ``conv_id``:
 - late rows older than ``youngest − duration`` are dropped — the
   reference's primitive watermark (cpp/src/benchmark_core.h:577).
 
-Scale design (10^12 turns): the only shuffle is groupBy(conv_id [+ salt
-bucket]); state per key is O(rows inside the duration window) in Arrow-
-friendly arrays; skew is defused by ``salt_buckets`` — a conv's turns
-split deterministically into ``(conv_id, bucket)`` sub-streams for the
-aggregates that distribute over disjoint sub-streams (sum/count-style),
-re-merged downstream.
+Scale design (10^12 turns): the only shuffle is the stateful operator's
+groupBy; state per key is O(rows inside 2× the duration window) in
+Arrow-friendly arrays. Hot-conversation skew: per-turn SLIDING aggregates
+need whole-key state (their outputs are not distributive over sub-
+streams) — the hot-key answer there is the batch chunked-halo kernel
+(operators/batch.py) / capacity planning; DISTRIBUTIVE tumbling
+aggregates get real salting via :func:`tumbling_stream_salted`
+(aggregate by (key, bucket, window), merge by (key, window)).
 """
 
 from __future__ import annotations
 
-import os
 import pickle
 from typing import Iterator
 
@@ -35,7 +36,6 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..functions.monoids import get_monoid
 from ..operators.batch import _OUT_SPARK_TYPE
-from ..operators.kernels import sliding_time_window
 from ..operators.ordered import OrderedAggState
 
 STATE_SCHEMA = "blob binary"
@@ -113,8 +113,13 @@ def sliding_agg_stream(
                     {key: key_tuple[0], ts_col: pdf[ts_col].to_numpy(), out_col: res}
                 )
             )
-            # expiry: state only needs rows within duration of the youngest
-            st.bulk_evict(int(st.youngest()) - dur_us - 1)
+            # expiry: retain TWO durations behind the youngest — the
+            # late-data rule admits rows back to youngest − duration, and
+            # an admitted row at exactly that horizon folds over
+            # [t − duration, t], which reaches youngest − 2·duration;
+            # evicting at one duration would silently undercount admitted
+            # late rows against already-evicted state
+            st.bulk_evict(int(st.youngest()) - 2 * dur_us - 1)
         state.update((bytearray(st.dumps()),))
         if outs:
             yield pd.concat(outs)
@@ -433,16 +438,59 @@ def hll_distinct_stream(
 
 
 def salted_repartition(df: DataFrame, key: str = "conv_id", buckets: int = 8,
-                       salt_col: str = "bucket") -> DataFrame:
+                       salt_col: str = "bucket",
+                       row_cols: tuple = ("turn_idx",)) -> DataFrame:
     """Deterministic hot-key salting (north_rule): split each key's stream
-    into ``buckets`` sub-streams on a stable row hash, then repartition on
-    (key, bucket). Valid for aggregates that distribute over disjoint
-    sub-streams (sum/count/max/min/bloom — any commutative monoid whose
-    final merge is one combine across buckets)."""
+    into ``buckets`` sub-streams on a stable row hash of ``row_cols``,
+    then repartition on (key, bucket).
+
+    Applicability contract: the salt defuses skew only for operators that
+    AGGREGATE BY (key, bucket) and re-merge — i.e. distributive aggregates
+    (:func:`tumbling_stream_salted` is the streaming instance; the batch
+    chunked-halo kernel is the sliding-window instance). A downstream
+    ``groupBy(key)`` stateful operator re-shuffles on the bare key and
+    collapses the sub-streams again — salting in front of
+    :func:`sliding_agg_stream` is a no-op plus one wasted exchange."""
     salted = df.withColumn(
-        salt_col, F.pmod(F.xxhash64(F.col(key), F.col("turn_idx")), F.lit(buckets))
+        salt_col,
+        F.pmod(F.xxhash64(F.col(key), *[F.col(c) for c in row_cols]), F.lit(buckets)),
     )
     return salted.repartition(F.col(key), F.col(salt_col))
+
+
+def tumbling_stream_salted(
+    df: DataFrame,
+    ts_col: str = "ts",
+    size: str = "1 hour",
+    key: str = "conv_id",
+    value_expr: str = "length(text)",
+    watermark: str = "10 minutes",
+    buckets: int = 8,
+    row_cols: tuple = ("turn_idx",),
+) -> DataFrame:
+    """:func:`tumbling_stream` with the north_rule's explicit hot-key
+    salting made REAL: phase 1 aggregates by (key, bucket, window) — the
+    hot conversation's rows spread over ``buckets`` parallel state keys —
+    and phase 2 merges the per-bucket partials by (key, window). Exact for
+    distributive aggregates (count/sum here); two chained stateful
+    aggregations, both watermark-expirable."""
+    salted = df.withWatermark(ts_col, watermark).withColumn(
+        "_bucket",
+        F.pmod(F.xxhash64(F.col(key), *[F.col(c) for c in row_cols]), F.lit(buckets)),
+    )
+    partial = (
+        salted.groupBy(key, "_bucket", F.window(ts_col, size).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.expr(value_expr)).alias("_s"),
+        )
+    )
+    return (
+        partial.groupBy(key, "win")
+        .agg(F.sum("_n").alias("n_turns"), F.sum("_s").alias("sum_val"))
+        .select(key, F.col("win.start").alias("win_start"),
+                F.col("win.end").alias("win_end"), "n_turns", "sum_val")
+    )
 
 
 def tumbling_stream(df: DataFrame, ts_col: str = "ts", size: str = "1 hour",

@@ -26,6 +26,19 @@ from pyspark.sql import functions as F
 
 class ExactlyOnceParquetSink:
     def __init__(self, out_dir: str):
+        # the commit log and metrics use the DRIVER-LOCAL filesystem; that
+        # is only exactly-once when the driver sees the same durable fs the
+        # executors write to (local mode, NFS mount). A URI-schemed path
+        # (s3://, hdfs://) means it isn't — refuse loudly instead of
+        # silently re-writing every replayed batch after a driver failover
+        # (the Iceberg writer this sink stands in for commits through the
+        # table format instead and has no such boundary).
+        if "://" in out_dir:
+            raise ValueError(
+                "ExactlyOnceParquetSink's commit log is driver-local; for "
+                f"remote storage ({out_dir!r}) use the Iceberg writer "
+                "(df.writeTo(table).append()) this sink stands in for"
+            )
         self.out_dir = out_dir
         self.commit_dir = os.path.join(out_dir, "_commits")
         self.metrics_dir = os.path.join(out_dir, "_metrics")
@@ -88,7 +101,9 @@ def write_stream_exactly_once(
     """Start a streaming write through the exactly-once sink."""
     sink = ExactlyOnceParquetSink(out_dir)
     writer = (
-        df.writeStream.outputMode("update" if _is_stateful(df) else "append")
+        # append: every caller here emits finalized rows per micro-batch
+        # (applyInPandasWithState outputs, watermark-closed aggregates)
+        df.writeStream.outputMode("append")
         .foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
     )
@@ -97,5 +112,3 @@ def write_stream_exactly_once(
     return writer.start(), sink
 
 
-def _is_stateful(df: DataFrame) -> bool:
-    return False  # callers using applyInPandasWithState already emit append

@@ -45,7 +45,7 @@ def test_thumbnail_dims_int_math():
 
 def test_media_features_matches_python_oracle(spark):
     docs = spark.createDataFrame(pd.DataFrame({"doc_id": range(30)}))
-    media = synth_media(spark, docs)
+    media = synth_media(docs)
     feats = (
         media_features(media)
         .toPandas()
@@ -80,7 +80,7 @@ def test_media_metadata_matches_features_meta_columns(spark):
     )
 
     docs = spark.range(0, 200).withColumnRenamed("id", "doc_id")
-    media = synth_media(spark, docs)
+    media = synth_media(docs)
     cols = ["doc_id", "kind", "thumb_w", "thumb_h", "sampled_frames", "audio_usec"]
     a = media_metadata(media).select(cols).toPandas().sort_values("doc_id").reset_index(drop=True)
     b = media_features(media).select(cols).toPandas().sort_values("doc_id").reset_index(drop=True)

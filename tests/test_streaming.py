@@ -571,3 +571,85 @@ def test_user_next_reply_matches_brute(spark, stream_dirs):
         t for t in exp_set if u_ts.loc[(t[0], t[1])] <= closed_cut
     }
     assert closed and closed <= got_set  # everything finalized was emitted
+
+
+def test_admitted_late_row_folds_over_full_window(spark, stream_dirs):
+    """A late row the admission rule accepts must aggregate over its FULL
+    [t − duration, t] window — state retention is 2×duration, so rows the
+    previous batch already saw are still foldable (eviction at exactly one
+    duration undercounted admitted late rows)."""
+    src, out, ckpt = stream_dirs
+    base = pd.Timestamp("2024-01-01")
+
+    def mk(turns):
+        return pd.DataFrame(
+            {
+                "conv_id": ["c"] * len(turns),
+                "turn_idx": np.arange(len(turns), dtype=np.int32),
+                "role": ["user"] * len(turns),
+                "text": ["x" * v for _, v in turns],
+                "tool": ["t"] * len(turns),
+                "ts": [base + pd.Timedelta(seconds=s) for s, _ in turns],
+            }
+        )
+
+    # batch 1: rows at 0s..100s; batch 2: a LATE row at 70s (youngest=100,
+    # duration=60s → admission horizon 40s; its window [10s, 70s] includes
+    # the 20s and 60s rows, which one-duration eviction would have dropped)
+    b1 = mk([(0, 1), (20, 2), (60, 4), (100, 8)])
+    b2 = mk([(70, 16)])
+    b2["turn_idx"] = np.array([4], dtype=np.int32)
+    _write_chunk(spark, src, b1, "c0")
+
+    stream = sliding_agg_stream(
+        _read_stream(spark, src), monoid_name="sum",
+        value_expr="length(text)", duration="1 minute", out_col="wsum",
+    )
+    q, sink = write_stream_exactly_once(stream, out, ckpt)
+    q.awaitTermination(90)
+    _write_chunk(spark, src, b2, "c1")
+    q, sink = write_stream_exactly_once(
+        sliding_agg_stream(
+            _read_stream(spark, src), monoid_name="sum",
+            value_expr="length(text)", duration="1 minute", out_col="wsum",
+        ),
+        out, ckpt,
+    )
+    q.awaitTermination(90)
+    got = sink.read_committed(spark).toPandas()
+    late = got[got["ts"] == base + pd.Timedelta(seconds=70)]
+    assert len(late) == 1
+    # [10s, 70s] window: 20s(2) + 60s(4) + 70s(16) = 22
+    assert float(late["wsum"].iloc[0]) == 22.0
+
+
+def test_tumbling_stream_salted_matches_unsalted(spark, stream_dirs):
+    """The salted two-phase tumbling aggregate must equal the plain one —
+    the salt only spreads state keys, never changes results."""
+    from sliding_window_aggregators_spark.streaming import tumbling_stream_salted
+
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(500, 5)  # few keys → genuinely hot
+    _write_chunk(spark, src, pdf, "c0")
+
+    plain = tumbling_stream(
+        spark.createDataFrame(pdf), size="1 minute", watermark="1 minute"
+    ).toPandas()
+    q, sink = write_stream_exactly_once(
+        tumbling_stream_salted(
+            _read_stream(spark, src), size="1 minute",
+            watermark="1 minute", buckets=4,
+        ),
+        out, ckpt,
+    )
+    q.awaitTermination(120)
+    got = sink.read_committed(spark).select(plain.columns.tolist()).toPandas()
+    key = ["conv_id", "win_start"]
+    a = plain.sort_values(key).reset_index(drop=True)
+    b = got.sort_values(key).reset_index(drop=True)
+    # append-mode withholds windows still inside the watermark at EOF;
+    # everything emitted must match the batch aggregate exactly
+    merged = b.merge(a, on=key, suffixes=("_s", "_p"))
+    assert len(merged) == len(b) and len(b) > 0
+    assert (merged["n_turns_s"] == merged["n_turns_p"]).all()
+    assert (merged["sum_val_s"] == merged["sum_val_p"]).all()
