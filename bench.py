@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "pricing_summary",
     "customer_running_total",
     "region_revenue",
+    "weekly_retention",
 ]
 
 # window grid: a sample of benchmark_driver's 2^2..2^22 (full grid in

@@ -182,14 +182,80 @@ group by r_name
 """
 
 
+def q_weekly_retention(spark, sf_dir):
+    """Cohort retention over the events stream: users grouped by their
+    first-activity week (the cohort), counted distinct in every later
+    activity week, with the retention share as exact ppm. The classic
+    product-analytics matrix — two aggregations and one join, no
+    self-join over events.
+
+    Scale shape: first-activity is one groupBy(user) min — map-side
+    combinable; activity pairs come from a distinct on (user, week) (the
+    heavy shuffle, also map-side combined); cohort sizes broadcast-join
+    onto the tiny (cohort, week) matrix."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wk = F.date_trunc("week", F.col("ts"))
+    first = (
+        ev.groupBy("user_id")
+        .agg(F.min(wk.alias("w")).alias("cohort_week"))
+    )
+    active = ev.select("user_id", wk.alias("week")).distinct()
+    pairs = active.join(first, "user_id")
+    cohort_sizes = first.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_n")
+    )
+    grid = pairs.groupBy("cohort_week", "week").agg(
+        F.countDistinct("user_id").alias("active_n")
+    )
+    return (
+        grid.join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week",
+            "active_n",
+            "cohort_n",
+            F.expr("(active_n * cast(1000000 as bigint)) div cohort_n").alias(
+                "retention_ppm"
+            ),
+        )
+    )
+
+
+ORACLE_WEEKLY_RETENTION = """
+with first as (
+  select user_id, min(date_trunc('week', ts)) as cohort_week
+  from events group by user_id
+),
+active as (
+  select distinct user_id, date_trunc('week', ts) as week from events
+),
+sizes as (
+  select cohort_week, count(distinct user_id) as cohort_n
+  from first group by cohort_week
+),
+grid as (
+  select f.cohort_week, a.week, count(distinct a.user_id) as active_n
+  from active a join first f using (user_id)
+  group by 1, 2
+)
+select g.cohort_week, g.week, g.active_n, s.cohort_n,
+       (g.active_n * 1000000::BIGINT) // s.cohort_n as retention_ppm
+from grid g join sizes s using (cohort_week)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "weekly_retention": q_weekly_retention,
     "customer_running_total": q_customer_running_total,
     "region_revenue": q_region_revenue,
 }
 
 ORACLES = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "weekly_retention": ORACLE_WEEKLY_RETENTION,
     "customer_running_total": ORACLE_CUSTOMER_RUNNING_TOTAL,
     "region_revenue": ORACLE_REGION_REVENUE,
 }
