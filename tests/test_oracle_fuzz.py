@@ -105,6 +105,7 @@ EVENTS_QUERIES = [
     "sawtooth_sum_w50", "shared_windows_3x", "shared_hll_3x",
     "tumbling_sum_1h", "session_30m", "asof_join_signup_purchase",
     "cep_three_rising", "cep_funnel_1h", "user_stats", "hll_users_by_type",
+    "weekly_retention",
 ]
 DOCS_QUERIES = [
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
