@@ -101,6 +101,11 @@ class Monoid:
     invertible: bool = False
     commutative: bool = True
     idempotent: bool = False
+    # SubtractOnEvict is only sound when inverse_combine is total over the
+    # input domain; monoids whose inverse degenerates at a domain boundary
+    # (geomean's ±inf log partials) or is deliberately lossy (BusyLoop)
+    # set this False so the auto strategy avoids SOE
+    soe_safe: bool = True
 
     # --- required API ---
     def lift(self, values: np.ndarray) -> Partial:
@@ -294,10 +299,18 @@ class GeometricMean(Monoid):
 
     name = "geomean"
     invertible = True
+    # inverse_combine is sound only for strictly positive inputs: a zero
+    # lifts to logsum = −inf, and evicting it computes (−inf) − (−inf) =
+    # NaN, permanently poisoning an SOE running total — so the auto
+    # strategy must not pick SOE (two-stacks/block recompute from live
+    # partials and recover after the zero leaves the window)
+    soe_safe = False
 
     def lift(self, values):
         v = np.asarray(values, dtype=np.float64)
-        return {"logsum": np.log(v), "n": np.ones(len(v), dtype=np.int64)}
+        with np.errstate(divide="ignore", invalid="ignore"):
+            logs = np.log(v)
+        return {"logsum": logs, "n": np.ones(len(v), dtype=np.int64)}
 
     def identity(self, n=1):
         return {"logsum": np.zeros(n), "n": np.zeros(n, dtype=np.int64)}
@@ -393,6 +406,10 @@ class ArgMax(Monoid):
     Non-commutative because of the tie-break."""
 
     name = "argmax"
+    # domain precondition: keys must be finite non-NaN (NaN keys freeze
+    # the vectorized scans on the pre-NaN argmax while a combine() fold
+    # would let later elements win; a key equal to the identity sentinel
+    # −inf/INT64_MIN ties the identity and can surface its arg 0)
     commutative = False
     idempotent = True
 
@@ -468,6 +485,8 @@ class MinCount(Monoid):
     n = −1 identity sentinel (cpp/src/AggregationFunctions.hpp:446-503)."""
 
     name = "mincount"
+    # domain precondition: values must be non-NaN (NaN breaks the
+    # min-equality count in the vectorized scan vs a combine() fold)
 
     def __init__(self, dtype=np.float64):
         self.dtype = np.dtype(dtype)
@@ -551,8 +570,15 @@ class RelativeVariation(Monoid):
                 "max": np.maximum(a["max"], b["max"])}
 
     def lower(self, p):
+        # empty-window detection BEFORE the subtraction: the integer
+        # identity sentinels would wrap (INT64_MIN − INT64_MAX = +1) and
+        # return a tiny bogus ratio instead of the float dtype's NaN
+        empty = p["max"] == self._hi
+        mx = p["max"].astype(np.float64)
+        mn = p["min"].astype(np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
-            return (p["max"] - p["min"]) / p["max"].astype(np.float64)
+            out = (mx - mn) / mx
+        return np.where(empty, np.nan, out)
 
     def accumulate(self, p, axis=0):
         return {"min": np.minimum.accumulate(p["min"], axis=axis),
@@ -822,6 +848,10 @@ class BusyLoop(Monoid):
     (cpp/src/AggregationFunctions.hpp:505-552). Bench payload only."""
 
     name = "busyloop"
+    # the busy-work combine is deliberately not invertible (a − b does not
+    # undo combine's extra +busy(s)); values are an anti-DCE payload, but
+    # keep SOE off so cross-strategy comparisons stay meaningful
+    soe_safe = False
     invertible = True
 
     def lift(self, values):

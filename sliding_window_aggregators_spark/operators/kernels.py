@@ -333,7 +333,7 @@ class SlidingCountWindow:
             # e.g. Collect: accumulate is 1-D-only, so neither SOE's
             # prefix scans nor the blocked 2-D scan apply
             return "twostacks"
-        if self.m.invertible and self.m.name != "collect":
+        if self.m.invertible and self.m.soe_safe and self.m.name != "collect":
             return "soe"
         # block costs O(m + w) per batch (bad when w ≫ batch); two-stacks is
         # amortized O(1)/row but pays ~1 Python iteration per w rows (bad

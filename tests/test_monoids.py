@@ -159,3 +159,27 @@ def test_collect_order_and_inverse():
     assert m.lower1(acc) == [1.0, 2.0, 3.0]
     inv = m.inverse_combine(acc, m.lift(np.array([1.0])))
     assert m.lower1(inv) == [2.0, 3.0]
+
+
+def test_geomean_zero_does_not_poison_auto_strategy():
+    """A zero in the stream lifts to logsum = −inf; the auto strategy must
+    avoid SubtractOnEvict (whose (−inf) − (−inf) eviction = NaN poisons
+    the running total forever) and recover once the zero leaves."""
+    from sliding_window_aggregators_spark.operators import SlidingCountWindow
+
+    m = get_monoid("geomean")
+    assert m.soe_safe is False
+    k = SlidingCountWindow(m, 2)
+    out = k.process(np.array([4.0, 0.0, 9.0, 16.0, 25.0]))
+    assert not np.isnan(out[-2:]).any()
+    assert out[-1] == np.float64(np.float32(np.exp(np.float32((np.log(16.0) + np.log(25.0)) / np.float32(2)))))
+
+
+def test_relvar_int_identity_lower_is_nan():
+    """Empty-window lower must be NaN for the INTEGER dtype too — the
+    sentinel subtraction (INT64_MIN − INT64_MAX) would wrap to +1 and
+    return a tiny bogus ratio."""
+    rv = get_monoid("relvar", np.int64)
+    assert np.isnan(rv.lower(rv.identity(3))).all()
+    rvf = get_monoid("relvar")
+    assert np.isnan(rvf.lower(rvf.identity(1))).all()
