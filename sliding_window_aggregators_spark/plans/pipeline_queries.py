@@ -338,7 +338,8 @@ ORACLE_REPETITION_RATIO = (
     + """,
 c as (select doc_id, g, count(*) as cnt from tri group by 1, 2),
 agg as (
-  select doc_id, sum(cnt) as n_grams, max(cnt) as max_rep from c group by doc_id
+  select doc_id, cast(sum(cnt) as bigint) as n_grams, max(cnt) as max_rep
+  from c group by doc_id
 ),
 top as (
   select c.doc_id, min(c.g) as top_gram

@@ -79,10 +79,10 @@ with li as (
   where l_shipdate <= timestamp '{_Q1_CUTOFF}'
 )
 select l_returnflag, l_linestatus,
-       sum(qty) as sum_qty,
-       sum(price_c) as sum_base_price_c,
-       sum(price_c * (100 - disc_p)) as sum_disc_price_cp,
-       sum(price_c * (100 - disc_p) * (100 + tax_p)) as sum_charge_cpp,
+       cast(sum(qty) as bigint) as sum_qty,
+       cast(sum(price_c) as bigint) as sum_base_price_c,
+       cast(sum(price_c * (100 - disc_p)) as bigint) as sum_disc_price_cp,
+       cast(sum(price_c * (100 - disc_p) * (100 + tax_p)) as bigint) as sum_charge_cpp,
        count(*) as count_order,
        cast(sum(qty) as double) / count(*) as avg_qty,
        cast(sum(price_c) as double) / count(*) as avg_price_c
@@ -122,7 +122,7 @@ def q_customer_running_total(spark, sf_dir):
 ORACLE_CUSTOMER_RUNNING_TOTAL = """
 select o_custkey, o_orderkey,
        row_number() over w as order_seq,
-       sum(cast(round(o_totalprice * 100) as bigint)) over w as running_total_c
+       cast(sum(cast(round(o_totalprice * 100) as bigint)) over w as bigint) as running_total_c
 from orders
 window w as (partition by o_custkey order by o_orderdate, o_orderkey
              rows between unbounded preceding and current row)
@@ -170,8 +170,8 @@ def q_region_revenue(spark, sf_dir):
 
 ORACLE_REGION_REVENUE = """
 select r_name,
-       sum(cast(round(l_extendedprice * 100) as bigint)
-           * (100 - cast(round(l_discount * 100) as bigint))) as revenue_cp,
+       cast(sum(cast(round(l_extendedprice * 100) as bigint)
+                * (100 - cast(round(l_discount * 100) as bigint))) as bigint) as revenue_cp,
        count(*) as n_lineitems,
        count(distinct n_name) as n_nations
 from lineitem
