@@ -20,16 +20,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
-    "sliding_sum_w100",
-    "sliding_geomean_w100",
+    "sliding_basic_w100",
     "kernel_sum_w100",
     "kernel_max_w100",
-    "kernel_mincount_w100",
+    "kernel_stats_w100",
     "kernel_bloom_w100",
-    "kernel_hll_w100",
-    "kernel_p99_w100",
+    "kernel_sketch_w100",
     "time_range_sum_1h",
     "time_range_sum_1h_kernel",
+    "csv_time_range_sum_1h",
     "ooo_range_sum_1h",
     "sawtooth_sum_w50",
     "dedup_simhash_pairs",

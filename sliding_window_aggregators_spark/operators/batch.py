@@ -507,6 +507,7 @@ def sliding_rows_auto(
     out: str,
     id_cols: Sequence[str] = (),
     int_values: bool = False,
+    path: str = "auto",
 ) -> DataFrame:
     """Physical-path dispatcher: the engine's public count-window entry.
 
@@ -516,9 +517,19 @@ def sliding_rows_auto(
     HistogramQuantile, MinCount, RelVar, reference-exact GeoMean, ArgMax)
     takes the partitioned kernel route
     (:func:`sliding_rows_kernel_partitioned`). Same single shuffle on
-    ``key`` either way; tested result-equal where both paths apply."""
+    ``key`` either way; tested result-equal where both paths apply.
+
+    ``path`` pins the physical route: ``"sql"`` (error if the monoid has
+    no native Window form), ``"kernel"``, or ``"auto"`` (default — native
+    when possible). The two pinned routes are result-interchangeable
+    wherever both apply, which the driver's ``auto_sum_w100_{sql,kernel}``
+    query pair verifies under one oracle hash."""
+    if path not in ("auto", "sql", "kernel"):
+        raise ValueError(f"unknown path {path!r}")
     fn = _SQL_WINDOW_FN.get(monoid_name)
-    if fn is None:
+    if path == "sql" and fn is None:
+        raise ValueError(f"monoid {monoid_name!r} has no native SQL window form")
+    if fn is None or path == "kernel":
         return sliding_rows_kernel_partitioned(
             df, key, order, value, monoid_name, w, out,
             id_cols=id_cols, int_values=int_values,

@@ -20,11 +20,14 @@ north_rule streaming additions evaluated here in batch form.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.batch import (
+    sliding_rows_auto,
     sliding_rows_kernel_partitioned,
     sliding_time_kernel_partitioned,
     with_cents,
@@ -73,65 +76,51 @@ def _w_rows():
 # ---------------------------------------------------------------------------
 
 
-def q_sliding_sum(spark, sf_dir):
+def q_sliding_basic(spark, sf_dir):
+    """Sum / max / mean / geomean over ONE shared ROWS w=100 frame on the
+    SQL path (native Window aggregates, whole-stage codegen): the scalar
+    monoids Catalyst expresses directly, answered from a single sort like
+    the reference's shared-window mode. Geomean runs over (1 + cents) —
+    the shift keeps every input strictly positive (the raw stream contains
+    exact zeros at sf ≥ 0.1, where ln(0) is an error in DuckDB and a
+    null-skip in Spark), and 1 + cents is an exact integer both engines
+    lift identically. (Driver-slot consolidation of the former
+    sliding_{sum,max,mean,geomean}_w100 queries — same values, one row
+    per event, four verified columns.)"""
     df = _events(spark, sf_dir)
-    return df.select(
-        "user_id", "event_id", F.sum("cents").over(_w_rows()).alias("wsum_cents")
-    )
-
-
-def q_sliding_max(spark, sf_dir):
-    df = _events(spark, sf_dir)
-    return df.select(
-        "user_id", "event_id", F.max("cents").over(_w_rows()).alias("wmax_cents")
-    )
-
-
-def q_sliding_mean(spark, sf_dir):
-    df = _events(spark, sf_dir)
+    w = _w_rows()
     return df.select(
         "user_id",
         "event_id",
-        (
-            F.sum("cents").over(_w_rows()).cast("double")
-            / F.count(F.lit(1)).over(_w_rows())
-        ).alias("wmean_cents"),
-    )
-
-
-def q_sliding_geomean(spark, sf_dir):
-    """Geomean over (1 + cents): the shift keeps every input strictly
-    positive (the raw stream contains exact zeros at sf ≥ 0.1, where
-    ln(value) is an error in DuckDB and a null-skip in Spark — a
-    divergence, not a value), and 1 + cents is an exact integer both
-    engines lift identically."""
-    df = _events(spark, sf_dir)
-    return df.select(
-        "user_id",
-        "event_id",
+        F.sum("cents").over(w).alias("wsum_cents"),
+        F.max("cents").over(w).alias("wmax_cents"),
+        (F.sum("cents").over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "wmean_cents"
+        ),
         F.round(
-            F.exp(F.avg(F.log(F.col("cents") + F.lit(1).cast("double"))).over(_w_rows())), 6
+            F.exp(F.avg(F.log(F.col("cents") + F.lit(1).cast("double"))).over(w)), 6
         ).alias("wgeomean"),
     )
 
 
-def q_sliding_argmax(spark, sf_dir):
+def q_sliding_argmax_collect(spark, sf_dir):
+    """ArgMax and Collect over the same shared ROWS w=100 frame on the SQL
+    path (max_by + collect_list native Window aggregates). The packed
+    argmax key ``cents·2^40 + event_id`` makes keys unique so both engines
+    agree regardless of tie rule; domain bound (asserted in pytest against
+    the fixtures and documented here because int64 wraps SILENTLY with
+    ANSI off): cents < 2^23 (~$83k) and event_id < 2^40, else the packed
+    key overflows int64. (Consolidation of the former
+    sliding_{argmax,collect}_w100 driver slots.)"""
     df = _events(spark, sf_dir).withColumn(
         "k", F.col("cents") * (1 << 40) + F.col("event_id")
     )
+    w = _w_rows()
     return df.select(
         "user_id",
         "event_id",
-        F.expr("max_by(event_id, k)").over(_w_rows()).alias("warg_event"),
-    )
-
-
-def q_sliding_collect(spark, sf_dir):
-    df = _events(spark, sf_dir)
-    return df.select(
-        "user_id",
-        "event_id",
-        F.array_join(F.collect_list("cents").over(_w_rows()), ",").alias("wlist"),
+        F.expr("max_by(event_id, k)").over(w).alias("warg_event"),
+        F.array_join(F.collect_list("cents").over(w), ",").alias("wlist"),
     )
 
 
@@ -140,20 +129,17 @@ select user_id, event_id, cast(sum(cents) over w as bigint) as wsum_cents
 from {_EV} {_WIN}
 """
 
+ORACLE_SLIDING_BASIC = f"""
+select user_id, event_id,
+       cast(sum(cents) over w as bigint) as wsum_cents,
+       max(cents) over w as wmax_cents,
+       cast(sum(cents) over w as double) / (count(*) over w) as wmean_cents,
+       round(exp(avg(ln(cast(1 + cents as double))) over w), 6) as wgeomean
+from {_EV} {_WIN}
+"""
+
 ORACLE_SLIDING_MAX = f"""
 select user_id, event_id, max(cents) over w as wmax_cents
-from {_EV} {_WIN}
-"""
-
-ORACLE_SLIDING_MEAN = f"""
-select user_id, event_id,
-       cast(sum(cents) over w as double) / (count(*) over w) as wmean_cents
-from {_EV} {_WIN}
-"""
-
-ORACLE_SLIDING_GEOMEAN = f"""
-select user_id, event_id,
-       round(exp(avg(ln(cast(1 + cents as double))) over w), 6) as wgeomean
 from {_EV} {_WIN}
 """
 
@@ -162,8 +148,10 @@ select user_id, event_id, arg_max(event_id, cents * 1099511627776 + event_id) ov
 from {_EV} {_WIN}
 """
 
-ORACLE_SLIDING_COLLECT = f"""
-select user_id, event_id, array_to_string(list(cents) over w, ',') as wlist
+ORACLE_SLIDING_ARGMAX_COLLECT = f"""
+select user_id, event_id,
+       arg_max(event_id, cents * 1099511627776 + event_id) over w as warg_event,
+       array_to_string(list(cents) over w, ',') as wlist
 from {_EV} {_WIN}
 """
 
@@ -195,35 +183,38 @@ def q_kernel_max(spark, sf_dir):
     return out.withColumn("wmax_cents", F.col("wmax_cents").cast("long"))
 
 
-def q_kernel_mincount(spark, sf_dir):
-    """Count of window-min occurrences — no Spark built-in; the MinCount
-    monoid (cpp/src/AggregationFunctions.hpp:446-503) through the kernel."""
+def q_kernel_stats(spark, sf_dir):
+    """Three non-SQL-expressible scalar monoids through the kernel, one
+    verified row per event (driver-slot consolidation of the former
+    kernel_{mincount,relvar,stddev}_w100 queries):
+
+    - MinCount — count of window-min occurrences, no Spark built-in
+      (cpp/src/AggregationFunctions.hpp:446-503);
+    - RelativeVariation — (max−min)/max
+      (cpp/src/AggregationFunctions.hpp:554-617);
+    - SampleStdDev — the reference's exact naive formula
+      (cpp/src/AggregationFunctions.hpp:229) over exact integer cents,
+      bit-identical to the same formula in SQL.
+
+    Each monoid runs its own partitioned kernel pass (that per-monoid
+    path is what the query verifies); the three 1-row-per-event outputs
+    equi-join on (user_id, event_id). At 100 TB you'd fuse them into one
+    tuple-monoid kernel pass — the join here is slot economy, not the
+    recommended physical plan."""
     df = _events(spark, sf_dir)
-    return sliding_rows_kernel(
+    a = sliding_rows_kernel(
         df, "user_id", ["ts", "event_id"], "cents", "mincount", W,
         out="wmincount", id_cols=["user_id", "event_id"], int_values=True,
     )
-
-
-def q_kernel_relvar(spark, sf_dir):
-    """(max−min)/max over the window (RelativeVariation,
-    cpp/src/AggregationFunctions.hpp:554-617)."""
-    df = _events(spark, sf_dir)
-    return sliding_rows_kernel(
+    b = sliding_rows_kernel(
         df, "user_id", ["ts", "event_id"], "cents", "relvar", W,
         out="wrelvar", id_cols=["user_id", "event_id"], int_values=True,
     )
-
-
-def q_kernel_stddev(spark, sf_dir):
-    """Sample stddev with the reference's exact naive formula
-    (cpp/src/AggregationFunctions.hpp:229) over exact integer cents —
-    bit-identical to the same formula in SQL."""
-    df = _events(spark, sf_dir)
-    return sliding_rows_kernel(
+    c = sliding_rows_kernel(
         df, "user_id", ["ts", "event_id"], "cents", "stddev", W,
         out="wstddev_cents", id_cols=["user_id", "event_id"], int_values=True,
     )
+    return a.join(b, ["user_id", "event_id"]).join(c, ["user_id", "event_id"])
 
 
 def q_kernel_argmax(spark, sf_dir):
@@ -254,7 +245,7 @@ def q_kernel_bloom(spark, sf_dir):
 ORACLE_KERNEL_SUM = ORACLE_SLIDING_SUM
 ORACLE_KERNEL_MAX = ORACLE_SLIDING_MAX
 
-ORACLE_KERNEL_MINCOUNT = f"""
+ORACLE_KERNEL_STATS = f"""
 with t as (
   select user_id, event_id, cents,
          row_number() over (partition by user_id order by ts, event_id) as rn
@@ -265,27 +256,25 @@ j as (
   from t a join t b
     on a.user_id = b.user_id and b.rn between a.rn - 99 and a.rn
 ),
-mm as (select *, min(bc) over (partition by user_id, event_id) as mn from j)
-select user_id, event_id, count(*) filter (bc = mn) as wmincount
-from mm group by user_id, event_id
-"""
-
-ORACLE_KERNEL_RELVAR = f"""
-select user_id, event_id,
-       cast(max(cents) over w - min(cents) over w as double)
-         / (max(cents) over w) as wrelvar
-from {_EV} {_WIN}
-"""
-
-ORACLE_KERNEL_STDDEV = f"""
-select user_id, event_id,
-  case when count(*) over w < 2 then null else
-    sqrt((sum(cents * cents) over w
-          - (cast(sum(cents) over w as double) * sum(cents) over w)
-            / (count(*) over w))
-         / (count(*) over w - 1))
-  end as wstddev_cents
-from {_EV} {_WIN}
+mm as (select *, min(bc) over (partition by user_id, event_id) as mn from j),
+mc as (
+  select user_id, event_id, count(*) filter (bc = mn) as wmincount
+  from mm group by user_id, event_id
+),
+wf as (
+  select user_id, event_id,
+         cast(max(cents) over w - min(cents) over w as double)
+           / (max(cents) over w) as wrelvar,
+         case when count(*) over w < 2 then null else
+           sqrt((sum(cents * cents) over w
+                 - (cast(sum(cents) over w as double) * sum(cents) over w)
+                   / (count(*) over w))
+                / (count(*) over w - 1))
+         end as wstddev_cents
+  from {_EV} {_WIN}
+)
+select user_id, event_id, wmincount, wrelvar, wstddev_cents
+from mc join wf using (user_id, event_id)
 """
 
 ORACLE_KERNEL_ARGMAX = ORACLE_SLIDING_ARGMAX
@@ -332,21 +321,63 @@ from b {_WIN}
 """
 
 
-def q_kernel_hll(spark, sf_dir):
-    """Sliding distinct-count estimate (HyperLogLog monoid through the
-    Two-Stacks kernel): per user, the deterministic 64-register HLL of the
-    distinct cents values inside the last-100-rows window — the sketch
-    family's cardinality member lifted into the §2 'any associative
-    operator' machinery (functions/monoids.py HyperLogLog). The md5 hash
-    is computed JVM-side; the kernel only scatter/max-scans registers."""
+def q_auto_sum_sql(spark, sf_dir):
+    """The public dispatcher (:func:`sliding_rows_auto`) on a monoid with
+    a native Window form: ``auto`` resolves sum to the SQL route — the
+    plan contains a native Window frame and NO MapInPandas (pinned in
+    tests/test_plan_shapes.py). Same oracle as auto_sum_w100_kernel:
+    the pair proves route interchangeability under the driver's hash."""
+    df = _events(spark, sf_dir)
+    out = sliding_rows_auto(
+        df, "user_id", ["ts", "event_id"], "cents", "sum", W,
+        out="wsum_cents", id_cols=["user_id", "event_id"], int_values=True,
+    )
+    return out.withColumn("wsum_cents", F.col("wsum_cents").cast("long"))
+
+
+def q_auto_sum_kernel(spark, sf_dir):
+    """The same dispatcher call with ``path="kernel"`` pinned: the plan
+    contains MapInPandas and no Window frame (tests/test_plan_shapes.py),
+    yet hashes identically to auto_sum_w100_sql under the shared oracle."""
+    df = _events(spark, sf_dir)
+    out = sliding_rows_auto(
+        df, "user_id", ["ts", "event_id"], "cents", "sum", W,
+        out="wsum_cents", id_cols=["user_id", "event_id"], int_values=True,
+        path="kernel",
+    )
+    return out.withColumn("wsum_cents", F.col("wsum_cents").cast("long"))
+
+
+def q_kernel_sketch(spark, sf_dir):
+    """The two vector-partial sketch monoids through the kernel, one
+    verified row per event (driver-slot consolidation of the former
+    kernel_{hll,p99}_w100 queries):
+
+    - HyperLogLog — deterministic 64-register distinct-count estimate of
+      the cents values in the last-100-rows window (functions/monoids.py
+      HyperLogLog); md5 hashed JVM-side, the kernel only scatter/max-scans
+      registers (Two-Stacks route — register max has no inverse);
+    - HistogramQuantile — approximate p99 from a 64-bucket fixed-grid
+      count histogram (functions/monoids.py HistogramQuantile); the
+      invertible-VECTOR-partial case: SubtractOnEvict's O(1) fast path on
+      a 64-lane count partial.
+
+    Each sketch runs its own partitioned kernel pass; outputs equi-join
+    on (user_id, event_id) for slot economy (fuse into one tuple-monoid
+    pass at 100 TB)."""
     df = _events(spark, sf_dir).withColumn(
         "h",
         F.expr(_cents_md5_60()),
     )
-    return sliding_rows_kernel(
+    a = sliding_rows_kernel(
         df, "user_id", ["ts", "event_id"], "h", "hll", W,
         out="whll", id_cols=["user_id", "event_id"], int_values=True,
     )
+    b = sliding_rows_kernel(
+        df, "user_id", ["ts", "event_id"], "cents", "histq", W,
+        out="wp99_cents", id_cols=["user_id", "event_id"], int_values=True,
+    )
+    return a.join(b, ["user_id", "event_id"])
 
 
 def _hll_oracle() -> str:
@@ -391,23 +422,6 @@ from agg
 """
 
 
-ORACLE_KERNEL_HLL = _hll_oracle()
-
-
-def q_kernel_p99(spark, sf_dir):
-    """Sliding p99 (histogram-quantile monoid through the kernel): per
-    user, the approximate 99th-percentile cents value of the last-100-rows
-    window from a 64-bucket fixed-grid histogram — the sketch family's
-    quantile member (functions/monoids.py HistogramQuantile), and the
-    invertible-VECTOR-partial case: SubtractOnEvict's O(1) fast path on a
-    64-lane count partial."""
-    df = _events(spark, sf_dir)
-    return sliding_rows_kernel(
-        df, "user_id", ["ts", "event_id"], "cents", "histq", W,
-        out="wp99_cents", id_cols=["user_id", "event_id"], int_values=True,
-    )
-
-
 def _histq_oracle() -> str:
     from ..functions.monoids import HISTQ_B, HISTQ_PCT, HISTQ_SHIFT
 
@@ -449,7 +463,13 @@ group by user_id, event_id
 """
 
 
-ORACLE_KERNEL_P99 = _histq_oracle()
+# both sketch oracles reconstruct frames with an O(n·w) band self-join
+# (oracle-only); the merged query equi-joins the two pipelines
+ORACLE_KERNEL_SKETCH = f"""
+select user_id, event_id, whll, wp99_cents
+from ({_hll_oracle()}) h
+join ({_histq_oracle()}) p using (user_id, event_id)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -514,6 +534,55 @@ group by a.user_id, a.event_id
 
 
 ORACLE_TIME_RANGE_SUM_KERNEL = _arrival_range_sum_oracle("hsum_cents", HOUR_US)
+
+
+def _csv_events_path(spark, sf_dir: str) -> str:
+    """One-time lossless parquet→CSV conversion of the events table (per
+    sf dir, cached in /tmp): timestamps as epoch-microsecond BIGINTs (the
+    shape of the reference's CSV event datasets,
+    cpp/src/DataGenerators.h:54-180) and doubles via Spark's shortest
+    round-trip rendering — bit-exact on the way back in."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"/tmp/swag_csv_events_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from ..sources.io import write_table
+
+        df = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        write_table(df, path, fmt="csv")
+    return path
+
+
+def q_csv_time_range_sum(spark, sf_dir):
+    """Format-agnostic ingestion — the data_benchmark analogue
+    (cpp/src/data_benchmark.cc:102-140 runs duration windows over CSV
+    event datasets): the events table read through the CSV source path
+    (sources/io.read_table, explicit schema so Spark parses without an
+    inference pass and prunes columns at the parser), then the SAME
+    TimeSegmentedKernel event-time window as time_range_sum_1h_kernel
+    under the SAME oracle — proving the engine's windows are
+    container-independent."""
+    from ..sources.io import read_table
+
+    df = read_table(
+        spark,
+        _csv_events_path(spark, sf_dir),
+        fmt="csv",
+        schema="event_id long, ts_us long, user_id long, event_type string, value double",
+    )
+    df = with_cents(df).withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    return sliding_time_kernel_partitioned(
+        df, "user_id", "ts", "cents", "sum", {"hsum_cents": HOUR_US},
+        id_cols=["user_id", "event_id"], tiebreak=["event_id"],
+        int_values=True, out_cast="bigint",
+    )
 
 
 def q_ooo_range_sum(spark, sf_dir):
@@ -934,23 +1003,19 @@ from {_EV} group by 1
 
 
 QUERIES = {
-    "sliding_sum_w100": q_sliding_sum,
-    "sliding_max_w100": q_sliding_max,
-    "sliding_mean_w100": q_sliding_mean,
-    "sliding_geomean_w100": q_sliding_geomean,
-    "sliding_argmax_w100": q_sliding_argmax,
-    "sliding_collect_w100": q_sliding_collect,
+    "sliding_basic_w100": q_sliding_basic,
+    "sliding_argmax_collect_w100": q_sliding_argmax_collect,
     "kernel_sum_w100": q_kernel_sum,
     "kernel_max_w100": q_kernel_max,
-    "kernel_mincount_w100": q_kernel_mincount,
-    "kernel_relvar_w100": q_kernel_relvar,
-    "kernel_stddev_w100": q_kernel_stddev,
+    "kernel_stats_w100": q_kernel_stats,
     "kernel_argmax_w100": q_kernel_argmax,
     "kernel_bloom_w100": q_kernel_bloom,
-    "kernel_hll_w100": q_kernel_hll,
-    "kernel_p99_w100": q_kernel_p99,
+    "kernel_sketch_w100": q_kernel_sketch,
+    "auto_sum_w100_sql": q_auto_sum_sql,
+    "auto_sum_w100_kernel": q_auto_sum_kernel,
     "time_range_sum_1h": q_time_range_sum,
     "time_range_sum_1h_kernel": q_time_range_sum_kernel,
+    "csv_time_range_sum_1h": q_csv_time_range_sum,
     "ooo_range_sum_1h": q_ooo_range_sum,
     "sawtooth_sum_w50": q_sawtooth_sum,
     "shared_windows_3x": q_shared_windows,
@@ -964,23 +1029,19 @@ QUERIES = {
 }
 
 ORACLES = {
-    "sliding_sum_w100": ORACLE_SLIDING_SUM,
-    "sliding_max_w100": ORACLE_SLIDING_MAX,
-    "sliding_mean_w100": ORACLE_SLIDING_MEAN,
-    "sliding_geomean_w100": ORACLE_SLIDING_GEOMEAN,
-    "sliding_argmax_w100": ORACLE_SLIDING_ARGMAX,
-    "sliding_collect_w100": ORACLE_SLIDING_COLLECT,
+    "sliding_basic_w100": ORACLE_SLIDING_BASIC,
+    "sliding_argmax_collect_w100": ORACLE_SLIDING_ARGMAX_COLLECT,
     "kernel_sum_w100": ORACLE_KERNEL_SUM,
     "kernel_max_w100": ORACLE_KERNEL_MAX,
-    "kernel_mincount_w100": ORACLE_KERNEL_MINCOUNT,
-    "kernel_relvar_w100": ORACLE_KERNEL_RELVAR,
-    "kernel_stddev_w100": ORACLE_KERNEL_STDDEV,
+    "kernel_stats_w100": ORACLE_KERNEL_STATS,
     "kernel_argmax_w100": ORACLE_KERNEL_ARGMAX,
     "kernel_bloom_w100": ORACLE_KERNEL_BLOOM,
-    "kernel_hll_w100": ORACLE_KERNEL_HLL,
-    "kernel_p99_w100": ORACLE_KERNEL_P99,
+    "kernel_sketch_w100": ORACLE_KERNEL_SKETCH,
+    "auto_sum_w100_sql": ORACLE_SLIDING_SUM,
+    "auto_sum_w100_kernel": ORACLE_SLIDING_SUM,
     "time_range_sum_1h": ORACLE_TIME_RANGE_SUM,
     "time_range_sum_1h_kernel": ORACLE_TIME_RANGE_SUM_KERNEL,
+    "csv_time_range_sum_1h": ORACLE_TIME_RANGE_SUM_KERNEL,
     "ooo_range_sum_1h": ORACLE_OOO_RANGE_SUM,
     "sawtooth_sum_w50": ORACLE_SAWTOOTH_SUM,
     "shared_windows_3x": ORACLE_SHARED_WINDOWS,

@@ -96,11 +96,10 @@ def _duck_con(fuzz_dir):
 
 # every SQL-expressible query over ONLY the events/documents tables
 EVENTS_QUERIES = [
-    "sliding_sum_w100", "sliding_max_w100", "sliding_mean_w100",
-    "sliding_geomean_w100", "sliding_argmax_w100", "sliding_collect_w100",
-    "kernel_sum_w100", "kernel_max_w100", "kernel_mincount_w100",
-    "kernel_relvar_w100", "kernel_stddev_w100", "kernel_argmax_w100",
-    "kernel_bloom_w100", "kernel_hll_w100", "kernel_p99_w100",
+    "sliding_basic_w100", "sliding_argmax_collect_w100",
+    "kernel_sum_w100", "kernel_max_w100", "kernel_stats_w100",
+    "kernel_argmax_w100", "kernel_bloom_w100", "kernel_sketch_w100",
+    "auto_sum_w100_sql", "auto_sum_w100_kernel",
     "time_range_sum_1h", "time_range_sum_1h_kernel", "ooo_range_sum_1h",
     "sawtooth_sum_w50", "shared_windows_3x", "shared_hll_3x",
     "tumbling_sum_1h", "session_30m", "asof_join_signup_purchase",

@@ -61,6 +61,23 @@ def test_kernel_queries_use_partitioned_scan_path(spark, name):
     assert "MapInPandas" in plan, plan
 
 
+def test_auto_dispatcher_routes_are_plan_distinct(spark):
+    """The public dispatcher pair: auto resolves sum to the native SQL
+    Window route (Window frame, zero Python); path="kernel" pins the
+    partition-sorted MapInPandas route. Both share one oracle in the
+    driver registry — same values, different physical plans."""
+    import __spark_entry__ as entry
+
+    sql_plan = _plan(entry.queries()["auto_sum_w100_sql"](spark, SF_DIR))
+    assert "Window" in sql_plan, sql_plan
+    assert "MapInPandas" not in sql_plan, sql_plan
+    assert "FlatMapGroupsInPandas" not in sql_plan, sql_plan
+
+    k_plan = _plan(entry.queries()["auto_sum_w100_kernel"](spark, SF_DIR))
+    assert "MapInPandas" in k_plan, k_plan
+    assert "FlatMapGroupsInPandas" not in k_plan, k_plan
+
+
 def test_pii_scan_is_shuffle_free(spark):
     """pii_scan is a pure per-row projection — any Exchange in its plan
     would be a scale regression."""

@@ -79,7 +79,7 @@ def test_per_turn_text_equality_under_stable_ordering(spark, transcripts):
 
 QUERY_SAMPLE = [
     "kernel_sum_w100",
-    "kernel_mincount_w100",
+    "kernel_stats_w100",
     "session_30m",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
