@@ -194,6 +194,129 @@ def ooo_throughput() -> dict:
     return out
 
 
+def bulk_throughput(scale: int = 1) -> dict:
+    """Bulk-op protocol parity with the reference's bulk benchmarks
+    (experiments/run_bulk_evict.py:5-36, run_bulk_evict_insert.py:5-45,
+    cpp/src/benchmark_core.h:249-470): w = 2^22 (the reference's 4M),
+    bulk sizes swept over {1, 1K, 64K, 2M}, sum monoid, anti-DCE query
+    sink every round.
+
+    - ``evict_insert_b{B}``: each round bulk-evicts the B oldest then
+      bulk-inserts B new entries at the tip (both ops bulked — the
+      micro-batch engine's native shape).
+    - ``evict_b{B}``: inserts arrive in 4K micro-batches (query per
+      batch); evictions amortize into ONE bulkEvict per B accumulated —
+      isolates bulk_evict cost from insert granularity.
+    - ``ooo_insert_b65536_deg{D}``: permanent out-of-order ingest — every
+      round appends the on-time part then bulk-inserts a D-deep late
+      chunk (the run_bulk_evict_insert ooo-degree axis); each late chunk
+      displaces a live suffix, so every round pays a real suffix merge,
+      unlike the d-shifted-but-in-order ooo_turns_per_sec grid."""
+    import numpy as np
+
+    from sliding_window_aggregators_spark.functions import get_monoid
+    from sliding_window_aggregators_spark.operators import OrderedAggState
+
+    m = get_monoid("sum")
+    w = max(2**18, 2**22 // scale)
+    out = {}
+    sink = 0.0
+
+    def fresh():
+        st = OrderedAggState(m)
+        ts0 = np.arange(w, dtype=np.int64)
+        st.bulk_insert(ts0, m.lift(1 + (ts0 % 101)))
+        return st
+
+    for bulk in (1, 1024, 65536, 2**21):
+        bulk = min(bulk, w // 2)
+        # rounds sized so small bulks finish (reference divides its
+        # iteration budget for slow configs the same way)
+        turns = min(2**22 // scale, max(2**16 // scale, bulk * 64))
+        rounds = max(1, turns // bulk)
+        st = fresh()
+        tip = w
+        t0 = time.perf_counter()
+        for _ in range(rounds):
+            st.bulk_evict(int(st.oldest()) + bulk - 1)
+            ts = np.arange(tip, tip + bulk, dtype=np.int64)
+            st.bulk_insert(ts, m.lift(1 + (ts % 101)))
+            tip += bulk
+            sink += st.query()
+        dt = time.perf_counter() - t0
+        out[f"evict_insert_b{bulk}"] = round(rounds * bulk / dt, 1)
+
+        st = fresh()
+        tip = w
+        step = 4096
+        since_evict = 0
+        t0 = time.perf_counter()
+        for _ in range(max(1, rounds * bulk // step)):
+            ts = np.arange(tip, tip + step, dtype=np.int64)
+            st.bulk_insert(ts, m.lift(1 + (ts % 101)))
+            tip += step
+            since_evict += step
+            if since_evict >= bulk:
+                st.bulk_evict(int(st.oldest()) + since_evict - 1)
+                since_evict = 0
+            sink += st.query()
+        dt = time.perf_counter() - t0
+        out[f"evict_b{bulk}"] = round(max(1, rounds * bulk // step) * step / dt, 1)
+
+    bulk = min(65536, w // 4)
+    for deg in (1024, 16384):
+        deg = min(deg, bulk // 2)
+        st = fresh()
+        tip = w
+        rounds = max(1, (2**21 // scale) // bulk)
+        t0 = time.perf_counter()
+        for _ in range(rounds):
+            on_time = np.arange(tip + deg, tip + bulk, dtype=np.int64)
+            st.bulk_insert(on_time, m.lift(1 + (on_time % 101)))
+            late = np.arange(tip, tip + deg, dtype=np.int64)  # lands deg-deep
+            st.bulk_insert(late, m.lift(1 + (late % 101)))
+            tip += bulk
+            st.bulk_evict(int(st.youngest()) - w)
+            sink += st.query()
+        dt = time.perf_counter() - t0
+        out[f"ooo_insert_b{bulk}_deg{deg}"] = round(rounds * bulk / dt, 1)
+    out["_anti_dce"] = sink
+    return out
+
+
+def dynamic_throughput(scale: int = 1) -> dict:
+    """Dynamic fill/drain window (run_dynamic.py:5-33,
+    cpp/src/benchmark_core.h:149-183): the window refills to P then
+    resets — the sawtooth variable-size scenario — through the
+    PositionalSegmentedKernel (the same kernel the sawtooth_sum_w50
+    driver query runs), streamed in 64K micro-batches."""
+    import numpy as np
+
+    from sliding_window_aggregators_spark.functions import get_monoid
+    from sliding_window_aggregators_spark.operators.kernels import (
+        PositionalSegmentedKernel,
+    )
+
+    n = max(2**18, 2**22 // scale)
+    vals = (1 + (np.arange(n) % 101)).astype(float)
+    out = {}
+    sink = 0.0
+    for p in (2**6, 2**14):
+        m = get_monoid("sum")
+        k = PositionalSegmentedKernel(m, lambda rn, p=p: rn - rn % p, p - 1)
+        keys = np.zeros(65536, dtype=np.int64)
+        t0 = time.perf_counter()
+        i = 0
+        while i < n:
+            chunk = vals[i : i + 65536]
+            res = m.lower(k.process(keys[: len(chunk)], m.lift(chunk)))
+            sink += float(res[-1])
+            i += 65536
+        out[f"sum_p{p}"] = round(n / (time.perf_counter() - t0), 1)
+    out["_anti_dce"] = sink
+    return out
+
+
 def kernel_latency() -> dict:
     """Micro-batch latency distribution (≡ the reference's latency mode,
     cpp/src/benchmark_core.h:122-146, adapted to the micro-batch engine:
@@ -203,20 +326,26 @@ def kernel_latency() -> dict:
     from sliding_window_aggregators_spark.functions import get_monoid
     from sliding_window_aggregators_spark.operators import SlidingCountWindow
 
-    w, n, step = 16384, 2**21, 65536
+    w, n, step = 16384, 2**22, 65536
     vals = (1 + (np.arange(n) % 101)).astype(float)
     out = {}
     for op in ["sum", "geomean"]:
         k = SlidingCountWindow(get_monoid(op), w)
-        k.process(vals[:w])
+        # warm-up = window fill + ONE full-size batch: the first batch
+        # after construction lazily allocates the kernel's ring/arena
+        # buffers (a one-time ~2.5× spike that r02 mis-reported as p99
+        # tail); the reference's clock likewise starts only after the
+        # window is in steady state (benchmark_core.h:100-109)
+        k.process(vals[: w + step])
         lats = []
-        for i in range(w, n, step):
+        for i in range(w + step, n, step):
             t0 = time.perf_counter()
             k.process(vals[i : i + step])
             lats.append(time.perf_counter() - t0)
         lats = np.array(lats) * 1e3
         out[f"{op}_batch_ms_p50"] = round(float(np.percentile(lats, 50)), 3)
         out[f"{op}_batch_ms_p99"] = round(float(np.percentile(lats, 99)), 3)
+        out[f"{op}_batch_ms_max"] = round(float(lats.max()), 3)
     return out
 
 
@@ -280,6 +409,8 @@ def main() -> None:
         "kernel_turns_per_sec": kt,
         "sketch_turns_per_sec": sketch_throughput(scale),
         "ooo_turns_per_sec": ooo_throughput(),
+        "bulk_turns_per_sec": bulk_throughput(scale),
+        "dynamic_turns_per_sec": dynamic_throughput(scale),
         "kernel_latency": kernel_latency(),
         "cpus": cpus,
         "vm_membw_MBps": membw,

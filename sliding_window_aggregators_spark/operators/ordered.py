@@ -216,15 +216,21 @@ class OrderedAggState:
         uniq, first_idx = np.unique(all_ts, return_index=True)
         if len(uniq) == len(all_ts):
             return all_ts, allp
+        # vectorized duplicate collapse: left-fold each group with one
+        # combine PER GROUP DEPTH (all groups advanced in lockstep), not
+        # one Python-level combine per duplicate element — a batch fully
+        # overlapping a w/4 suffix used to pay a 16k-iteration Python
+        # loop here (the r02 ooo-bench d=w/4 regression); now it pays
+        # max_group_size−1 vectorized combines (2 runs in, so usually 1)
         merged = p_take(allp, first_idx)
-        boundaries = np.append(first_idx, len(all_ts))
-        for u in np.nonzero(np.diff(boundaries) > 1)[0]:
-            lo, hi = boundaries[u], boundaries[u + 1]
-            acc = p_slice(allp, lo, lo + 1)
-            for j in range(lo + 1, hi):
-                acc = self.m.combine(acc, p_slice(allp, j, j + 1))
+        sizes = np.diff(np.append(first_idx, len(all_ts)))
+        for j in range(1, int(sizes.max())):
+            sel = np.nonzero(sizes > j)[0]
+            nxt = self.m.combine(
+                p_take(merged, sel), p_take(allp, first_idx[sel] + j)
+            )
             for k in merged:
-                merged[k][u] = acc[k][0]
+                merged[k][sel] = nxt[k]
         return uniq, merged
 
     def bulk_insert(self, ts: np.ndarray, partials: Partial) -> None:

@@ -15,6 +15,8 @@ columnar and broadcastable when small.
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
@@ -576,70 +578,114 @@ where bit_count(xor(a.simhash32, b.simhash32)) <= 6
 )
 
 
+def _large_star(e):
+    """Large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): for every node u with neighborhood
+    Γ(u), connect each strictly larger neighbor v > u to
+    m = min(Γ(u) ∪ {u}). Strictly decreases large-id→large-id edges."""
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("u", "mn").alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(e):
+    """Small-star round: orient every edge large→small; each center u
+    links all its (smaller) neighbors and itself to m = min neighbor."""
+    d = e.select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+    ).distinct()
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        d.join(mins, "u")
+        .select(F.explode(F.array("v", "u")).alias("a"), F.col("m").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS: connected components over the MinHash-LSH pair
     graph, keeper = min doc_id per component — the step that turns pair
     lists into dedup decisions (keep/drop) at corpus scale.
 
-    Spark-first iterative algorithm: min-label propagation — each round
-    every node takes the min of its own label and its neighbors' labels
-    (one join + one aggregate per round, all distributed; the driver loop
-    only checks the converged-count, never touches rows). Converges in
-    O(component diameter) rounds; near-dup components are shallow by
-    construction (stars around popular docs), so a handful of rounds
-    suffices — the same schedule GraphFrames' connectedComponents uses
-    before its large-star/small-star optimization kicks in.
+    Spark-first iterative algorithm: alternating large-star/small-star
+    rounds (Kiveris et al., SoCC'14 — the schedule behind GraphFrames'
+    connectedComponents), which converge in O(log n) rounds REGARDLESS of
+    component diameter — unlike plain min-label propagation, whose
+    O(diameter) rounds serialize on a high-diameter component at 100 TB.
+    Each round is two groupBy-min aggregations + equi-joins, all
+    distributed; per-round edges shrink toward the final star graph. The
+    driver-side work per round is ONE convergence count (edges whose two
+    endpoints disagree on their tentative star label — zero exactly at
+    convergence), so total driver barriers are O(log n).
 
     DuckDB oracle: reachability closure via WITH RECURSIVE + min label
     per node (exact for the test corpus sizes)."""
     pairs = q_dedup_minhash_lsh(spark, sf_dir)
     docs = _docs(spark, sf_dir).select("doc_id")
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    edges = edges.cache()
     # iterate ONLY over edge-incident nodes: at corpus scale the vast
     # majority of documents are isolated (their own keeper by definition)
-    # and must not ride every propagation round; they are unioned back at
-    # the end as trivial components
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .select("node", F.col("node").alias("lbl"))
-    )
+    # and must not ride the star rounds; they are unioned back at the end
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).cache()
+    labels = None
     converged = False
-    for _ in range(200):  # safety bound ≫ any real near-dup diameter
-        prop = edges.join(labels, edges.src == labels.node).select(
-            F.col("dst").alias("node"), F.col("lbl")
+    for _round in range(40):  # ≫ the O(log n) bound for any real corpus
+        # localCheckpoint (not cache): each star round references the
+        # previous edge set 4×, so an uncut lineage grows 4^rounds and
+        # Catalyst analysis time explodes around round 7 — checkpointing
+        # truncates the plan to the materialized blocks (a cluster
+        # deployment would use a reliable checkpoint dir instead)
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        sym = e2.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            e2.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
-        new_labels = (
-            labels.unionAll(prop).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        lab = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("lbl"))
         ).cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.lbl") != F.col("o.lbl"))
+        # converged ⟺ every edge joins two nodes with one star label
+        # (then labels are constant per component and equal its min id)
+        bad = (
+            e2.join(
+                lab.select(F.col("u").alias("a"), F.col("lbl").alias("la")), "a"
+            )
+            .join(lab.select(F.col("u").alias("b"), F.col("lbl").alias("lb")), "b")
+            .where(F.col("la") != F.col("lb"))
             .count()
         )
-        if labels.is_cached:
-            labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        if e.is_cached:
+            e.unpersist()
+        e = e2
+        if bad == 0:
+            labels = lab
             converged = True
+            print(f"# dedup_clusters: {_round + 1} star rounds", file=sys.stderr)
             break
+        lab.unpersist()
     if not converged:
-        # a silent cap would return WRONG clusters (nodes > cap hops from
-        # their component's min id keep stale labels); refuse instead
+        # a silent cap would return WRONG clusters; refuse instead
         raise RuntimeError(
-            "dedup_clusters: label propagation did not converge within the "
-            "round bound — component diameter exceeds 200"
+            "dedup_clusters: star rounds did not converge within the bound"
         )
     clustered = labels.select(
-        F.col("node").alias("doc_id"),
+        F.col("u").alias("doc_id"),
         F.col("lbl").alias("keeper_id"),
-        (F.col("node") != F.col("lbl")).alias("is_duplicate"),
+        (F.col("u") != F.col("lbl")).alias("is_duplicate"),
     )
     isolated = docs.join(
-        labels.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
+        labels.select(F.col("u").alias("doc_id")), "doc_id", "left_anti"
     ).select(
         "doc_id", F.col("doc_id").alias("keeper_id"), F.lit(False).alias("is_duplicate")
     )
