@@ -33,14 +33,18 @@ MEDIA_SCHEMA = (
 
 
 def _blob_for(key: int, nbytes: int) -> bytes:
-    """Deterministic pseudo-media bytes: a PCG64 stream seeded from the
-    md5 of the key (one vectorized draw per blob — the previous chained
-    md5 loop paid one hashlib call per 16 bytes, which dominated the
-    synthesis stage's wall time at bench scale)."""
-    seed = int.from_bytes(hashlib.md5(str(key).encode()).digest()[:8], "little")
-    return np.random.default_rng(seed).integers(
-        0, 256, size=nbytes, dtype=np.uint8
-    ).tobytes()
+    """Deterministic pseudo-media bytes: the 16-byte md5 digest of the
+    key, tiled to length. One hashlib call + one vectorized tile per
+    blob, and — because :func:`synth_media` makes width·height a
+    multiple of 256 — the fake-decoded plane holds each digest byte with
+    EXACTLY equal multiplicity, so every plane statistic (mean / std /
+    4-bin histogram) is an exact closed-form function of md5(doc_id).
+    That is what gives ``multimodal_features`` a FULL cross-engine value
+    oracle (DuckDB recomputes the same stats from its own md5()) while
+    the pipeline still moves real opaque binary through Arrow."""
+    digest = np.frombuffer(hashlib.md5(str(key).encode()).digest(), dtype=np.uint8)
+    reps = -(-nbytes // 16)
+    return np.tile(digest, reps)[:nbytes].tobytes()
 
 
 def synth_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -55,8 +59,13 @@ def synth_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
             kinds = np.array(["image", "audio", "video"], dtype=object)[ids % 3]
-            width = (64 + (ids * 37) % 448).astype("int32")
-            height = (64 + (ids * 53) % 448).astype("int32")
+            # dims are multiples of 16 (64..496) so width·height ≡ 0
+            # mod 256: the blob length width·height/16 is then a multiple
+            # of 16 AND divides the plane size, making the tiled plane an
+            # exact equal-multiplicity repetition of the md5 digest bytes
+            # (see _blob_for — the property the features oracle rests on)
+            width = (64 + 16 * ((ids * 37) % 28)).astype("int32")
+            height = (64 + 16 * ((ids * 53) % 28)).astype("int32")
             n_frames = np.where(kinds == "video", 8 + (ids % 24), 1).astype("int32")
             sample_rate = np.where(kinds == "audio", 16000, 0).astype("int32")
             blobs = [

@@ -32,8 +32,8 @@ ORACLE_MULTIMODAL_META = """
 with m as (
   select doc_id,
          case doc_id % 3 when 0 then 'image' when 1 then 'audio' else 'video' end as kind,
-         64 + (doc_id * 37) % 448 as width,
-         64 + (doc_id * 53) % 448 as height,
+         64 + 16 * ((doc_id * 37) % 28) as width,
+         64 + 16 * ((doc_id * 53) % 28) as height,
          case when doc_id % 3 = 2 then 8 + (doc_id % 24) else 1 end as n_frames,
          case when doc_id % 3 = 1 then 16000 else 0 end as sample_rate
   from documents
@@ -56,7 +56,14 @@ from t
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Full pipeline incl. (stub-)decoded pixel features — rows-only.
+    """Full pipeline incl. (stub-)decoded pixel features — now with a
+    FULL value oracle: the fake decoder tiles the 16-byte md5 digest of
+    doc_id into the plane with exactly equal multiplicity (see
+    operators/multimodal.py:_blob_for / synth_media), so pix_mean /
+    pix_std / hist4 are closed-form functions of md5(doc_id) that DuckDB
+    recomputes bit-for-bit (mean and histogram bins are exact sixteenths;
+    the variance arithmetic is exact in float64 on both engines, so the
+    only float op is one identically-rounded sqrt).
 
     The driver canonicalizes results with a pandas sort over every column,
     which cannot hash ``array<float>`` cells; project ``hist4`` as a
@@ -76,6 +83,44 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+ORACLE_MULTIMODAL_FEATURES = """
+with b as (
+  select doc_id,
+         case doc_id % 3 when 0 then 'image' when 1 then 'audio' else 'video' end as kind,
+         md5(cast(doc_id as varchar)) as hx
+  from documents
+),
+bytes as (
+  select doc_id, kind, ('0x' || substr(hx, 2 * j + 1, 2))::BIGINT as byte
+  from b, lateral (select unnest(range(0, 16)) as j)
+),
+stats as (
+  select doc_id, kind,
+         cast(sum(byte) as bigint) / 16.0 as mean,
+         cast(sum(case when byte // 64 = 0 then 1 else 0 end) as bigint) as c0,
+         cast(sum(case when byte // 64 = 1 then 1 else 0 end) as bigint) as c1,
+         cast(sum(case when byte // 64 = 2 then 1 else 0 end) as bigint) as c2,
+         cast(sum(case when byte // 64 = 3 then 1 else 0 end) as bigint) as c3
+  from bytes group by 1, 2
+),
+dev as (
+  select s.doc_id, s.kind, s.mean, s.c0, s.c1, s.c2, s.c3,
+         sum((y.byte - s.mean) * (y.byte - s.mean)) / 16.0 as var
+  from stats s join bytes y using (doc_id)
+  group by 1, 2, 3, 4, 5, 6, 7
+)
+select doc_id, kind,
+       round(mean, 6) as pix_mean,
+       round(sqrt(var), 6) as pix_std,
+       concat_ws(',',
+         cast(round(c0 / 16.0, 4) as varchar),
+         cast(round(c1 / 16.0, 4) as varchar),
+         cast(round(c2 / 16.0, 4) as varchar),
+         cast(round(c3 / 16.0, 4) as varchar)) as hist4_csv
+from dev
+"""
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
@@ -83,5 +128,5 @@ QUERIES = {
 
 ORACLES = {
     "multimodal_meta": ORACLE_MULTIMODAL_META,
-    # multimodal_features: rows-only (pixel plane from binary blobs)
+    "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
 }

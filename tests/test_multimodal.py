@@ -56,8 +56,8 @@ def test_media_features_matches_python_oracle(spark):
     for _, row in feats.iterrows():
         i = int(row.doc_id)
         kind = ["image", "audio", "video"][i % 3]
-        w = 64 + (i * 37) % 448
-        h = 64 + (i * 53) % 448
+        w = 64 + 16 * ((i * 37) % 28)
+        h = 64 + 16 * ((i * 53) % 28)
         assert row.kind == kind
         plane = _fake_decode(_blob_for(i, w * h // 16), w, h)
         assert row.pix_mean == pytest.approx(round(float(plane.mean()), 6))
