@@ -642,13 +642,15 @@ class SegmentedSlidingKernel:
         starts = np.maximum(idx - w + 1, first)
         ends = idx + 1
         out = interval_fold(m, p, starts, ends)
-        # retain the last segment's tail for the next batch — COPIED, not a
-        # view: a view would pin the whole concatenated batch's arrays
-        # alive between batches (~batch/w × the intended O(w) footprint)
+        # retain the last segment's tail for the next batch — .copy(), not
+        # np.ascontiguousarray (a no-op view for an already-contiguous
+        # leading-axis slice): a view would pin the whole concatenated
+        # batch's arrays alive between batches (~batch/w × the intended
+        # O(w) footprint)
         last_start = int(first[-1])
         tail_from = max(last_start, ntail + n - (w - 1)) if w > 1 else ntail + n
         self.carry_tail = (
-            {k: np.ascontiguousarray(v[tail_from:]) for k, v in p.items()}
+            {k: v[tail_from:].copy() for k, v in p.items()}
             if w > 1
             else m.identity(0)
         )
@@ -746,7 +748,7 @@ class PositionalSegmentedKernel:
         keep_rn = max(min(min_future_start, last_rn + 1), 0)
         r0 = int(rn[last_first])  # rn of the open segment's first held row
         keep_from = max(last_first + (keep_rn - r0), last_first)
-        self.carry_p = {k: np.ascontiguousarray(v[keep_from:]) for k, v in p.items()}
+        self.carry_p = {k: v[keep_from:].copy() for k, v in p.items()}
         self.carry_rn0 = keep_rn
         self.carry_key = last_key
         return p_slice(out, ntail, None)
@@ -845,9 +847,9 @@ class TimeSegmentedKernel:
         keep_from = last_start + int(
             np.searchsorted(ts[last_start:], ts[-1] - self.max_dur, side="left")
         )
-        self.carry_ts = np.ascontiguousarray(ts[keep_from:])
+        self.carry_ts = ts[keep_from:].copy()
         # copy (not view) so the carry doesn't pin the whole batch's arrays
-        self.carry_p = {k: np.ascontiguousarray(v[keep_from:]) for k, v in p.items()}
+        self.carry_p = {k: v[keep_from:].copy() for k, v in p.items()}
         self.carry_key = last_key
         return out
 
