@@ -78,31 +78,35 @@ def _docs(spark, sf_dir):
 def _shingles(spark, sf_dir):
     """Distinct word-3-gram shingles per doc (the MinHash/Jaccard base),
     with the hot-shingle guard applied: shingles appearing in more than
-    ``_MAX_SHINGLE_DF`` documents are dropped via a document-frequency
-    count window over the shingle (see the shuffle-structure note below)."""
-    from pyspark.sql.window import Window
-
+    ``_MAX_SHINGLE_DF`` documents are dropped via a map-side-combined
+    document-frequency aggregate + broadcast anti-join (see the
+    shuffle-structure note below)."""
     sh = (
         _docs(spark, sf_dir)
         .withColumn("t", F.split("text", " "))
         .withColumn("g", F.explode(F.expr(_SPARK_TRI_EXPR)))
         .select("doc_id", "g")
         .distinct()
+        .persist()
     )
-    # document frequency via a count window over g: ONE shuffle on g (the
-    # distinct's partial aggregation already ran map-side), no second scan
-    # of the corpus and no broadcast — and downstream shingle self-joins
-    # reuse the same hash partitioning on g. The straggler the cap kills
-    # lives in Jaccard's self-join (df² pairs on one reducer key); MinHash
-    # shares the guard so both operators see one consistent shingle set
-    # (its own shuffles key on (doc_id,g) and doc_id, which hot shingles
-    # cannot skew). Steady-state cost ≈ one extra exchange of the shingle
-    # table.
-    return (
-        sh.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("g")))
-        .where(F.col("_df") <= _MAX_SHINGLE_DF)
-        .drop("_df")
+    # document frequency via groupBy(g): the partial aggregation runs
+    # map-side, so even the hottest gram moves only per-partition counts
+    # through the exchange — never its raw rows — and nothing SORTS the
+    # shingle table (the previous count-window implementation sorted
+    # every partition of it, hottest included). Only the OVER-cap grams
+    # survive the filter — a set small enough to broadcast — so dropping
+    # them is a broadcast anti-join with zero additional shuffle of sh;
+    # sh is persisted so the df pass reads cached blocks instead of
+    # re-scanning the corpus. The straggler the cap kills lives in
+    # Jaccard's self-join (df² pairs on one reducer key); MinHash shares
+    # the guard so both operators see one consistent shingle set.
+    hot = (
+        sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > _MAX_SHINGLE_DF)
+        .select("g")
     )
+    return sh.join(F.broadcast(hot), "g", "left_anti")
 
 
 # ---------------------------------------------------------------------------
