@@ -321,6 +321,51 @@ from b {_WIN}
 """
 
 
+def _bucketed_events_path(spark, sf_dir: str) -> str:
+    """One-time bucket(user_id) + sort(user_id, ts, event_id) layout of
+    the events table (per sf dir, cached in /tmp) — the Iceberg-style
+    table layout a 100 TB deployment maintains so sliding windows run
+    shuffle-free off the scan (sources/io.write_bucketed)."""
+    import hashlib
+
+    from ..sources.io import write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"/tmp/swag_bucketed_events_{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        df = with_cents(spark.read.parquet(f"{sf_dir}/events.parquet")).select(
+            "user_id", "ts", "event_id", "cents"
+        )
+        write_bucketed(df, path, "user_id", ["ts", "event_id"], buckets=32)
+    return path
+
+
+def q_bucketed_sum(spark, sf_dir):
+    """ZERO-SHUFFLE sliding sum off a bucketed+sorted layout — the plan a
+    100 TB deployment actually runs: every bucket file holds complete
+    key groups pre-sorted by (user_id, ts, event_id), so the kernel feeds
+    straight off the columnar scan with NO exchange and NO sort
+    (tests/test_plan_shapes.py pins the Exchange-free plan). Same oracle
+    as the shuffling kernel/SQL variants — route interchangeability under
+    one hash, layout as the optimization.
+
+    Layout contract at this scale: each bucket file is far below
+    spark.sql.files.maxPartitionBytes, so Spark never SPLITS a file
+    (which could cut a key group); files may be PACKED into one task,
+    which is safe — bucketing guarantees no key spans two files and the
+    segmented kernel handles many whole groups per task. A deployment
+    whose bucket files exceed maxPartitionBytes must raise it /
+    openCostInBytes as write_bucketed documents."""
+    from ..operators.batch import sliding_rows_kernel_scan
+
+    df = spark.read.parquet(_bucketed_events_path(spark, sf_dir))
+    out = sliding_rows_kernel_scan(
+        df, "user_id", ["ts", "event_id"], "cents", "sum", W,
+        out="wsum_cents", id_cols=["user_id", "event_id"], int_values=True,
+    )
+    return out.withColumn("wsum_cents", F.col("wsum_cents").cast("long"))
+
+
 def q_auto_sum_sql(spark, sf_dir):
     """The public dispatcher (:func:`sliding_rows_auto`) on a monoid with
     a native Window form: ``auto`` resolves sum to the SQL route — the
@@ -1013,6 +1058,7 @@ QUERIES = {
     "kernel_sketch_w100": q_kernel_sketch,
     "auto_sum_w100_sql": q_auto_sum_sql,
     "auto_sum_w100_kernel": q_auto_sum_kernel,
+    "bucketed_sum_w100": q_bucketed_sum,
     "time_range_sum_1h": q_time_range_sum,
     "time_range_sum_1h_kernel": q_time_range_sum_kernel,
     "csv_time_range_sum_1h": q_csv_time_range_sum,
@@ -1039,6 +1085,7 @@ ORACLES = {
     "kernel_sketch_w100": ORACLE_KERNEL_SKETCH,
     "auto_sum_w100_sql": ORACLE_SLIDING_SUM,
     "auto_sum_w100_kernel": ORACLE_SLIDING_SUM,
+    "bucketed_sum_w100": ORACLE_SLIDING_SUM,
     "time_range_sum_1h": ORACLE_TIME_RANGE_SUM,
     "time_range_sum_1h_kernel": ORACLE_TIME_RANGE_SUM_KERNEL,
     "csv_time_range_sum_1h": ORACLE_TIME_RANGE_SUM_KERNEL,

@@ -78,6 +78,17 @@ def test_auto_dispatcher_routes_are_plan_distinct(spark):
     assert "FlatMapGroupsInPandas" not in k_plan, k_plan
 
 
+def test_bucketed_scan_query_has_no_exchange(spark):
+    """bucketed_sum_w100 feeds the kernel straight off the bucketed,
+    pre-sorted scan: any Exchange or Sort in its plan means the layout
+    contract was not exploited."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["bucketed_sum_w100"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan, plan
+
+
 def test_pii_scan_is_shuffle_free(spark):
     """pii_scan is a pure per-row projection — any Exchange in its plan
     would be a scale regression."""
