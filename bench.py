@@ -21,9 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
     "sliding_basic_w100",
+    "sliding_argmax_collect_w100",
     "kernel_sum_w100",
     "bucketed_sum_w100",
     "kernel_max_w100",
+    "kernel_argmax_w100",
     "kernel_stats_w100",
     "kernel_bloom_w100",
     "kernel_sketch_w100",
@@ -42,6 +44,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_clusters",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "simhash32",
     "token_stats",
     "quality_score",
@@ -146,11 +149,32 @@ def sketch_throughput(scale: int = 1) -> dict:
     return out
 
 
+def _ooo_prefill(st, m, w: int, d: int, n: int):
+    """The reference's permanent-OOO pre-fill (benchmark_core.h:192-197):
+    d timestamps from the FAR FUTURE ([n−d, n)) plus the first w−d
+    in-order — every subsequent insert then lands exactly d entries below
+    the window tip, forever (the future block is never overtaken)."""
+    import numpy as np
+
+    if d:
+        fut = np.arange(n - d, n, dtype=np.int64)
+        st.bulk_insert(fut, m.lift(1 + (fut % 101)))
+    pre = np.arange(0, w - d, dtype=np.int64)
+    st.bulk_insert(pre, m.lift(1 + (pre % 101)))
+    assert st.size() == w
+
+
 def ooo_throughput() -> dict:
-    """Out-of-order kernel throughput (≡ ooo_benchmark_driver: steady
-    evict-oldest + insert at t−d + query, permanent OOO distance
-    d ∈ {0, w/4}, cpp/src/benchmark_core.h:185-247), driven bulk-wise:
-    each micro-batch is a bulkInsert + bulkEvict on the ordered state."""
+    """Out-of-order kernel throughput (≡ ooo_benchmark_driver,
+    cpp/src/benchmark_core.h:185-247: pre-fill d future timestamps + w−d
+    in-order, then steady evict-oldest + insert-at-(t−d) + query — every
+    insert lands PERMANENTLY d-deep below the future block), driven
+    bulk-wise: each micro-batch is a bulkInsert (one real d-entry suffix
+    merge per batch when d > 0) + one bulkEvict + query.
+
+    Key-semantics note: before round 3 this grid merely shifted the
+    stream by d, which is OOO only on the first batch — r01/r02
+    `ooo_sum_*` values are not comparable with r03+."""
     import numpy as np
 
     from sliding_window_aggregators_spark.functions import get_monoid
@@ -159,35 +183,33 @@ def ooo_throughput() -> dict:
     out = {}
     w = 2**16
     n = 2**20
+    step = 65536
     m = get_monoid("sum")
+    sink = 0.0
     for d in [0, w // 4]:
         st = OrderedAggState(m)
-        ts0 = np.arange(w, dtype=np.int64)
-        st.bulk_insert(ts0, m.lift(1 + (ts0 % 101)))
+        _ooo_prefill(st, m, w, d, n)
         t0 = time.perf_counter()
-        step = 65536
-        sink = 0.0
-        for lo in range(w, n, step):
-            ts = np.arange(lo, lo + step, dtype=np.int64) - d
+        for lo in range(w - d, n - d, step):
+            ts = np.arange(lo, lo + step, dtype=np.int64)
             st.bulk_insert(ts, m.lift(1 + (ts % 101)))
-            st.bulk_evict(int(st.youngest()) - w)
+            st.bulk_evict(int(st.oldest()) + step - 1)
             sink += st.query()
         dt = time.perf_counter() - t0
         out[f"ooo_sum_w{w}_d{d}"] = round((n - w) / dt, 1)
     # range-query-heavy variant (window sharing): 3 rangeQuery folds per
-    # batch on top of the OOO ingest — exercises the incremental tree
-    # (lazy spine repair + O(log n) canonical decomposition; round 1
-    # rebuilt the whole tree per mutated batch here)
+    # batch on top of the permanent-OOO ingest — exercises the
+    # incremental tree (lazy spine repair + O(log n) canonical
+    # decomposition; round 1 rebuilt the whole tree per mutated batch)
     d = w // 4
     st = OrderedAggState(m)
-    ts0 = np.arange(w, dtype=np.int64)
-    st.bulk_insert(ts0, m.lift(1 + (ts0 % 101)))
+    _ooo_prefill(st, m, w, d, n)
     t0 = time.perf_counter()
-    for lo in range(w, n, 16384):
-        ts = np.arange(lo, lo + 16384, dtype=np.int64) - d
+    for lo in range(w - d, n - d, 16384):
+        ts = np.arange(lo, lo + 16384, dtype=np.int64)
         st.bulk_insert(ts, m.lift(1 + (ts % 101)))
-        st.bulk_evict(int(st.youngest()) - w)
-        y = int(st.youngest())
+        st.bulk_evict(int(st.oldest()) + 16384 - 1)
+        y = int(ts[-1])
         for dur in (w // 8, w // 2, w):
             sink += st.range_query(y - dur, y)
     out[f"ooo_rq3_w{w}_d{d}"] = round((n - w) / (time.perf_counter() - t0), 1)
