@@ -142,6 +142,29 @@ def test_sliding_rows_auto_paths_agree(spark, transcripts):
         out="w", id_cols=["conv_id", "turn_idx"], int_values=True,
     )
     assert "MapInPandas" in c._jdf.queryExecution().executedPlan().toString()
+    # the path pin: "kernel" forces MapInPandas even for a SQL monoid;
+    # "sql" for a monoid with no native Window form must refuse, and an
+    # unknown pin must refuse
+    d = sliding_rows_auto(
+        transcripts, args[0], args[1], args[2], "sum", args[3],
+        out="w", id_cols=["conv_id", "turn_idx"], int_values=True,
+        path="kernel",
+    )
+    assert "MapInPandas" in d._jdf.queryExecution().executedPlan().toString()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no native SQL window form"):
+        sliding_rows_auto(
+            transcripts, args[0], args[1], args[2], "mincount", args[3],
+            out="w", id_cols=["conv_id", "turn_idx"], int_values=True,
+            path="sql",
+        )
+    with _pytest.raises(ValueError, match="unknown path"):
+        sliding_rows_auto(
+            transcripts, args[0], args[1], args[2], "sum", args[3],
+            out="w", id_cols=["conv_id", "turn_idx"], int_values=True,
+            path="bogus",
+        )
 
 
 def test_chunked_halo_hot_key_parallel_matches_sql(spark):
