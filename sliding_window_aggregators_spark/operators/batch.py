@@ -270,6 +270,65 @@ def sliding_rows_kernel_partitioned(
     return sorted_df.mapInPandas(gen, schema)
 
 
+def sliding_rows_kernel_partitioned_multi(
+    df: DataFrame,
+    key: str,
+    order: Sequence[str],
+    specs: Sequence[tuple[str, str, int, str, bool]],
+    id_cols: Sequence[str] = (),
+    partitions: int | None = None,
+) -> DataFrame:
+    """FUSED multi-monoid sliding aggregate: ONE ``repartition(key) →
+    sortWithinPartitions → mapInPandas`` pass feeding N independent
+    segmented kernels — the reference's window-sharing idea applied
+    across AGGREGATES instead of window sizes (one sort, one shuffle,
+    one Arrow stream; each kernel keeps its own cross-batch carry).
+
+    ``specs``: sequence of ``(value_col, monoid_name, w, out_col,
+    int_values)``. This is the plan a 100 TB run uses when several
+    aggregates share a key and frame — N separate kernel passes would
+    shuffle and sort the fact table N times and then join."""
+    id_cols = list(id_cols) or [key] + list(order)
+    needed = list(
+        dict.fromkeys([key, *order, *[s[0] for s in specs], *id_cols])
+    )
+    df = df.select(*needed)
+    schema = ", ".join(
+        [f"`{c}` {t}" for c, t in zip(id_cols, _spark_types(df, id_cols))]
+        + [f"`{s[3]}` {_OUT_SPARK_TYPE[s[1]]}" for s in specs]
+    )
+    nparts = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    sorted_df = df.repartition(int(nparts), key).sortWithinPartitions(key, *order)
+
+    def gen(batches):
+        from .kernels import SegmentedSlidingKernel
+
+        ms = [get_monoid(s[1], np.int64 if s[4] else np.float64) for s in specs]
+        kernels = [SegmentedSlidingKernel(m, s[2]) for m, s in zip(ms, specs)]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            segkey = pdf[key].to_numpy()
+            cols = {c: pdf[c].to_numpy() for c in id_cols}
+            for (value, mname, _w, out, int_values), m, kern in zip(
+                specs, ms, kernels
+            ):
+                vals = pdf[value].to_numpy()
+                if int_values:
+                    vals = vals.astype(np.int64)
+                if mname == "argmax":
+                    p = m.lift((pdf[id_cols[-1]].to_numpy(), vals))
+                else:
+                    p = m.lift(vals)
+                res = m.lower(kern.process(segkey, p))
+                if mname in ("stddev", "relvar"):
+                    res = np.where(np.isnan(res), None, res)
+                cols[out] = res
+            yield pd.DataFrame(cols)
+
+    return sorted_df.mapInPandas(gen, schema)
+
+
 def sliding_time_kernel(
     df: DataFrame,
     key: str,

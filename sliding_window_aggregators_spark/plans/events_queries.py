@@ -196,25 +196,24 @@ def q_kernel_stats(spark, sf_dir):
       (cpp/src/AggregationFunctions.hpp:229) over exact integer cents,
       bit-identical to the same formula in SQL.
 
-    Each monoid runs its own partitioned kernel pass (that per-monoid
-    path is what the query verifies); the three 1-row-per-event outputs
-    equi-join on (user_id, event_id). At 100 TB you'd fuse them into one
-    tuple-monoid kernel pass — the join here is slot economy, not the
-    recommended physical plan."""
+    All three run in ONE fused partitioned pass
+    (:func:`~..operators.batch.sliding_rows_kernel_partitioned_multi`):
+    one shuffle, one sort, one Arrow stream, three kernels each with its
+    own cross-batch carry — the window-sharing idea applied across
+    aggregates, and the plan a 100 TB run wants (three separate passes
+    would shuffle the fact table three times and then join)."""
+    from ..operators.batch import sliding_rows_kernel_partitioned_multi
+
     df = _events(spark, sf_dir)
-    a = sliding_rows_kernel(
-        df, "user_id", ["ts", "event_id"], "cents", "mincount", W,
-        out="wmincount", id_cols=["user_id", "event_id"], int_values=True,
+    return sliding_rows_kernel_partitioned_multi(
+        df, "user_id", ["ts", "event_id"],
+        [
+            ("cents", "mincount", W, "wmincount", True),
+            ("cents", "relvar", W, "wrelvar", True),
+            ("cents", "stddev", W, "wstddev_cents", True),
+        ],
+        id_cols=["user_id", "event_id"],
     )
-    b = sliding_rows_kernel(
-        df, "user_id", ["ts", "event_id"], "cents", "relvar", W,
-        out="wrelvar", id_cols=["user_id", "event_id"], int_values=True,
-    )
-    c = sliding_rows_kernel(
-        df, "user_id", ["ts", "event_id"], "cents", "stddev", W,
-        out="wstddev_cents", id_cols=["user_id", "event_id"], int_values=True,
-    )
-    return a.join(b, ["user_id", "event_id"]).join(c, ["user_id", "event_id"])
 
 
 def q_kernel_argmax(spark, sf_dir):
@@ -407,22 +406,24 @@ def q_kernel_sketch(spark, sf_dir):
       invertible-VECTOR-partial case: SubtractOnEvict's O(1) fast path on
       a 64-lane count partial.
 
-    Each sketch runs its own partitioned kernel pass; outputs equi-join
-    on (user_id, event_id) for slot economy (fuse into one tuple-monoid
-    pass at 100 TB)."""
+    Both sketches run in ONE fused partitioned pass (different value
+    columns, same frame): one shuffle + sort, two vector-partial kernels
+    sharing the Arrow stream — see
+    :func:`~..operators.batch.sliding_rows_kernel_partitioned_multi`."""
+    from ..operators.batch import sliding_rows_kernel_partitioned_multi
+
     df = _events(spark, sf_dir).withColumn(
         "h",
         F.expr(_cents_md5_60()),
     )
-    a = sliding_rows_kernel(
-        df, "user_id", ["ts", "event_id"], "h", "hll", W,
-        out="whll", id_cols=["user_id", "event_id"], int_values=True,
+    return sliding_rows_kernel_partitioned_multi(
+        df, "user_id", ["ts", "event_id"],
+        [
+            ("h", "hll", W, "whll", True),
+            ("cents", "histq", W, "wp99_cents", True),
+        ],
+        id_cols=["user_id", "event_id"],
     )
-    b = sliding_rows_kernel(
-        df, "user_id", ["ts", "event_id"], "cents", "histq", W,
-        out="wp99_cents", id_cols=["user_id", "event_id"], int_values=True,
-    )
-    return a.join(b, ["user_id", "event_id"])
 
 
 def _hll_oracle() -> str:

@@ -78,6 +78,19 @@ def test_auto_dispatcher_routes_are_plan_distinct(spark):
     assert "FlatMapGroupsInPandas" not in k_plan, k_plan
 
 
+@pytest.mark.parametrize("name", ["kernel_stats_w100", "kernel_sketch_w100"])
+def test_fused_multi_monoid_queries_are_single_pass(spark, name):
+    """The fused multi-monoid queries must be ONE shuffle + ONE Python
+    stage — no per-monoid passes joined back together."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()[name](spark, SF_DIR))
+    assert plan.count("MapInPandas") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert j not in plan, plan
+
+
 def test_bucketed_scan_query_has_no_exchange(spark):
     """bucketed_sum_w100 feeds the kernel straight off the bucketed,
     pre-sorted scan: any Exchange or Sort in its plan means the layout
