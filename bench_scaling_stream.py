@@ -1,0 +1,173 @@
+"""Streaming-job two-cluster-size scaling study — the north rule's exact
+launch shape: ``spark-submit --py-files <package.zip>
+jobs/streaming_job.py`` at two parallelism levels on the same input.
+
+The batch study (bench_scaling.py) measures the kernel plan; this one
+measures the PRODUCTION artifact end-to-end: package zipped and shipped
+via --py-files, the streaming job (readStream → watermark →
+applyInPandasWithState ordered-state kernel → exactly-once sink)
+draining the identical pre-generated transcript chunks with
+``--available-now``, fresh checkpoint per level, fresh JVM per level.
+Efficiency uses the job's own drain wall time (printed by the job,
+excludes JVM/session boot so a constant boot cost cannot masquerade as
+poor scaling).
+
+Usage: python bench_scaling_stream.py [--turns 2097152] [--convs 4096]
+Prints one JSON report; BENCH/BASELINE.md is updated by hand.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import multiprocessing as mp
+import os
+import re
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+import zipfile
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+
+GEN = r"""
+import os, sys
+sys.path.insert(0, {here!r})
+from pyspark.sql import SparkSession, functions as F
+from sliding_window_aggregators_spark.sources import transcripts_spark
+spark = (SparkSession.builder.master("local[32]").appName("swag-stream-gen")
+    .config("spark.ui.enabled","false").config("spark.ui.showConsoleProgress","false")
+    .config("spark.driver.memory","16g").getOrCreate())
+path = {path!r}
+if not os.path.exists(os.path.join(path, "c0", "_SUCCESS")):
+    df = transcripts_spark(spark, {turns}, n_convs={convs})
+    # 8 arrival chunks so the stream source sees several files
+    for c in range(8):
+        (df.where(F.col("turn_idx") % 8 == c).coalesce(4)
+           .write.mode("overwrite").parquet(os.path.join(path, f"c{{c}}")))
+spark.stop()
+print("GEN_OK")
+"""
+
+
+def build_zip(dst: str) -> None:
+    pkg = os.path.join(HERE, "sliding_window_aggregators_spark")
+    with zipfile.ZipFile(dst, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, HERE))
+
+
+def run_level(cpus: int, src: str, zip_path: str, turns: int) -> dict:
+    work = tempfile.mkdtemp(prefix=f"swag_stream_{cpus}_")
+    cmd = [
+        SPARK_SUBMIT,
+        "--master", f"local[{cpus}]",
+        "--py-files", zip_path,
+        "--conf", f"spark.sql.shuffle.partitions={max(8, cpus)}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=1048576",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--conf", "spark.driver.memory=24g",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.ui.showConsoleProgress=false",
+        os.path.join(HERE, "jobs", "streaming_job.py"),
+        "--source", src,
+        "--out", os.path.join(work, "out"),
+        "--checkpoint", os.path.join(work, "ckpt"),
+        "--monoid", "sum",
+        "--duration", "10 minutes",
+        "--available-now",
+    ]
+    t0 = time.perf_counter()
+    r = subprocess.run(cmd, capture_output=True, text=True, cwd=HERE, timeout=3000)
+    wall = time.perf_counter() - t0
+    if r.returncode != 0:
+        raise RuntimeError(f"level {cpus} failed:\n{r.stderr[-4000:]}")
+    # PythonRunner merges the job's stderr into spark-submit's stdout —
+    # search both streams
+    m = re.search(r"drain seconds: ([0-9.]+)", r.stdout + r.stderr)
+    drain = float(m.group(1)) if m else wall
+    import pyarrow.dataset as ds
+
+    rows = ds.dataset(os.path.join(work, "out"), format="parquet",
+                      partitioning="hive").count_rows()
+    shutil.rmtree(work)
+    return {
+        "cpus": cpus,
+        "rows": rows,
+        "drain_sec": round(drain, 3),
+        "process_sec": round(wall, 3),
+        "turns_per_sec": round(turns / drain, 1),
+    }
+
+
+def _bw(_):
+    import numpy as np
+
+    a = np.ones(50_000_000, dtype=np.uint8)
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 2:
+        b = a.copy()
+        a[0] = b[0]
+        n += 1
+    return n * 50 / (time.perf_counter() - t0)
+
+
+def membw_probes() -> dict:
+    """Host-throttle context (this sandbox's host varies 20 MB/s –
+    29 GB/s): a run whose levels tie regardless of cpus was measured
+    against the host's bandwidth cap, not the engine — record the window
+    so the reader can tell (see BENCH/BASELINE.md variance table)."""
+    with mp.Pool(1) as p:
+        bw1 = sum(p.map(_bw, range(1)))
+    with mp.Pool(8) as p:
+        bw8 = sum(p.map(_bw, range(8)))
+    return {"membw_1proc_MBps": round(bw1), "membw_8proc_MBps": round(bw8)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", type=int, default=2_097_152)
+    ap.add_argument("--convs", type=int, default=4096)
+    args = ap.parse_args()
+
+    src = f"/tmp/swag_stream_src_{args.turns}_{args.convs}"
+    r = subprocess.run(
+        [sys.executable, "-c", GEN.format(here=HERE, path=src,
+                                          turns=args.turns, convs=args.convs)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(f"gen failed:\n{r.stderr[-3000:]}")
+
+    zip_path = os.path.join(tempfile.gettempdir(), "swag_spark_pkg.zip")
+    build_zip(zip_path)
+
+    probes = membw_probes()
+    levels = {c: run_level(c, src, zip_path, args.turns) for c in (2, 8)}
+    eff = (
+        levels[8]["turns_per_sec"] / levels[2]["turns_per_sec"]
+    ) / 4
+    report = {
+        "job": (
+            f"spark-submit --py-files streaming job: sliding sum 10m over "
+            f"{args.turns} transcript turns, {args.convs} convs, 8 arrival "
+            f"chunks, availableNow drain, exactly-once sink"
+        ),
+        "levels": levels,
+        "scaling_efficiency_2_to_8": round(eff, 3),
+        "vm_context": probes,
+    }
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -100,10 +100,17 @@ def main() -> None:
             watermark=args.watermark,
             out_col="wagg",
         )
+    import time
+
+    t0 = time.perf_counter()
     q, sink = write_stream_exactly_once(
         agg, args.out, args.checkpoint, available_now=args.available_now
     )
     q.awaitTermination()
+    # drain wall time EXCLUDING session/JVM boot (measured from query
+    # construction) — what bench_scaling_stream.py parses for the N vs 4N
+    # streaming efficiency pair
+    print(f"drain seconds: {time.perf_counter() - t0:.3f}", file=sys.stderr)
     print(f"committed batches: {sink.committed_batches()}", file=sys.stderr)
 
 
