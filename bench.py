@@ -269,22 +269,29 @@ def bulk_throughput(scale: int = 1) -> dict:
         dt = time.perf_counter() - t0
         out[f"evict_insert_b{bulk}"] = round(rounds * bulk / dt, 1)
 
-        st = fresh()
-        tip = w
+        # evict-isolated variant: inserts arrive in 4K micro-batches
+        # (query per batch); ONE amortized bulkEvict per B accumulated.
+        # Only meaningful when B exceeds the insert granularity — below
+        # 4K it would silently measure 4K evictions under a smaller label
         step = 4096
-        since_evict = 0
-        t0 = time.perf_counter()
-        for _ in range(max(1, rounds * bulk // step)):
-            ts = np.arange(tip, tip + step, dtype=np.int64)
-            st.bulk_insert(ts, m.lift(1 + (ts % 101)))
-            tip += step
-            since_evict += step
-            if since_evict >= bulk:
-                st.bulk_evict(int(st.oldest()) + since_evict - 1)
-                since_evict = 0
-            sink += st.query()
-        dt = time.perf_counter() - t0
-        out[f"evict_b{bulk}"] = round(max(1, rounds * bulk // step) * step / dt, 1)
+        if bulk > step:
+            st = fresh()
+            tip = w
+            since_evict = 0
+            t0 = time.perf_counter()
+            for _ in range(max(1, rounds * bulk // step)):
+                ts = np.arange(tip, tip + step, dtype=np.int64)
+                st.bulk_insert(ts, m.lift(1 + (ts % 101)))
+                tip += step
+                since_evict += step
+                if since_evict >= bulk:
+                    st.bulk_evict(int(st.oldest()) + since_evict - 1)
+                    since_evict = 0
+                sink += st.query()
+            dt = time.perf_counter() - t0
+            out[f"evict_b{bulk}"] = round(
+                max(1, rounds * bulk // step) * step / dt, 1
+            )
 
     bulk = min(65536, w // 4)
     for deg in (1024, 16384):
