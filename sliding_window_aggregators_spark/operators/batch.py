@@ -534,6 +534,63 @@ def sliding_time_kernel_partitioned(
     return sorted_df.mapInPandas(gen, schema)
 
 
+def sliding_time_kernel_scan(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value: str,
+    monoid_name: str,
+    durations: dict[str, int],
+    id_cols: Sequence[str] = (),
+    int_values: bool = False,
+    out_cast: str | None = None,
+) -> DataFrame:
+    """ZERO-SHUFFLE event-time sliding aggregate for pre-bucketed,
+    pre-sorted layouts — the time-window sibling of
+    :func:`sliding_rows_kernel_scan`, completing the layout story across
+    window types: under the Iceberg-style ``bucket(key) + sort(key, ts)``
+    layout (:func:`~..sources.io.write_bucketed` with ``ts`` leading the
+    sort order) the repartition+sort of
+    :func:`sliding_time_kernel_partitioned` is a no-op, so the
+    :class:`TimeSegmentedKernel` (several durations from ONE pass,
+    bounded time-carry across Arrow batches) feeds straight off the
+    columnar scan: no exchange, no sort.
+
+    Same trusted-layout precondition as the rows variant: every input
+    file holds complete key groups sorted by (key, ts); files may be
+    packed whole into tasks but must never be split (bucket files below
+    ``spark.sql.files.maxPartitionBytes``, or raise it)."""
+    id_cols = list(id_cols) or [key, ts_col]
+    dtype = np.int64 if int_values else np.float64
+    needed = list(dict.fromkeys([key, ts_col, value, *id_cols]))
+    df = df.select(*needed)
+    out_type = out_cast or _OUT_SPARK_TYPE[monoid_name]
+    schema = ", ".join(
+        [f"`{c}` {t}" for c, t in zip(id_cols, _spark_types(df, id_cols))]
+        + [f"`{col}` {out_type}" for col in durations]
+    )
+
+    def gen(batches):
+        from .kernels import TimeSegmentedKernel
+
+        m = get_monoid(monoid_name, dtype)
+        kernel = TimeSegmentedKernel(m, durations)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ts = pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+            vals = pdf[value].to_numpy()
+            if dtype == np.int64:
+                vals = vals.astype(np.int64)
+            folds = kernel.process(pdf[key].to_numpy(), ts, m.lift(vals))
+            cols = {c: pdf[c].to_numpy() for c in id_cols}
+            for col, part in folds.items():
+                cols[col] = m.lower(part)
+            yield pd.DataFrame(cols)
+
+    return df.mapInPandas(gen, schema)
+
+
 def _spark_types(df: DataFrame, cols: Sequence[str]) -> list[str]:
     m = dict(df.dtypes)
     return [m[c] for c in cols]

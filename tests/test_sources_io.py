@@ -148,3 +148,52 @@ def test_compact_table_reduces_files_preserving_rows(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == before_rows
     assert after.agg(F.sum("event_id")).collect() == src.agg(F.sum("event_id")).collect()
+
+
+def test_bucketed_layout_time_kernel_scan_zero_shuffle(spark, tmp_path):
+    """write_bucketed + sliding_time_kernel_scan (the TIME-window sibling):
+    multi-duration event-time folds off the bucketed scan — identical
+    results to the shuffling TimeSegmentedKernel route, NO exchange."""
+    from sliding_window_aggregators_spark.operators.batch import (
+        sliding_time_kernel_partitioned,
+        sliding_time_kernel_scan,
+        with_cents,
+    )
+    from sliding_window_aggregators_spark.sources import write_bucketed
+
+    durs = {"s10m": 600_000_000, "s1h": 3_600_000_000}
+    df = with_cents(read_table(spark, f"{SF_DIR}/events.parquet"))
+    out = str(tmp_path / "events_bucketed_t")
+    write_bucketed(df, out, "user_id", ["ts", "event_id"], buckets=8)
+
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1g")
+    spark.conf.set("spark.sql.files.openCostInBytes", "1g")
+    try:
+        laid = read_table(spark, out)
+        scan = sliding_time_kernel_scan(
+            laid, "user_id", "ts", "cents", "sum", durs,
+            id_cols=["user_id", "event_id"], int_values=True,
+            out_cast="bigint",
+        )
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        got = {
+            (r["user_id"], r["event_id"]): (r["s10m"], r["s1h"])
+            for r in scan.collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_open)
+
+    exp_df = sliding_time_kernel_partitioned(
+        df, "user_id", "ts", "cents", "sum", durs,
+        id_cols=["user_id", "event_id"], tiebreak=["event_id"],
+        int_values=True, out_cast="bigint",
+    )
+    exp = {
+        (r["user_id"], r["event_id"]): (r["s10m"], r["s1h"])
+        for r in exp_df.collect()
+    }
+    assert got == exp
