@@ -93,25 +93,33 @@ def kernel_throughput(scale: int = 1) -> dict:
     vals = (1 + (np.arange(KERNEL_N) % 101)).astype(float)
     out = {}
     sink = 0.0  # anti-DCE accumulator (benchmark_core.h:28-42)
+    # the reference records 5 samples per config (run_fifo.py); under
+    # this host's throttling variance we take the MEDIAN of 3 so one
+    # bad window slice can't masquerade as a kernel regression
+    samples = 3
     for op in KERNEL_OPS:
         n = KERNEL_N if op != "bloom" else KERNEL_N // 8
         data = vals[:n] if op != "bloom" else vals[:n].astype(int)
         for w in KERNEL_GRID:
-            m = get_monoid(op)
-            k = SlidingCountWindow(m, w)
-            # warm-up: fill the window before the clock starts
-            # (benchmark_core.h:100-109)
-            warm = min(w, n // 2)
-            k.process(data[:warm])
-            t0 = time.perf_counter()
-            step = 65536
-            i = warm
-            while i < n:
-                res = k.process(data[i : i + step])
-                sink += float(res[-1] if res.dtype.kind == "f" else res[-1])
-                i += step
-            dt = time.perf_counter() - t0
-            out[f"{op}_w{w}"] = round((n - warm) / dt, 1)
+            rates = []
+            for _ in range(samples):
+                m = get_monoid(op)
+                k = SlidingCountWindow(m, w)
+                # warm-up: fill the window before the clock starts
+                # (benchmark_core.h:100-109)
+                warm = min(w, n // 2)
+                k.process(data[:warm])
+                t0 = time.perf_counter()
+                step = 65536
+                i = warm
+                while i < n:
+                    res = k.process(data[i : i + step])
+                    sink += float(res[-1] if res.dtype.kind == "f" else res[-1])
+                    i += step
+                dt = time.perf_counter() - t0
+                rates.append((n - warm) / dt)
+            rates.sort()
+            out[f"{op}_w{w}"] = round(rates[len(rates) // 2], 1)
     out["_anti_dce"] = sink
     return out
 
