@@ -260,3 +260,31 @@ def test_flush_after_huge_evict_is_cheap():
     CountingSum.calls = 0
     assert st.query() == 10.0
     assert CountingSum.calls < 200, CountingSum.calls  # not O(evicted)
+
+
+def test_deep_duplicate_groups_vectorized_collapse_preserves_order():
+    """The vectorized duplicate collapse (one combine per group DEPTH)
+    must left-fold each duplicate-timestamp group in (existing, then
+    batch) order — pinned with the non-commutative Collect monoid on a
+    batch whose internal repeats overlap live timestamps (depth-3 group)."""
+    import numpy as np
+
+    from sliding_window_aggregators_spark.functions import get_monoid
+    from sliding_window_aggregators_spark.operators import OrderedAggState
+
+    m = get_monoid("collect")
+    st = OrderedAggState(m)
+    st.bulk_insert(np.array([1, 2, 3]), m.lift(np.array([10, 20, 30])))
+    st.bulk_insert(
+        np.array([2, 2, 2, 3, 4]), m.lift(np.array([21, 22, 23, 31, 40]))
+    )
+    assert st.ts.tolist() == [1, 2, 3, 4]
+    assert st.query() == [10, 20, 21, 22, 23, 30, 31, 40]
+
+    s = get_monoid("sum")
+    st2 = OrderedAggState(s)
+    st2.bulk_insert(np.array([1, 2, 3]), s.lift(np.array([10, 20, 30])))
+    st2.bulk_insert(
+        np.array([2, 2, 2, 3, 4]), s.lift(np.array([21, 22, 23, 31, 40]))
+    )
+    assert st2.query() == 197
