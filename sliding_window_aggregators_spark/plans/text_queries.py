@@ -618,6 +618,43 @@ def _small_star(e):
     )
 
 
+# bounded local endgame (the GraphFrames finish): once the (contracted)
+# edge set fits comfortably on the driver, union-find there instead of
+# paying several distributed jobs per remaining round. 200k edges ≈ a
+# few MB — far below any driver's memory, and the ONLY collect in the
+# plan library, explicitly bounded by this constant.
+_CC_LOCAL_EDGES = 200_000
+
+
+def _cc_local_labels(spark, e):
+    """Exact union-find over a collected (bounded) edge list → (u, lbl)
+    DataFrame with lbl = min doc_id of u's component."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in e.collect():
+        a, b = row["a"], row["b"]
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id so the root IS the keeper
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(int(u), int(find(u))) for u in parent]
+    return spark.createDataFrame(rows or [(0, 0)], "u long, lbl long").where(
+        F.lit(bool(rows))
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS: connected components over the MinHash-LSH pair
     graph, keeper = min doc_id per component — the step that turns pair
@@ -632,7 +669,11 @@ def q_dedup_clusters(spark, sf_dir):
     distributed; per-round edges shrink toward the final star graph. The
     driver-side work per round is ONE convergence count (edges whose two
     endpoints disagree on their tentative star label — zero exactly at
-    convergence), so total driver barriers are O(log n).
+    convergence), so total driver barriers are O(log n). Once the
+    (contracted) edge set drops below ``_CC_LOCAL_EDGES`` the endgame is
+    an exact driver-side union-find — the same bounded local finish
+    GraphFrames uses — replacing several small jobs per remaining round
+    with one bounded collect.
 
     DuckDB oracle: reachability closure via WITH RECURSIVE + min label
     per node (exact for the test corpus sizes)."""
@@ -645,6 +686,14 @@ def q_dedup_clusters(spark, sf_dir):
     labels = None
     converged = False
     for _round in range(40):  # ≫ the O(log n) bound for any real corpus
+        if e.count() <= _CC_LOCAL_EDGES:
+            labels = _cc_local_labels(spark, e)
+            converged = True
+            print(
+                f"# dedup_clusters: local endgame after {_round} star rounds",
+                file=sys.stderr,
+            )
+            break
         # localCheckpoint (not cache): each star round references the
         # previous edge set 4×, so an uncut lineage grows 4^rounds and
         # Catalyst analysis time explodes around round 7 — checkpointing
