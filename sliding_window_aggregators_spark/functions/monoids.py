@@ -777,6 +777,72 @@ class HistogramQuantile(Monoid):
         return {"counts": np.cumsum(p["counts"], axis=axis)}
 
 
+# Count-Min Sketch geometry: D hash rows × W counters, flattened to a
+# (…, D·W) int64 partial. Row hashes are multiplicative (top-6-bit
+# extraction of an odd-constant product — splitmix64-derived constants).
+CMS_D = 4
+CMS_W = 64
+CMS_KS = (
+    0x9E3779B97F4A7C15,
+    0xBF58476D1CE4E5B9,
+    0x94D049BB133111EB,
+    0xD6E8FEB86659FD93,
+)
+CMS_QUERY = 1  # the pinned point-query item lower() estimates
+
+
+def _cms_cols(v: np.ndarray) -> np.ndarray:
+    """(len(v), D) counter columns; negative values hash via their
+    two's-complement uint64 image (same convention as BloomFilter)."""
+    u = np.asarray(v).astype(np.int64).astype(np.uint64)
+    cols = np.empty((len(u), CMS_D), dtype=np.int64)
+    for d, k in enumerate(CMS_KS):
+        cols[:, d] = ((u * np.uint64(k)) >> np.uint64(64 - 6)).astype(np.int64)
+    return cols
+
+
+class CountMinSketch(Monoid):
+    """Windowed Count-Min Sketch (Cormode & Muthukrishnan 2005) — the
+    FREQUENCY member of the sketch family (Bloom = membership, HLL =
+    cardinality, HistogramQuantile = quantiles): combine = elementwise
+    counter addition, EXACTLY associative and invertible, so
+    SubtractOnEvict's O(1)-amortized fast path applies to the
+    (…, D·W) vector partial just as it does to a scalar sum.
+
+    lower = the sketch's point estimate for the pinned item
+    ``CMS_QUERY`` (min over the D rows of its counters) — an upper bound
+    on the item's true window frequency, exact when no collision lands
+    in all D rows."""
+
+    name = "cms"
+    invertible = True
+
+    def lift(self, values):
+        v = np.asarray(values).astype(np.int64)
+        cols = _cms_cols(v)
+        counts = np.zeros((len(v), CMS_D * CMS_W), dtype=np.int64)
+        rows = np.arange(len(v))[:, None]
+        counts[rows, np.arange(CMS_D)[None, :] * CMS_W + cols] = 1
+        return {"counts": counts}
+
+    def identity(self, n=1):
+        return {"counts": np.zeros((n, CMS_D * CMS_W), dtype=np.int64)}
+
+    def combine(self, a, b):
+        return {"counts": a["counts"] + b["counts"]}
+
+    def inverse_combine(self, a, b):
+        return {"counts": a["counts"] - b["counts"]}
+
+    def lower(self, p):
+        q_cols = _cms_cols(np.asarray([CMS_QUERY]))[0]
+        idx = np.arange(CMS_D) * CMS_W + q_cols
+        return p["counts"][..., idx].min(axis=-1).astype(np.int64)
+
+    def accumulate(self, p, axis=0):
+        return {"counts": np.cumsum(p["counts"], axis=axis)}
+
+
 # ---------------------------------------------------------------------------
 # Collect — the order-sensitivity witness (object-array partials; test paths)
 # ---------------------------------------------------------------------------
@@ -916,6 +982,7 @@ def registry(dtype=np.float64) -> dict[str, Monoid]:
         "bloom": BloomFilter(),
         "hll": HyperLogLog(),
         "histq": HistogramQuantile(),
+        "cms": CountMinSketch(),
         "collect": Collect(),
         "busyloop": BusyLoop(),
     }

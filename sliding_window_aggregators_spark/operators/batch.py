@@ -48,6 +48,7 @@ _OUT_SPARK_TYPE = {
     "bloom": "bigint",
     "hll": "double",
     "histq": "bigint",
+    "cms": "bigint",
     "argmax": "bigint",
 }
 

@@ -33,7 +33,7 @@ def ac(a, b):
     return np.allclose(a, b, rtol=1e-9, equal_nan=True)
 
 
-MONOIDS = ["sum", "max", "min", "mean", "geomean", "stddev", "mincount", "relvar", "count", "bloom", "hll", "histq"]
+MONOIDS = ["sum", "max", "min", "mean", "geomean", "stddev", "mincount", "relvar", "count", "bloom", "hll", "histq", "cms"]
 WINDOWS = [1, 2, 4, 100, 519, 3000, 5000]
 
 
@@ -41,7 +41,7 @@ WINDOWS = [1, 2, 4, 100, 519, 3000, 5000]
 def test_one_shot_sliding_reduce(name):
     m = get_monoid(name)
     data = RVALS if name in ("mincount", "relvar") else VALS
-    if name in ("bloom", "hll", "histq"):
+    if name in ("bloom", "hll", "histq", "cms"):
         data = data.astype(int)
     for w in WINDOWS:
         assert ac(sliding_reduce(m, data, w).tolist(), brute(m, data, w)), w
@@ -51,7 +51,7 @@ def test_one_shot_sliding_reduce(name):
 def test_batched_strategies(name):
     m = get_monoid(name)
     data = RVALS if name in ("mincount", "relvar") else VALS
-    if name in ("bloom", "hll", "histq"):
+    if name in ("bloom", "hll", "histq", "cms"):
         data = data.astype(int)
     strategies = (["soe"] if m.invertible else []) + ["block", "twostacks"]
     for w in [1, 4, 100, 519, 5000]:

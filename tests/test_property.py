@@ -20,7 +20,7 @@ streams = st.lists(
 
 @settings(max_examples=40, deadline=None)
 @given(values=streams, w=st.integers(1, 64), mname=st.sampled_from(
-    ["sum", "max", "mean", "mincount", "geomean", "relvar", "hll", "histq"]))
+    ["sum", "max", "mean", "mincount", "geomean", "relvar", "hll", "histq", "cms"]))
 def test_sliding_reduce_equals_brute(values, w, mname):
     m = get_monoid(mname)
     vals = np.asarray(values, dtype=float)
