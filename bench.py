@@ -29,10 +29,11 @@ BENCH_QUERIES = [
     "kernel_stats_w100",
     "kernel_bloom_w100",
     "kernel_sketch_w100",
+    "kernel_sum_w16384",
     "time_range_sum_1h",
-    "time_range_sum_1h_kernel",
     "csv_time_range_sum_1h",
     "ooo_range_sum_1h",
+    "ooo_stream_sum_1h",
     "sawtooth_sum_w50",
     "dedup_simhash_pairs",
     "tumbling_sum_1h",
@@ -442,8 +443,11 @@ def main() -> None:
         total += dt
         note = (
             "  [whole-key applyInPandas BY DESIGN: adversarial-arrival demo; "
-            "production OOO path is streaming/sliding_agg_stream]"
+            "production OOO path is ooo_stream_sum_1h]"
             if name == "ooo_range_sum_1h"
+            else "  [8 checkpointed micro-batches: includes stream setup + "
+            "8x trigger overhead, not just compute]"
+            if name == "ooo_stream_sum_1h"
             else ""
         )
         print(f"# {name}: {dt:.3f}s ({n} rows){note}", file=sys.stderr)

@@ -93,19 +93,25 @@ def run_level(cpus: int, src: str, zip_path: str, turns: int) -> dict:
     # PythonRunner merges the job's stderr into spark-submit's stdout —
     # search both streams
     m = re.search(r"drain seconds: ([0-9.]+)", r.stdout + r.stderr)
+    # no marker → the boot-excluded drain time is unavailable; substitute
+    # wall time but FLAG it so a scaling ratio over estimated drains is
+    # never mistaken for the documented boot-excluded metric
     drain = float(m.group(1)) if m else wall
     import pyarrow.dataset as ds
 
     rows = ds.dataset(os.path.join(work, "out"), format="parquet",
                       partitioning="hive").count_rows()
     shutil.rmtree(work)
-    return {
+    out = {
         "cpus": cpus,
         "rows": rows,
         "drain_sec": round(drain, 3),
         "process_sec": round(wall, 3),
         "turns_per_sec": round(turns / drain, 1),
     }
+    if m is None:
+        out["drain_estimated"] = True  # full process wall incl. JVM boot
+    return out
 
 
 def _bw(_):

@@ -809,13 +809,24 @@ class CountMinSketch(Monoid):
     SubtractOnEvict's O(1)-amortized fast path applies to the
     (…, D·W) vector partial just as it does to a scalar sum.
 
-    lower = the sketch's point estimate for the pinned item
-    ``CMS_QUERY`` (min over the D rows of its counters) — an upper bound
-    on the item's true window frequency, exact when no collision lands
-    in all D rows."""
+    lower = the sketch's point estimate for ``query`` (min over the D
+    rows of its counters) — an upper bound on the item's true window
+    frequency, exact when no collision lands in all D rows.
+
+    REGISTRY CONTRACT: unlike every other monoid, lower is a point query
+    parameterized by ``query`` (default ``CMS_QUERY`` = 1); the ``"cms"``
+    registry entry is pinned to that default, so a generic plan wiring
+    ``"cms"`` gets frequency-of-1 unless it constructs
+    ``CountMinSketch(query=item)`` itself. Driver queries feeding it
+    therefore derive a value column whose domain makes item 1 meaningful
+    (e.g. ``cents % 101 + 1``, echoing the reference's ``1 + (i % 101)``
+    input stream, cpp/src/benchmark_core.h:115)."""
 
     name = "cms"
     invertible = True
+
+    def __init__(self, query: int = CMS_QUERY):
+        self.query = int(query)
 
     def lift(self, values):
         v = np.asarray(values).astype(np.int64)
@@ -835,7 +846,7 @@ class CountMinSketch(Monoid):
         return {"counts": a["counts"] - b["counts"]}
 
     def lower(self, p):
-        q_cols = _cms_cols(np.asarray([CMS_QUERY]))[0]
+        q_cols = _cms_cols(np.asarray([self.query]))[0]
         idx = np.arange(CMS_D) * CMS_W + q_cols
         return p["counts"][..., idx].min(axis=-1).astype(np.int64)
 

@@ -320,23 +320,62 @@ from b {_WIN}
 """
 
 
-def _bucketed_events_path(spark, sf_dir: str) -> str:
-    """One-time bucket(user_id) + sort(user_id, ts, event_id) layout of
-    the events table (per sf dir, cached in /tmp) — the Iceberg-style
-    table layout a 100 TB deployment maintains so sliding windows run
-    shuffle-free off the scan (sources/io.write_bucketed)."""
+def _events_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of ``<sf_dir>/events.parquet`` (file OR
+    directory of part files): name + size + mtime_ns of every data file.
+    Cache tags derived from it go stale the moment the fixture is
+    regenerated in place — unlike the old md5(sf_dir) tag, which silently
+    kept serving the previous layout."""
     import hashlib
 
+    src = os.path.join(sf_dir, "events.parquet")
+    h = hashlib.md5()
+    if os.path.isdir(src):
+        for name in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, name))
+            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns};".encode())
+    else:
+        st = os.stat(src)
+        h.update(f"{src}:{st.st_size}:{st.st_mtime_ns}".encode())
+    h.update(sf_dir.encode())
+    return h.hexdigest()[:12]
+
+
+def _cached_events_layout(sf_dir: str, kind: str, build) -> str:
+    """Derived-layout cache in /tmp, keyed by the SOURCE fingerprint and
+    populated via temp-dir + atomic rename: concurrent builders race
+    harmlessly (loser discards its temp dir), and a half-written layout
+    is never visible under the final path (the old check-then-write on
+    the final path could serve a partial directory to a second session)."""
+    import shutil
+
+    path = f"/tmp/swag_{kind}_events_{_events_fingerprint(sf_dir)}"
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    tmp = f"{path}.build{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race: keep winner
+    return path
+
+
+def _bucketed_events_path(spark, sf_dir: str) -> str:
+    """One-time bucket(user_id) + sort(user_id, ts, event_id) layout of
+    the events table (cached in /tmp keyed by source fingerprint) — the
+    Iceberg-style table layout a 100 TB deployment maintains so sliding
+    windows run shuffle-free off the scan (sources/io.write_bucketed)."""
     from ..sources.io import write_bucketed
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = f"/tmp/swag_bucketed_events_{tag}"
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    def build(tmp: str) -> None:
         df = with_cents(spark.read.parquet(f"{sf_dir}/events.parquet")).select(
             "user_id", "ts", "event_id", "cents"
         )
-        write_bucketed(df, path, "user_id", ["ts", "event_id"], buckets=32)
-    return path
+        write_bucketed(df, tmp, "user_id", ["ts", "event_id"], buckets=32)
+
+    return _cached_events_layout(sf_dir, "bucketed", build)
 
 
 def q_bucketed_sum(spark, sf_dir):
@@ -392,10 +431,66 @@ def q_auto_sum_kernel(spark, sf_dir):
     return out.withColumn("wsum_cents", F.col("wsum_cents").cast("long"))
 
 
+def q_auto_sum_both(spark, sf_dir):
+    """ROUTE INTERCHANGEABILITY under one driver hash (driver-slot
+    consolidation of the former auto_sum_w100_{sql,kernel} rows): the
+    dispatcher's SQL route (native Window frame, no MapInPandas) and its
+    pinned kernel route (MapInPandas, no Window frame — both plan shapes
+    stay pinned in tests/test_plan_shapes.py) computed side-by-side and
+    equi-joined on row identity, so ONE verified row carries both
+    routes' answers and the hash proves them equal to the oracle AND to
+    each other."""
+    sql = q_auto_sum_sql(spark, sf_dir)
+    kern = q_auto_sum_kernel(spark, sf_dir).withColumnRenamed(
+        "wsum_cents", "wsum_cents_k"
+    )
+    return sql.join(kern, ["user_id", "event_id"])
+
+
+ORACLE_AUTO_SUM_BOTH = f"""
+select user_id, event_id,
+       cast(sum(cents) over w as bigint) as wsum_cents,
+       cast(sum(cents) over w as bigint) as wsum_cents_k
+from {_EV} {_WIN}
+"""
+
+
+W_LAT = 16384  # the reference's latency-grid window (experiments/run_latency.py:18-30)
+
+
+def q_kernel_sum_w16384(spark, sf_dir):
+    """Large-window kernel sum, w=16384 — the reference's latency-grid
+    window size — keyed by the COARSE key (event_type, ~n/5 rows per
+    group) so the window actually spans many Arrow batches at bench
+    scale: this is the driver check of the persistent cross-batch carry
+    (SegmentedSlidingKernel keeps w−1 trailing partials per open group
+    between mapInPandas batches; pinned with a forced 512-row Arrow batch
+    in tests/test_spark_integration.py). At driver scale (sf0.01, ~2k rows/group)
+    the window never fills — frames are growing prefixes — which is
+    exactly the fill-phase semantics the reference's benchmark also
+    starts in (cpp/src/benchmark_core.h:100-109)."""
+    df = _events(spark, sf_dir)
+    out = sliding_rows_kernel_partitioned(
+        df, "event_type", ["ts", "event_id"], "cents", "sum", W_LAT,
+        out="wsum16k_cents", id_cols=["event_type", "event_id"],
+        int_values=True,
+    )
+    return out.withColumn("wsum16k_cents", F.col("wsum16k_cents").cast("long"))
+
+
+ORACLE_KERNEL_SUM_W16384 = f"""
+select event_type, event_id,
+       cast(sum(cents) over (partition by event_type order by ts, event_id
+            rows between {W_LAT - 1} preceding and current row) as bigint)
+         as wsum16k_cents
+from {_EV}
+"""
+
+
 def q_kernel_sketch(spark, sf_dir):
-    """The two vector-partial sketch monoids through the kernel, one
-    verified row per event (driver-slot consolidation of the former
-    kernel_{hll,p99}_w100 queries):
+    """The three vector-partial sketch monoids through the kernel, one
+    verified row per event (driver-slot consolidation — formerly the
+    kernel_{hll,p99}_w100 queries, now also carrying Count-Min):
 
     - HyperLogLog — deterministic 64-register distinct-count estimate of
       the cents values in the last-100-rows window (functions/monoids.py
@@ -404,23 +499,30 @@ def q_kernel_sketch(spark, sf_dir):
     - HistogramQuantile — approximate p99 from a 64-bucket fixed-grid
       count histogram (functions/monoids.py HistogramQuantile); the
       invertible-VECTOR-partial case: SubtractOnEvict's O(1) fast path on
-      a 64-lane count partial.
+      a 64-lane count partial;
+    - CountMinSketch — windowed point-frequency estimate of item 1 over
+      ``cents % 101 + 1`` (the reference's ``1 + (i % 101)`` input
+      distribution, cpp/src/benchmark_core.h:115, so the pinned query
+      item actually occurs); a 4×64 int64 counter partial, also on the
+      SubtractOnEvict fast path. See the CountMinSketch registry
+      contract note (functions/monoids.py) for the pinned-query rule.
 
-    Both sketches run in ONE fused partitioned pass (different value
-    columns, same frame): one shuffle + sort, two vector-partial kernels
-    sharing the Arrow stream — see
+    All three sketches run in ONE fused partitioned pass (different value
+    columns, same frame): one shuffle + sort, three vector-partial
+    kernels sharing the Arrow stream — see
     :func:`~..operators.batch.sliding_rows_kernel_partitioned_multi`."""
     from ..operators.batch import sliding_rows_kernel_partitioned_multi
 
     df = _events(spark, sf_dir).withColumn(
         "h",
         F.expr(_cents_md5_60()),
-    )
+    ).withColumn("cms_v", F.col("cents") % 101 + 1)
     return sliding_rows_kernel_partitioned_multi(
         df, "user_id", ["ts", "event_id"],
         [
             ("h", "hll", W, "whll", True),
             ("cents", "histq", W, "wp99_cents", True),
+            ("cms_v", "cms", W, "wcms_q1", True),
         ],
         id_cols=["user_id", "event_id"],
     )
@@ -509,12 +611,50 @@ group by user_id, event_id
 """
 
 
-# both sketch oracles reconstruct frames with an O(n·w) band self-join
-# (oracle-only); the merged query equi-joins the two pipelines
+def _cms_oracle() -> str:
+    from ..functions.monoids import CMS_D, CMS_KS, CMS_QUERY, _cms_cols
+    import numpy as np
+
+    # the D query-bucket constants are compile-time (pinned multiplicative
+    # hashes of the pinned query item) — compute them in Python, then the
+    # SQL reproduces each row's D buckets with the same uint64 product in
+    # DuckDB HUGEINT (mod 2^64 >> 58) and counts per-frame matches; the
+    # CMS point estimate is the min of the D match counts
+    q_cols = _cms_cols(np.asarray([CMS_QUERY]))[0]
+    two64 = 1 << 64
+    two58 = 1 << 58
+    flags = ", ".join(
+        f"cast(((cast(v as hugeint) * {CMS_KS[d]}) % {two64}) // {two58} "
+        f"= {int(q_cols[d])} as int) as f{d}"
+        for d in range(CMS_D)
+    )
+    sums = ", ".join(f"sum(b.f{d}) as c{d}" for d in range(CMS_D))
+    least = ", ".join(f"c{d}" for d in range(CMS_D))
+    return f"""
+with e0 as (
+  select user_id, event_id, ({_CENTS} % 101 + 1) as v,
+         row_number() over (partition by user_id order by ts, event_id) as rn
+  from events
+),
+f as (select user_id, event_id, rn, {flags} from e0),
+frames as (
+  select a.user_id, a.event_id, {sums}
+  from f a join f b
+    on a.user_id = b.user_id and b.rn between a.rn - {W - 1} and a.rn
+  group by 1, 2
+)
+select user_id, event_id, cast(least({least}) as bigint) as wcms_q1
+from frames
+"""
+
+
+# the sketch oracles reconstruct frames with an O(n·w) band self-join
+# (oracle-only); the merged query equi-joins the three pipelines
 ORACLE_KERNEL_SKETCH = f"""
-select user_id, event_id, whll, wp99_cents
+select user_id, event_id, whll, wp99_cents, wcms_q1
 from ({_hll_oracle()}) h
 join ({_histq_oracle()}) p using (user_id, event_id)
+join ({_cms_oracle()}) c using (user_id, event_id)
 """
 
 
@@ -582,19 +722,41 @@ group by a.user_id, a.event_id
 ORACLE_TIME_RANGE_SUM_KERNEL = _arrival_range_sum_oracle("hsum_cents", HOUR_US)
 
 
+def q_time_range_sum_both(spark, sf_dir):
+    """Event-time RANGE window on BOTH routes under one driver hash
+    (driver-slot consolidation of the former time_range_sum_1h and
+    time_range_sum_1h_kernel rows): the native RANGE frame (codegen
+    Window) and the TimeSegmentedKernel interval fold, equi-joined on row
+    identity. Each column keeps its own oracle formulation (RANGE frame
+    vs arrival band join — identical whenever (user_id, ts) is unique,
+    which the fixtures guarantee), so the hash proves route equality
+    without weakening either tie-rule statement."""
+    sql = q_time_range_sum(spark, sf_dir)
+    kern = q_time_range_sum_kernel(spark, sf_dir).withColumnRenamed(
+        "hsum_cents", "hsum_cents_k"
+    )
+    return sql.join(kern, ["user_id", "event_id"])
+
+
+ORACLE_TIME_RANGE_SUM_BOTH = f"""
+select user_id, event_id, hsum_cents, hsum_cents_k
+from ({ORACLE_TIME_RANGE_SUM}) r
+join ({_arrival_range_sum_oracle("hsum_cents_k", HOUR_US)}) k
+  using (user_id, event_id)
+"""
+
+
 def _csv_events_path(spark, sf_dir: str) -> str:
     """One-time lossless parquet→CSV conversion of the events table (per
     sf dir, cached in /tmp): timestamps as epoch-microsecond BIGINTs (the
     shape of the reference's CSV event datasets,
     cpp/src/DataGenerators.h:54-180) and doubles via Spark's shortest
-    round-trip rendering — bit-exact on the way back in."""
-    import hashlib
+    round-trip rendering — bit-exact on the way back in. Cached in /tmp
+    keyed by source fingerprint, built atomically
+    (:func:`_cached_events_layout`)."""
+    from ..sources.io import write_table
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = f"/tmp/swag_csv_events_{tag}"
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        from ..sources.io import write_table
-
+    def build(tmp: str) -> None:
         df = spark.read.parquet(f"{sf_dir}/events.parquet").select(
             "event_id",
             F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
@@ -602,8 +764,9 @@ def _csv_events_path(spark, sf_dir: str) -> str:
             "event_type",
             "value",
         )
-        write_table(df, path, fmt="csv")
-    return path
+        write_table(df, tmp, fmt="csv")
+
+    return _cached_events_layout(sf_dir, "csv", build)
 
 
 def q_csv_time_range_sum(spark, sf_dir):
@@ -678,6 +841,87 @@ def q_ooo_range_sum(spark, sf_dir):
 
 
 ORACLE_OOO_RANGE_SUM = ORACLE_TIME_RANGE_SUM.replace("hsum_cents", "osum_cents")
+
+
+def q_ooo_stream_sum(spark, sf_dir):
+    """PRODUCTION-SHAPED out-of-order ingestion: the same 1-hour RANGE
+    answers as ooo_range_sum_1h, but computed through the engine's actual
+    scale path — ``sliding_agg_stream`` (streaming/engine.py), i.e.
+    Structured Streaming ``applyInPandasWithState`` with the
+    checkpoint-persisted OrderedAggState carrying between micro-batches
+    (FiBA bulkInsert/bulkEvict per batch, FiBA.hpp:1866-1918/1746-1835).
+
+    The stream is materialized as 8 time-disjoint file chunks (event-time
+    octiles of the events table) whose ROW ORDER is deterministically
+    scrambled (murmur3 of event_id) — every micro-batch arrives
+    out-of-order internally, the shape a distributed ingest actually
+    produces, while chunk boundaries advance in event time so the
+    engine's late-data rule (drop older than youngest − duration,
+    cpp/src/benchmark_core.h:577) provably drops nothing and the plain
+    RANGE oracle applies. ``maxFilesPerTrigger=1`` forces 8 real
+    micro-batches through the checkpointed state store; the sink is the
+    exactly-once commit-marker sink (streaming/sink.py). Unlike the
+    whole-key applyInPandas demo (q_ooo_range_sum), no operator here
+    materializes a full key's history in one Arrow batch — state is
+    bounded by 2×duration per key and batches stream through — so this
+    row is the one that evidences OOO at scale."""
+    import tempfile
+
+    from ..streaming.engine import sliding_agg_stream
+    from ..streaming.sink import write_stream_exactly_once
+
+    df = _events(spark, sf_dir).select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"), "cents"
+    )
+    lo, hi = df.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    width = max((int(hi) - int(lo)) // 8 + 1, 1)
+
+    base = tempfile.mkdtemp(prefix="swag_ooo_stream_")
+    src = os.path.join(base, "src")
+    bucketed = df.withColumn(
+        "b", ((F.unix_micros("ts") - F.lit(int(lo))) / F.lit(width)).cast("int")
+    )
+    # sequential writes: file mtimes increase with the bucket index, so the
+    # file source's oldest-first ordering replays chunks in event-time order
+    for b in range(8):
+        (
+            bucketed.where(F.col("b") == b).drop("b")
+            .orderBy(F.hash("event_id"), "event_id")  # scrambled arrival
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(src, f"chunk_{b:02d}"))
+        )
+
+    stream_df = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp, cents long")
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    stream = sliding_agg_stream(
+        stream_df,
+        key="user_id",
+        ts_col="ts",
+        value_expr="cents",
+        monoid_name="sum",
+        duration="1 hour",
+        watermark="1 minute",
+        out_col="osum_cents",
+        id_cols=["event_id"],
+        int_values=True,
+    )
+    q, sink = write_stream_exactly_once(
+        stream, os.path.join(base, "out"), os.path.join(base, "ckpt")
+    )
+    q.awaitTermination()
+    return sink.read_committed(spark).select(
+        "user_id", "event_id", F.col("osum_cents").cast("long").alias("osum_cents")
+    )
+
+
+ORACLE_OOO_STREAM_SUM = ORACLE_OOO_RANGE_SUM
 
 _SAW = 50  # sawtooth period: window drains to 1 row then refills to 50
 
@@ -1057,13 +1301,13 @@ QUERIES = {
     "kernel_argmax_w100": q_kernel_argmax,
     "kernel_bloom_w100": q_kernel_bloom,
     "kernel_sketch_w100": q_kernel_sketch,
-    "auto_sum_w100_sql": q_auto_sum_sql,
-    "auto_sum_w100_kernel": q_auto_sum_kernel,
+    "kernel_sum_w16384": q_kernel_sum_w16384,
+    "auto_sum_w100": q_auto_sum_both,
     "bucketed_sum_w100": q_bucketed_sum,
-    "time_range_sum_1h": q_time_range_sum,
-    "time_range_sum_1h_kernel": q_time_range_sum_kernel,
+    "time_range_sum_1h": q_time_range_sum_both,
     "csv_time_range_sum_1h": q_csv_time_range_sum,
     "ooo_range_sum_1h": q_ooo_range_sum,
+    "ooo_stream_sum_1h": q_ooo_stream_sum,
     "sawtooth_sum_w50": q_sawtooth_sum,
     "shared_windows_3x": q_shared_windows,
     "shared_hll_3x": q_shared_hll,
@@ -1084,13 +1328,13 @@ ORACLES = {
     "kernel_argmax_w100": ORACLE_KERNEL_ARGMAX,
     "kernel_bloom_w100": ORACLE_KERNEL_BLOOM,
     "kernel_sketch_w100": ORACLE_KERNEL_SKETCH,
-    "auto_sum_w100_sql": ORACLE_SLIDING_SUM,
-    "auto_sum_w100_kernel": ORACLE_SLIDING_SUM,
+    "kernel_sum_w16384": ORACLE_KERNEL_SUM_W16384,
+    "auto_sum_w100": ORACLE_AUTO_SUM_BOTH,
     "bucketed_sum_w100": ORACLE_SLIDING_SUM,
-    "time_range_sum_1h": ORACLE_TIME_RANGE_SUM,
-    "time_range_sum_1h_kernel": ORACLE_TIME_RANGE_SUM_KERNEL,
+    "time_range_sum_1h": ORACLE_TIME_RANGE_SUM_BOTH,
     "csv_time_range_sum_1h": ORACLE_TIME_RANGE_SUM_KERNEL,
     "ooo_range_sum_1h": ORACLE_OOO_RANGE_SUM,
+    "ooo_stream_sum_1h": ORACLE_OOO_STREAM_SUM,
     "sawtooth_sum_w50": ORACLE_SAWTOOTH_SUM,
     "shared_windows_3x": ORACLE_SHARED_WINDOWS,
     "shared_hll_3x": ORACLE_SHARED_HLL,

@@ -75,12 +75,29 @@ def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+# the one persisted DF the text queries keep alive (for intra-query reuse
+# across the df pass and the downstream self-joins); each _shingles call
+# unpersists the previous one, so a long-lived session holds at most ONE
+# shingle cache instead of leaking one per invocation. Callers that want
+# storage back immediately call clear_shingle_cache().
+_LIVE_SHINGLES = []
+
+
+def clear_shingle_cache() -> None:
+    while _LIVE_SHINGLES:
+        try:
+            _LIVE_SHINGLES.pop().unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
+
+
 def _shingles(spark, sf_dir):
     """Distinct word-3-gram shingles per doc (the MinHash/Jaccard base),
     with the hot-shingle guard applied: shingles appearing in more than
     ``_MAX_SHINGLE_DF`` documents are dropped via a map-side-combined
     document-frequency aggregate + broadcast anti-join (see the
     shuffle-structure note below)."""
+    clear_shingle_cache()
     sh = (
         _docs(spark, sf_dir)
         .withColumn("t", F.split("text", " "))
@@ -89,6 +106,7 @@ def _shingles(spark, sf_dir):
         .distinct()
         .persist()
     )
+    _LIVE_SHINGLES.append(sh)
     # document frequency via groupBy(g): the partial aggregation runs
     # map-side, so even the hottest gram moves only per-partition counts
     # through the exchange — never its raw rows — and nothing SORTS the

@@ -26,7 +26,7 @@ aggregates get real salting via :func:`tumbling_stream_salted`
 from __future__ import annotations
 
 import pickle
-from typing import Iterator
+from typing import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -51,17 +51,30 @@ def sliding_agg_stream(
     duration: str = "10 minutes",
     watermark: str = "1 minute",
     out_col: str = "wagg",
+    id_cols: Sequence[str] = (),
+    int_values: bool = False,
 ) -> DataFrame:
     """Per-turn sliding event-time aggregate over a streaming DataFrame.
 
-    Emits one row per turn: (key, ts, agg of the key's rows with
-    ts ∈ [ts − duration, ts] seen so far, in event-time order within each
-    micro-batch)."""
+    Emits one row per turn: (key, ts, *id_cols, agg of the key's rows
+    with ts ∈ [ts − duration, ts] seen so far, in event-time order within
+    each micro-batch). ``id_cols`` ride along from the arriving rows —
+    they are never inserted into state, only aligned with the per-row
+    answers, so a driver/oracle can join on a stable row identity even
+    under duplicate timestamps. ``int_values=True`` runs the monoid over
+    exact int64 (the cents discipline: bit-identical to a SQL oracle)."""
     dur_us = _interval_us(duration)
-    monoid = get_monoid(monoid_name)
+    monoid = get_monoid(monoid_name, np.int64 if int_values else np.float64)
 
+    id_cols = [c for c in id_cols if c not in (key, ts_col)]
     out_type = _OUT_SPARK_TYPE[monoid_name]
-    out_schema = f"{key} string, {ts_col} timestamp, {out_col} {out_type}"
+    key_t = df.schema[key].dataType.simpleString()
+    id_ts = [df.schema[c].dataType.simpleString() for c in id_cols]
+    out_schema = ", ".join(
+        [f"{key} {key_t}", f"{ts_col} timestamp"]
+        + [f"{c} {t}" for c, t in zip(id_cols, id_ts)]
+        + [f"{out_col} {out_type}"]
+    )
 
     def fn(
         key_tuple,
@@ -84,6 +97,8 @@ def sliding_agg_stream(
             pdf = pdf.sort_values(ts_col, kind="mergesort")
             ts = pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
             vals = pdf["__v"].to_numpy()
+            if int_values:
+                vals = vals.astype(np.int64)
             # late-data policy (benchmark_core.h:577): drop rows older than
             # youngest-so-far − duration
             youngest = st.youngest()
@@ -108,11 +123,11 @@ def sliding_agg_stream(
             from ..operators.kernels import interval_fold
 
             res = monoid.lower(interval_fold(monoid, st.partials, lo, hi))
-            outs.append(
-                pd.DataFrame(
-                    {key: key_tuple[0], ts_col: pdf[ts_col].to_numpy(), out_col: res}
-                )
-            )
+            cols = {key: key_tuple[0], ts_col: pdf[ts_col].to_numpy()}
+            for c in id_cols:
+                cols[c] = pdf[c].to_numpy()
+            cols[out_col] = res
+            outs.append(pd.DataFrame(cols))
             # expiry: retain TWO durations behind the youngest — the
             # late-data rule admits rows back to youngest − duration, and
             # an admitted row at exactly that horizon folds over

@@ -99,9 +99,9 @@ EVENTS_QUERIES = [
     "sliding_basic_w100", "sliding_argmax_collect_w100",
     "kernel_sum_w100", "kernel_max_w100", "kernel_stats_w100",
     "kernel_argmax_w100", "kernel_bloom_w100", "kernel_sketch_w100",
-    "auto_sum_w100_sql", "auto_sum_w100_kernel", "bucketed_sum_w100",
-    "time_range_sum_1h", "time_range_sum_1h_kernel",
-    "csv_time_range_sum_1h", "ooo_range_sum_1h",
+    "kernel_sum_w16384", "auto_sum_w100", "bucketed_sum_w100",
+    "time_range_sum_1h",
+    "csv_time_range_sum_1h", "ooo_range_sum_1h", "ooo_stream_sum_1h",
     "sawtooth_sum_w50", "shared_windows_3x", "shared_hll_3x",
     "tumbling_sum_1h", "session_30m", "asof_join_signup_purchase",
     "cep_three_rising", "cep_funnel_1h", "user_stats", "hll_users_by_type",

@@ -49,7 +49,8 @@ def test_no_nested_loop_join(spark, name):
     [
         "kernel_sum_w100",
         "kernel_bloom_w100",
-        "time_range_sum_1h_kernel",
+        "kernel_sum_w16384",
+        "csv_time_range_sum_1h",
         "shared_windows_3x",
     ],
 )
@@ -65,15 +66,20 @@ def test_auto_dispatcher_routes_are_plan_distinct(spark):
     """The public dispatcher pair: auto resolves sum to the native SQL
     Window route (Window frame, zero Python); path="kernel" pins the
     partition-sorted MapInPandas route. Both share one oracle in the
-    driver registry — same values, different physical plans."""
-    import __spark_entry__ as entry
+    driver registry — same values, different physical plans (the merged
+    auto_sum_w100 driver slot equi-joins the two routes; here each route
+    is pinned in isolation)."""
+    from sliding_window_aggregators_spark.plans.events_queries import (
+        q_auto_sum_kernel,
+        q_auto_sum_sql,
+    )
 
-    sql_plan = _plan(entry.queries()["auto_sum_w100_sql"](spark, SF_DIR))
+    sql_plan = _plan(q_auto_sum_sql(spark, SF_DIR))
     assert "Window" in sql_plan, sql_plan
     assert "MapInPandas" not in sql_plan, sql_plan
     assert "FlatMapGroupsInPandas" not in sql_plan, sql_plan
 
-    k_plan = _plan(entry.queries()["auto_sum_w100_kernel"](spark, SF_DIR))
+    k_plan = _plan(q_auto_sum_kernel(spark, SF_DIR))
     assert "MapInPandas" in k_plan, k_plan
     assert "FlatMapGroupsInPandas" not in k_plan, k_plan
 

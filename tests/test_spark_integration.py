@@ -236,3 +236,44 @@ def test_generator_parity_pandas_vs_spark(spark):
     )
     for col in ("conv_id", "turn_idx", "role", "text", "tool", "ts"):
         assert a[col].fillna("∅").tolist() == b[col].fillna("∅").tolist(), col
+
+
+def test_w16384_cross_batch_carry_small_arrow_batches(spark):
+    """The w=16384 driver query's load-bearing claim: the partitioned
+    kernel's cross-batch carry is exact when the window spans MANY Arrow
+    batches (w ≫ maxRecordsPerBatch). Forcing 512-row batches makes every
+    event_type group span ~dozens of batches at sf0.001; answers must
+    equal the native SQL window bit-for-bit."""
+    from sliding_window_aggregators_spark.plans.events_queries import (
+        W_LAT,
+        q_kernel_sum_w16384,
+    )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "512")
+    try:
+        got = q_kernel_sum_w16384(spark, SF_DIR)
+        from sliding_window_aggregators_spark.operators.batch import with_cents
+
+        df = with_cents(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+        win = (
+            Window.partitionBy("event_type")
+            .orderBy("ts", "event_id")
+            .rowsBetween(-(W_LAT - 1), 0)
+        )
+        exp = df.select(
+            "event_type",
+            "event_id",
+            F.sum("cents").over(win).cast("long").alias("wsum16k_cents"),
+        )
+        n_bad = (
+            got.alias("g")
+            .join(exp.alias("e"), ["event_type", "event_id"])
+            .where("g.wsum16k_cents <> e.wsum16k_cents")
+            .count()
+        )
+        assert n_bad == 0
+        assert got.count() == exp.count()
+    finally:
+        spark.conf.set(key, prev)
