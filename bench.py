@@ -78,7 +78,7 @@ KERNEL_OPS = ["sum", "geomean", "bloom"]
 KERNEL_N = 2**22  # turns per measurement
 
 
-def kernel_throughput(scale: int = 1) -> dict:
+def kernel_throughput(scale: int = 1, samples: int = 3) -> dict:
     """Pure-kernel turns/sec (the executor-core inner loop the Spark job
     runs per partition): steady-state evict+insert+query per turn over the
     reference value stream, vectorized in micro-batches of 64k rows.
@@ -94,10 +94,10 @@ def kernel_throughput(scale: int = 1) -> dict:
     vals = (1 + (np.arange(KERNEL_N) % 101)).astype(float)
     out = {}
     sink = 0.0  # anti-DCE accumulator (benchmark_core.h:28-42)
-    # the reference records 5 samples per config (run_fifo.py); under
-    # this host's throttling variance we take the MEDIAN of 3 so one
-    # bad window slice can't masquerade as a kernel regression
-    samples = 3
+    # the reference records 5 samples per config (run_utility.py:80,98);
+    # the caller passes 5 when the membw probe says the window is healthy
+    # and 3 as the throttled fallback (median either way, so one bad
+    # window slice can't masquerade as a kernel regression)
     for op in KERNEL_OPS:
         n = KERNEL_N if op != "bloom" else KERNEL_N // 8
         data = vals[:n] if op != "bloom" else vals[:n].astype(int)
@@ -458,7 +458,9 @@ def main() -> None:
     # under host throttling (see _vm_membw) shrink the kernel grids so the
     # run still completes; rates are per-turn and stay comparable
     scale = 1 if membw >= 1000 else (8 if membw >= 100 else 64)
-    kt = kernel_throughput(scale)
+    # healthy window → the reference's 5 samples/config; throttled → 3
+    samples = 5 if membw >= 1000 else 3
+    kt = kernel_throughput(scale, samples)
     result = {
         "metric": "headline_suite_wall_seconds",
         "value": round(total, 3),
@@ -471,6 +473,7 @@ def main() -> None:
         "bulk_turns_per_sec": bulk_throughput(scale),
         "dynamic_turns_per_sec": dynamic_throughput(scale),
         "kernel_latency": kernel_latency(),
+        "kernel_grid_samples": samples,
         "cpus": cpus,
         "vm_membw_MBps": membw,
     }

@@ -55,6 +55,15 @@ def main() -> None:
                     help="run a tumbling aggregate of this window size "
                          "(e.g. '1 hour') instead of the per-turn sliding "
                          "aggregate; salting applies here")
+    ap.add_argument("--multi-monoids", default=None, metavar="M1,M2,...",
+                    help="run the window-shared multi-aggregate sliding "
+                         "stream (sliding_agg_stream_multi): every listed "
+                         "monoid over every --multi-durations window, ONE "
+                         "stateful operator — the streaming analogue of "
+                         "the batch scaling study's 5-monoid x 3-window "
+                         "protocol job")
+    ap.add_argument("--multi-durations",
+                    default="2 minutes,10 minutes,60 minutes")
     ap.add_argument("--available-now", action="store_true",
                     help="drain available input then stop (batch-mode run)")
     args = ap.parse_args()
@@ -64,6 +73,7 @@ def main() -> None:
     from sliding_window_aggregators_spark.sources.session import _ship_package
     from sliding_window_aggregators_spark.streaming import (
         sliding_agg_stream,
+        sliding_agg_stream_multi,
         tumbling_stream,
         tumbling_stream_salted,
         write_stream_exactly_once,
@@ -91,6 +101,19 @@ def main() -> None:
                 stream, size=args.tumbling, value_expr=args.value_expr,
                 watermark=args.watermark,
             )
+    elif args.multi_monoids:
+        agg = sliding_agg_stream_multi(
+            stream,
+            monoids=tuple(args.multi_monoids.split(",")),
+            durations=tuple(
+                d.strip() for d in args.multi_durations.split(",")
+            ),
+            # +1 keeps geomean's log-lift off zero-length turns; one shared
+            # value column for every monoid x window (window sharing)
+            value_expr="length(text) + 1",
+            watermark=args.watermark,
+            int_values=True,
+        )
     else:
         agg = sliding_agg_stream(
             stream,

@@ -408,8 +408,8 @@ def q_auto_sum_sql(spark, sf_dir):
     """The public dispatcher (:func:`sliding_rows_auto`) on a monoid with
     a native Window form: ``auto`` resolves sum to the SQL route — the
     plan contains a native Window frame and NO MapInPandas (pinned in
-    tests/test_plan_shapes.py). Same oracle as auto_sum_w100_kernel:
-    the pair proves route interchangeability under the driver's hash."""
+    tests/test_plan_shapes.py). Driver-verified via the merged
+    auto_sum_w100 slot, which equi-joins this route with the kernel one."""
     df = _events(spark, sf_dir)
     out = sliding_rows_auto(
         df, "user_id", ["ts", "event_id"], "cents", "sum", W,
@@ -421,7 +421,8 @@ def q_auto_sum_sql(spark, sf_dir):
 def q_auto_sum_kernel(spark, sf_dir):
     """The same dispatcher call with ``path="kernel"`` pinned: the plan
     contains MapInPandas and no Window frame (tests/test_plan_shapes.py),
-    yet hashes identically to auto_sum_w100_sql under the shared oracle."""
+    yet hashes identically to the SQL route inside the merged
+    auto_sum_w100 driver slot."""
     df = _events(spark, sf_dir)
     out = sliding_rows_auto(
         df, "user_id", ["ts", "event_id"], "cents", "sum", W,
@@ -775,8 +776,8 @@ def q_csv_time_range_sum(spark, sf_dir):
     event datasets): the events table read through the CSV source path
     (sources/io.read_table, explicit schema so Spark parses without an
     inference pass and prunes columns at the parser), then the SAME
-    TimeSegmentedKernel event-time window as time_range_sum_1h_kernel
-    under the SAME oracle — proving the engine's windows are
+    TimeSegmentedKernel event-time window as time_range_sum_1h's kernel
+    route under the SAME oracle — proving the engine's windows are
     container-independent."""
     from ..sources.io import read_table
 

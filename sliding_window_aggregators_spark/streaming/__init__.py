@@ -4,6 +4,7 @@ from .engine import (  # noqa: F401
     salted_repartition,
     session_stream,
     sliding_agg_stream,
+    sliding_agg_stream_multi,
     sliding_count_stream,
     tumbling_stream,
     tumbling_stream_salted,

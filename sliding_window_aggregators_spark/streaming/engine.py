@@ -139,12 +139,135 @@ def sliding_agg_stream(
         if outs:
             yield pd.concat(outs)
 
-    prepared = df.withColumn("__v", F.expr(value_expr)).withWatermark(ts_col, watermark)
+    # prune BEFORE the stateful shuffle: applyInPandasWithState hands the
+    # UDF whole rows, so Catalyst cannot column-prune through it — without
+    # this select the full payload (the text column dominates the
+    # transcripts stream) rides the hash exchange AND the Arrow bridge,
+    # turning a kernel-bound operator into a bandwidth-bound one (measured
+    # ~6x less stream bytes on the 16M-turn scaling job)
+    prepared = (
+        df.withColumn("__v", F.expr(value_expr))
+        .select(key, ts_col, *id_cols, "__v")
+        .withWatermark(ts_col, watermark)
+    )
     return (
         prepared.groupBy(key)
         .applyInPandasWithState(
             fn, out_schema, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
         )
+    )
+
+
+def sliding_agg_stream_multi(
+    df: DataFrame,
+    *,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    value_expr: str = "length(text)",
+    monoids: Sequence[str] = ("sum",),
+    durations: Sequence[str] = ("10 minutes",),
+    watermark: str = "1 minute",
+    int_values: bool = False,
+) -> DataFrame:
+    """WINDOW-SHARED multi-aggregate per-turn sliding stream — the
+    reference's shared-window mode (cpp/src/benchmark_core.h:472-562:
+    one maintained ordered state answers range queries for EVERY window
+    size) lifted into the streaming shell, crossed with multi-monoid
+    fusion: per key, ONE ordered timestamp spine per monoid serves ALL
+    durations via range queries, and all monoids share one stateful
+    operator (one shuffle, one state-store roundtrip, one Arrow bridge
+    per key per micro-batch).
+
+    Emits one row per turn with ``len(monoids) × len(durations)``
+    aggregate columns named ``w{monoid}_{i}`` (i = duration index).
+
+    Scale rationale: the per-key-per-batch framework cost
+    (state (de)serialization, Arrow group slicing, state-store commit)
+    is FIXED per key; a production job computing K aggregates as K
+    separate streams pays it K times and shuffles the stream K times.
+    Fused, arithmetic intensity per streamed byte rises ~K-fold, which
+    is also what keeps the operator compute-bound instead of
+    bandwidth-bound at high core counts (see BENCH/BASELINE.md round-4
+    streaming scaling study). Late-data admission and eviction use the
+    LONGEST duration, so every window's query range is always fully
+    retained."""
+    dur_us = [_interval_us(d) for d in durations]
+    max_dur = max(dur_us)
+    ms = [
+        get_monoid(name, np.int64 if int_values else np.float64)
+        for name in monoids
+    ]
+    out_cols = [
+        (f"w{name}_{i}", mi, i)
+        for mi, name in enumerate(monoids)
+        for i in range(len(dur_us))
+    ]
+    key_t = df.schema[key].dataType.simpleString()
+    out_schema = ", ".join(
+        [f"{key} {key_t}", f"{ts_col} timestamp"]
+        + [f"{c} {_OUT_SPARK_TYPE[monoids[mi]]}" for c, mi, _ in out_cols]
+    )
+
+    def fn(
+        key_tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        from ..operators.kernels import interval_fold
+
+        if state.exists:
+            blobs = pickle.loads(bytes(state.get[0]))
+            sts = [
+                OrderedAggState.loads(b, m) for b, m in zip(blobs, ms)
+            ]
+        else:
+            sts = [OrderedAggState(m) for m in ms]
+        outs = []
+        chunks = list(pdfs)
+        gathered = pd.concat(chunks) if len(chunks) > 1 else (
+            chunks[0] if chunks else None
+        )
+        for pdf in ([gathered] if gathered is not None else []):
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            ts = pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+            vals = pdf["__v"].to_numpy()
+            if int_values:
+                vals = vals.astype(np.int64)
+            youngest = sts[0].youngest()
+            if youngest is not None:
+                keep = ts >= (int(youngest) - max_dur)
+                pdf, ts, vals = pdf[keep], ts[keep], vals[keep]
+            if len(ts) == 0:
+                continue
+            cols = {key: key_tuple[0], ts_col: pdf[ts_col].to_numpy()}
+            for m, st in zip(ms, sts):
+                st.bulk_insert(ts, m.lift(vals))
+            hi = np.searchsorted(sts[0].ts, ts, side="right")
+            los = [
+                np.searchsorted(sts[0].ts, ts - d, side="left")
+                for d in dur_us
+            ]
+            for c, mi, di in out_cols:
+                m, st = ms[mi], sts[mi]
+                cols[c] = m.lower(interval_fold(m, st.partials, los[di], hi))
+            outs.append(pd.DataFrame(cols))
+            horizon = int(sts[0].youngest()) - 2 * max_dur - 1
+            for st in sts:
+                st.bulk_evict(horizon)
+        state.update(
+            (bytearray(pickle.dumps([st.dumps() for st in sts])),)
+        )
+        if outs:
+            yield pd.concat(outs)
+
+    # prune before the stateful shuffle (see sliding_agg_stream)
+    prepared = (
+        df.withColumn("__v", F.expr(value_expr))
+        .select(key, ts_col, "__v")
+        .withWatermark(ts_col, watermark)
+    )
+    return prepared.groupBy(key).applyInPandasWithState(
+        fn, out_schema, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
     )
 
 
@@ -209,7 +332,12 @@ def sliding_count_stream(
             (bytearray(pickle.dumps(kernel.state_dict(), protocol=pickle.HIGHEST_PROTOCOL)),)
         )
 
-    prepared = df.withColumn("__v", F.expr(value_expr)).withWatermark(ts_col, watermark)
+    # prune before the stateful shuffle (see sliding_agg_stream)
+    prepared = (
+        df.withColumn("__v", F.expr(value_expr))
+        .select(key, ts_col, order_col, "__v")
+        .withWatermark(ts_col, watermark)
+    )
     return prepared.groupBy(key).applyInPandasWithState(
         fn, out_schema, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
     )
@@ -291,7 +419,12 @@ def sliding_count_stream_tws(
         def close(self) -> None:
             pass
 
-    prepared = df.withColumn("__v", F.expr(value_expr)).withWatermark(ts_col, watermark)
+    # prune before the stateful shuffle (see sliding_agg_stream)
+    prepared = (
+        df.withColumn("__v", F.expr(value_expr))
+        .select(key, ts_col, order_col, "__v")
+        .withWatermark(ts_col, watermark)
+    )
     return prepared.groupBy(key).transformWithStateInPandas(
         statefulProcessor=SlidingCountProcessor(),
         outputStructType=out_schema,
@@ -356,7 +489,12 @@ def rising_pattern_stream(
             (bytearray(pickle.dumps({"v": 1, "tail": tail.tolist()})),)
         )
 
-    prepared = df.withColumn("__v", F.expr(value_expr)).withWatermark(ts_col, watermark)
+    # prune before the stateful shuffle (see sliding_agg_stream)
+    prepared = (
+        df.withColumn("__v", F.expr(value_expr))
+        .select(key, ts_col, order_col, "__v")
+        .withWatermark(ts_col, watermark)
+    )
     return prepared.groupBy(key).applyInPandasWithState(
         fn, out_schema, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
     )
@@ -425,6 +563,10 @@ def hll_distinct_stream(
             "__rho",
             F.expr("case when __r = 0 then 55 else bit_count((__r & -__r) - 1) + 1 end"),
         )
+        # prune before the stateful shuffle (see sliding_agg_stream): the
+        # kernel reads only (__b, __rho); dropping text/__h here keeps the
+        # raw payload out of the hash exchange and the Arrow bridge
+        .select(key, ts_col, "__b", "__rho")
         .withWatermark(ts_col, watermark)
     )
     out_schema = f"{key} string, {out_col} double"

@@ -653,3 +653,61 @@ def test_tumbling_stream_salted_matches_unsalted(spark, stream_dirs):
     assert len(merged) == len(b) and len(b) > 0
     assert (merged["n_turns_s"] == merged["n_turns_p"]).all()
     assert (merged["sum_val_s"] == merged["sum_val_p"]).all()
+
+
+def test_sliding_agg_stream_multi_matches_batch(spark, stream_dirs):
+    """Window-shared multi-aggregate stream (2 monoids x 2 durations in ONE
+    stateful operator): every output column must equal the per-conv batch
+    recompute of its (monoid, duration) pair, including across the
+    micro-batch boundary (ordered state carries per monoid)."""
+    from sliding_window_aggregators_spark.streaming import (
+        sliding_agg_stream_multi,
+    )
+
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(600, 20)
+    _write_chunk(spark, src, pdf.iloc[:300], "c0")
+    _write_chunk(spark, src, pdf.iloc[300:], "c1")
+
+    stream = sliding_agg_stream_multi(
+        _read_stream(spark, src),
+        monoids=("sum", "max"),
+        durations=("1 minutes", "3 minutes"),
+        value_expr="length(text)",
+        int_values=True,
+    )
+    q, sink = write_stream_exactly_once(stream, out, ckpt)
+    q.awaitTermination(120)
+
+    got = (
+        sink.read_committed(spark)
+        .select("conv_id", "ts", "wsum_0", "wsum_1", "wmax_0", "wmax_1")
+        .toPandas()
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    exp_rows = []
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values("ts")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        lens = g["text"].str.len().to_numpy()
+        for i in range(len(g)):
+            row = [conv, g["ts"].iloc[i]]
+            for dur in (60_000_000, 180_000_000):
+                mask = ts[: i + 1] >= ts[i] - dur
+                row.append(int(lens[: i + 1][mask].sum()))
+            for dur in (60_000_000, 180_000_000):
+                mask = ts[: i + 1] >= ts[i] - dur
+                row.append(int(lens[: i + 1][mask].max()))
+            exp_rows.append(tuple(row))
+    exp = (
+        pd.DataFrame(
+            exp_rows,
+            columns=["conv_id", "ts", "wsum_0", "wsum_1", "wmax_0", "wmax_1"],
+        )
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for c in ("wsum_0", "wsum_1", "wmax_0", "wmax_1"):
+        assert got[c].astype(int).tolist() == exp[c].tolist(), c
