@@ -503,10 +503,77 @@ def _sparse_table_fold(m: Monoid, p: Partial, starts, ends) -> Partial:
 
 def _tree_fold(m: Monoid, p: Partial, starts, ends) -> Partial:
     """Order-preserving segment-tree walk (general monoids; O(q log n)
-    Python — used for non-invertible non-idempotent ops in tests/oracles)."""
+    Python — the scalar fallback for monoids without 2-D scans (Collect)
+    and the reference oracle _disjoint_sparse_fold is tested against)."""
     tree = FlatTree(m, p)
     outs = [tree.range_fold(int(s), int(e)) for s, e in zip(starts, ends)]
     return p_concat(*outs) if outs else m.identity(0)
+
+
+def _disjoint_sparse_fold(m: Monoid, p: Partial, starts, ends) -> Partial:
+    """Disjoint-sparse-table interval fold — O(1) COMBINES PER QUERY for
+    ANY associative monoid (no idempotence, no inverse, order
+    preserved), fully vectorized.
+
+    Level k tiles the (identity-padded) array into blocks of 2^k; the
+    left half of each block stores order-preserving SUFFIX folds to the
+    block midpoint (raccumulate), the right half PREFIX folds from it
+    (accumulate). A query [l, r] (inclusive) whose endpoints first
+    diverge at bit k−1 lies in one level-k block with l left of the
+    midpoint and r at/right of it, so its answer is exactly
+    ``suffix_k[l] ⊕ prefix_k[r]`` — one combine. Queries are grouped by
+    level: ≤ log n vectorized combines TOTAL, versus the per-query
+    Python tree walk of :func:`_tree_fold` (the streaming multi-window
+    profile showed 520k scalar ``combine`` calls per 1k-row key for
+    MinCount — this path replaces them with ~10 array ops).
+
+    Levels are built lazily (only those some query needs): each build is
+    two block scans over the padded array, the same reshape-and-scan
+    pattern as :func:`sliding_partials`."""
+    n = p_len(p)
+    starts = np.minimum(np.maximum(starts, 0), n)
+    ends = np.minimum(np.maximum(ends, 0), n)
+    q = len(starts)
+    out = m.identity(q)
+    last = ends - 1  # inclusive right endpoint
+    nonempty = ends > starts
+    single = nonempty & (last == starts)
+    if single.any():
+        res = p_take(p, starts[np.flatnonzero(single)])
+        sel = single
+        for key in out:
+            out[key][sel] = res[key]
+    multi = nonempty & ~single
+    if not multi.any():
+        return out
+    L = max(1, int(n - 1).bit_length())
+    N = 1 << L
+    padded = p_concat(p, m.identity(N - n)) if N > n else p
+    xor = starts[multi] ^ last[multi]
+    # bit_length via frexp (exact for values < 2^53; N is far below)
+    ks = np.frexp(xor.astype(np.float64))[1].astype(np.int64)  # k >= 1
+    midx = np.flatnonzero(multi)
+    for k in np.unique(ks):
+        B = 1 << int(k)
+        half = B >> 1
+        blocked = {
+            key: v.reshape((N // B, B) + v.shape[1:])
+            for key, v in padded.items()
+        }
+        S = m.raccumulate({key: v[:, :half] for key, v in blocked.items()}, axis=1)
+        F = m.accumulate({key: v[:, half:] for key, v in blocked.items()}, axis=1)
+        arr = {
+            key: np.concatenate([S[key], F[key]], axis=1).reshape(
+                (N,) + padded[key].shape[1:]
+            )
+            for key in padded
+        }
+        sel = ks == k
+        idx = midx[sel]
+        res = m.combine(p_take(arr, starts[idx]), p_take(arr, last[idx]))
+        for key in out:
+            out[key][idx] = res[key]
+    return out
 
 
 class FlatTree:
@@ -568,6 +635,8 @@ def interval_fold(m: Monoid, p: Partial, starts: np.ndarray, ends: np.ndarray) -
         return _prefix_diff_fold(m, p, starts, ends)
     if m.idempotent:
         return _sparse_table_fold(m, p, starts, ends)
+    if getattr(m, "scan2d", True):
+        return _disjoint_sparse_fold(m, p, starts, ends)
     return _tree_fold(m, p, starts, ends)
 
 
