@@ -357,10 +357,27 @@ class OrderedAggState:
 
     def range_queries(self, t0s: np.ndarray, t1s: np.ndarray) -> Partial:
         """Batched inclusive range folds (window sharing: one state, many
-        windows — SURVEY.md §4)."""
-        los = np.searchsorted(self.ts, t0s, side="left") + self._lo
-        his = np.searchsorted(self.ts, t1s, side="right") + self._lo
-        outs = [self._range_fold(int(lo), int(hi)) for lo, hi in zip(los, his)]
+        windows — SURVEY.md §4).
+
+        Large batches (the per-turn query pattern: q ≈ n) go through
+        :func:`~.kernels.interval_fold` over the live leaf window —
+        prefix-diff / sparse-table / disjoint-sparse-table by monoid
+        trait, O(log n) vectorized combines total instead of a scalar
+        O(log n) tree walk PER QUERY. Small batches keep the walk: the
+        incrementally-maintained internal levels answer them with zero
+        build cost."""
+        los = np.searchsorted(self.ts, t0s, side="left")
+        his = np.searchsorted(self.ts, t1s, side="right")
+        if len(los) >= 64 and getattr(self.m, "scan2d", True):
+            from .kernels import interval_fold
+
+            # leaves are always current (repairs only touch internal
+            # levels), so no _flush_repairs here
+            return interval_fold(self.m, self.partials, los, his)
+        outs = [
+            self._range_fold(int(lo) + self._lo, int(hi) + self._lo)
+            for lo, hi in zip(los, his)
+        ]
         return p_concat(*outs) if outs else self.m.identity(0)
 
     # ------------------------------------------------------------------
