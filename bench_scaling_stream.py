@@ -89,10 +89,14 @@ def run_level(
     ]
     if multi:
         # the protocol job shape (batch study parity): 5 monoids x 3
-        # windows per turn through ONE window-shared stateful operator
+        # windows per turn through ONE window-shared stateful operator,
+        # results folded by the combine sink (the reference's
+        # silly_combine discipline — benchmarks fold query results, they
+        # don't materialize a 16M x 17-column result table)
         cmd += [
             "--multi-monoids", "sum,geomean,mincount,relvar,max",
             "--multi-durations", "2 minutes,10 minutes,60 minutes",
+            "--combine-sink",
         ]
     t0 = time.perf_counter()
     r = subprocess.run(cmd, capture_output=True, text=True, cwd=HERE, timeout=3000)
@@ -108,8 +112,14 @@ def run_level(
     drain = float(m.group(1)) if m else wall
     import pyarrow.dataset as ds
 
-    rows = ds.dataset(os.path.join(work, "out"), format="parquet",
-                      partitioning="hive").count_rows()
+    data = ds.dataset(os.path.join(work, "out"), format="parquet",
+                      partitioning="hive")
+    if multi and "rows" in data.schema.names:
+        # combine sink: one folded row per batch carrying the per-batch
+        # turn count — sum the column so `rows` still reports turns
+        rows = sum(data.to_table(columns=["rows"])["rows"].to_pylist())
+    else:
+        rows = data.count_rows()
     shutil.rmtree(work)
     out = {
         "cpus": cpus,

@@ -66,6 +66,14 @@ def main() -> None:
                     default="2 minutes,10 minutes,60 minutes")
     ap.add_argument("--available-now", action="store_true",
                     help="drain available input then stop (batch-mode run)")
+    ap.add_argument("--combine-sink", action="store_true",
+                    help="fold each micro-batch's per-turn results to one "
+                         "row (count + per-column sums) before the "
+                         "exactly-once commit — the reference benchmark's "
+                         "sink discipline (silly_combine accumulates every "
+                         "query() result, cpp/src/benchmark_core.h:28-42) "
+                         "for scaling studies; production rollups keep the "
+                         "full per-turn write")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -126,9 +134,39 @@ def main() -> None:
     import time
 
     t0 = time.perf_counter()
-    q, sink = write_stream_exactly_once(
-        agg, args.out, args.checkpoint, available_now=args.available_now
-    )
+    if args.combine_sink:
+        from pyspark.sql import functions as F
+
+        from sliding_window_aggregators_spark.streaming import (
+            ExactlyOnceParquetSink,
+        )
+
+        sink = ExactlyOnceParquetSink(args.out)
+
+        def fold_and_commit(df, batch_id):
+            num = [
+                f.name
+                for f in df.schema.fields
+                if f.dataType.typeName() in ("long", "double", "integer")
+            ]
+            folded = df.agg(
+                F.count(F.lit(1)).alias("rows"),
+                *[F.sum(c).alias(f"sum_{c}") for c in num],
+            )
+            sink(folded, batch_id)
+
+        writer = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(fold_and_commit)
+            .option("checkpointLocation", args.checkpoint)
+        )
+        if args.available_now:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
+    else:
+        q, sink = write_stream_exactly_once(
+            agg, args.out, args.checkpoint, available_now=args.available_now
+        )
     q.awaitTermination()
     # drain wall time EXCLUDING session/JVM boot (measured from query
     # construction) — what bench_scaling_stream.py parses for the N vs 4N
