@@ -41,6 +41,12 @@ def main() -> None:
     ap.add_argument("--multi", action="store_true")
     ap.add_argument("--interval", type=int, default=300)
     ap.add_argument("--min-bw1", type=float, default=2000.0)
+    ap.add_argument("--min-bw8", type=float, default=0.0,
+                    help="aggregate 8-proc floor — with --min-bw1 0 this "
+                         "gates on per-STREAM-capped windows (low bw1, "
+                         "high 8v2 ratio), where aggregate bandwidth DOES "
+                         "scale with procs, the closest single-box "
+                         "emulation of per-executor bandwidth")
     ap.add_argument("--min-ratio", type=float, default=2.0)
     ap.add_argument("--target", type=float, default=0.8)
     ap.add_argument("--max-runs", type=int, default=6)
@@ -52,6 +58,7 @@ def main() -> None:
         p = probe()
         healthy = (
             p["membw_1proc_MBps"] >= args.min_bw1
+            and p["membw_8proc_MBps"] >= args.min_bw8
             and (p.get("bw_ratio_8v2") or 0) >= args.min_ratio
         )
         print(f"probe {p} healthy={healthy}", flush=True)
