@@ -740,7 +740,11 @@ class HistogramQuantile(Monoid):
     SubtractOnEvict's O(1)-amortized fast path applies to a 64-lane
     partial exactly as it does to a scalar sum.
 
-    Partial = (…, 64) int64 bucket counts; bucket = min(max(v,0) >> 10,
+    Partial = (…, 64) int32 bucket counts (each counter is bounded by
+    the rows it summarizes and every kernel accumulation scope is far
+    below 2^31 — same width argument as CountMinSketch; the 64-lane
+    vector partial is bandwidth-bound, so half the width is ~2x kernel
+    throughput); bucket = min(max(v,0) >> 10,
     63); lower = the lower bound (bucket << 10) of the smallest bucket
     whose running count reaches ceil(pct·n/100) — all-integer arithmetic,
     bit-identical to the SQL spec by construction."""
@@ -751,12 +755,12 @@ class HistogramQuantile(Monoid):
     def lift(self, values):
         v = np.asarray(values).astype(np.int64)
         b = np.minimum(np.maximum(v, 0) >> HISTQ_SHIFT, HISTQ_B - 1)
-        counts = np.zeros((len(v), HISTQ_B), dtype=np.int64)
+        counts = np.zeros((len(v), HISTQ_B), dtype=np.int32)
         counts[np.arange(len(v)), b] = 1
         return {"counts": counts}
 
     def identity(self, n=1):
-        return {"counts": np.zeros((n, HISTQ_B), dtype=np.int64)}
+        return {"counts": np.zeros((n, HISTQ_B), dtype=np.int32)}
 
     def combine(self, a, b):
         return {"counts": a["counts"] + b["counts"]}
@@ -774,7 +778,7 @@ class HistogramQuantile(Monoid):
         return (idx << HISTQ_SHIFT).astype(np.int64)
 
     def accumulate(self, p, axis=0):
-        return {"counts": np.cumsum(p["counts"], axis=axis)}
+        return {"counts": np.cumsum(p["counts"], axis=axis, dtype=np.int32)}
 
 
 # Count-Min Sketch geometry: D hash rows × W counters, flattened to a
