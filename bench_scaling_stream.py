@@ -71,7 +71,13 @@ def run_level(
         SPARK_SUBMIT,
         "--master", f"local[{cpus}]",
         "--py-files", zip_path,
-        "--conf", f"spark.sql.shuffle.partitions={max(8, cpus)}",
+        # 32 state partitions at EVERY level (not max(8, cpus)): with one
+        # availableNow batch, a level running exactly one task wave lets
+        # its slowest (Zipf-hot) partition set the wall clock, while a
+        # lower level packs multiple waves tightly — unequal granularity
+        # that under-reports the high level. Fixed fine granularity gives
+        # both levels the same packing (4 waves of 8 vs 16 waves of 2)
+        "--conf", "spark.sql.shuffle.partitions=32",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
         "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=1048576",
