@@ -441,15 +441,26 @@ def main() -> None:
         dt = time.perf_counter() - t0
         times[name] = round(dt, 3)
         total += dt
-        note = (
-            "  [whole-key applyInPandas BY DESIGN: adversarial-arrival demo; "
-            "production OOO path is ooo_stream_sum_1h]"
-            if name == "ooo_range_sum_1h"
-            else "  [8 checkpointed micro-batches: includes stream setup + "
-            "8x trigger overhead, not just compute]"
-            if name == "ooo_stream_sum_1h"
-            else ""
-        )
+        if name == "ooo_stream_sum_1h":
+            from sliding_window_aggregators_spark.plans import events_queries
+
+            drain = events_queries.LAST_OOO_STREAM_DRAIN_SEC
+            times["ooo_stream_sum_1h_drain_only"] = (
+                round(drain, 3) if drain is not None else None
+            )
+            note = (
+                f"  [8 checkpointed micro-batches; stream drain only: "
+                f"{drain:.3f}s — rest is cached-layout check + readback]"
+                if drain is not None
+                else "  [8 checkpointed micro-batches]"
+            )
+        elif name == "ooo_range_sum_1h":
+            note = (
+                "  [whole-key applyInPandas BY DESIGN: adversarial-arrival "
+                "demo; production OOO path is ooo_stream_sum_1h]"
+            )
+        else:
+            note = ""
         print(f"# {name}: {dt:.3f}s ({n} rows){note}", file=sys.stderr)
         # drop per-query persisted blocks so later timings aren't skewed
         # by earlier queries' cache occupancy

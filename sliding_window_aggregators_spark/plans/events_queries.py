@@ -843,6 +843,9 @@ def q_ooo_range_sum(spark, sf_dir):
 
 ORACLE_OOO_RANGE_SUM = ORACLE_TIME_RANGE_SUM.replace("hsum_cents", "osum_cents")
 
+# drain-only seconds of the most recent q_ooo_stream_sum run (None until run)
+LAST_OOO_STREAM_DRAIN_SEC = None
+
 
 def q_ooo_stream_sum(spark, sf_dir):
     """PRODUCTION-SHAPED out-of-order ingestion: the same 1-hour RANGE
@@ -866,7 +869,8 @@ def q_ooo_stream_sum(spark, sf_dir):
     materializes a full key's history in one Arrow batch — state is
     bounded by 2×duration per key and batches stream through — so this
     row is the one that evidences OOO at scale."""
-    import tempfile
+    import shutil
+    import time
 
     from ..streaming.engine import sliding_agg_stream
     from ..streaming.sink import write_stream_exactly_once
@@ -874,26 +878,37 @@ def q_ooo_stream_sum(spark, sf_dir):
     df = _events(spark, sf_dir).select(
         "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"), "cents"
     )
-    lo, hi = df.agg(
-        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
-    ).first()
-    width = max((int(hi) - int(lo)) // 8 + 1, 1)
 
-    base = tempfile.mkdtemp(prefix="swag_ooo_stream_")
-    src = os.path.join(base, "src")
-    bucketed = df.withColumn(
-        "b", ((F.unix_micros("ts") - F.lit(int(lo))) / F.lit(width)).cast("int")
-    )
-    # sequential writes: file mtimes increase with the bucket index, so the
-    # file source's oldest-first ordering replays chunks in event-time order
-    for b in range(8):
-        (
-            bucketed.where(F.col("b") == b).drop("b")
-            .orderBy(F.hash("event_id"), "event_id")  # scrambled arrival
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(src, f"chunk_{b:02d}"))
+    def build(tmp: str) -> None:
+        lo, hi = df.agg(
+            F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+        ).first()
+        width = max((int(hi) - int(lo)) // 8 + 1, 1)
+        bucketed = df.withColumn(
+            "b", ((F.unix_micros("ts") - F.lit(int(lo))) / F.lit(width)).cast("int")
         )
+        # sequential writes: file mtimes increase with the bucket index, so
+        # the file source's oldest-first ordering replays chunks in
+        # event-time order (mtimes survive the cache's atomic rename)
+        for b in range(8):
+            (
+                bucketed.where(F.col("b") == b).drop("b")
+                .orderBy(F.hash("event_id"), "event_id")  # scrambled arrival
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(tmp, f"chunk_{b:02d}"))
+            )
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    # scrambled-chunk layout is deterministic given the source table, so it
+    # lives in the fingerprint-keyed cache like every other derived layout —
+    # repeated invocations (bench loops) skip the 8 coalesce(1) write jobs
+    src = _cached_events_layout(sf_dir, "ooostream", build)
+    # out/ckpt are per-run (the stream must actually re-execute each call)
+    # but bounded to ONE reusable path instead of a leaked mkdtemp per call
+    base = f"/tmp/swag_ooostream_run_{_events_fingerprint(sf_dir)}"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
 
     stream_df = (
         spark.readStream.schema("user_id long, event_id long, ts timestamp, cents long")
@@ -916,7 +931,12 @@ def q_ooo_stream_sum(spark, sf_dir):
     q, sink = write_stream_exactly_once(
         stream, os.path.join(base, "out"), os.path.join(base, "ckpt")
     )
+    t0 = time.perf_counter()
     q.awaitTermination()
+    # drain-only wall time (micro-batch execution, excluding source-layout
+    # prep and result readback) — bench.py reports it beside the row total
+    global LAST_OOO_STREAM_DRAIN_SEC
+    LAST_OOO_STREAM_DRAIN_SEC = time.perf_counter() - t0
     return sink.read_committed(spark).select(
         "user_id", "event_id", F.col("osum_cents").cast("long").alias("osum_cents")
     )
