@@ -26,6 +26,7 @@ aggregates get real salting via :func:`tumbling_stream_salted`
 from __future__ import annotations
 
 import pickle
+import warnings
 from typing import Iterator, Sequence
 
 import numpy as np
@@ -40,6 +41,42 @@ from ..operators.ordered import OrderedAggState
 
 STATE_SCHEMA = "blob binary"
 
+# Floor on the number of state partitions for the stateful streaming
+# operators. The round-4 scaling study (BENCH/BASELINE.md) measured that
+# shuffle.partitions below ~4x the task-slot count makes each micro-batch
+# a single task wave whose wall time is set by the Zipf-hot state
+# partition; raising 8 -> 32 partitions recovered +19% scaling efficiency
+# at every parallelism level. Spark freezes the STATE partition count into
+# the checkpoint at first query start (it cannot be changed on resume), so
+# the floor must be applied before the stream starts.
+STATE_PARTITION_FLOOR = 32
+
+
+def _apply_state_partition_floor(df: DataFrame, floor) -> None:
+    """Raise ``spark.sql.shuffle.partitions`` to ``floor`` if it is lower.
+
+    Stateful pandas operators take their state-partition count from the
+    session's ``spark.sql.shuffle.partitions`` at query start; a caller
+    who tuned it down for small batch jobs would silently freeze an
+    under-packed state layout into every checkpoint. Pass
+    ``min_state_partitions=None`` to opt out (e.g. when the session conf
+    is already the deliberate production setting)."""
+    if floor is None:
+        return
+    spark = df.sparkSession
+    try:
+        cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" under some AQE setups
+        return
+    if cur < floor:
+        warnings.warn(
+            f"raising spark.sql.shuffle.partitions {cur} -> {floor} for the "
+            f"stateful streaming operator (state-partition packing floor; "
+            f"pass min_state_partitions=None to keep {cur})",
+            stacklevel=3,
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", str(floor))
+
 
 def sliding_agg_stream(
     df: DataFrame,
@@ -53,6 +90,7 @@ def sliding_agg_stream(
     out_col: str = "wagg",
     id_cols: Sequence[str] = (),
     int_values: bool = False,
+    min_state_partitions: int | None = STATE_PARTITION_FLOOR,
 ) -> DataFrame:
     """Per-turn sliding event-time aggregate over a streaming DataFrame.
 
@@ -139,6 +177,7 @@ def sliding_agg_stream(
         if outs:
             yield pd.concat(outs)
 
+    _apply_state_partition_floor(df, min_state_partitions)
     # prune BEFORE the stateful shuffle: applyInPandasWithState hands the
     # UDF whole rows, so Catalyst cannot column-prune through it — without
     # this select the full payload (the text column dominates the
@@ -168,6 +207,7 @@ def sliding_agg_stream_multi(
     durations: Sequence[str] = ("10 minutes",),
     watermark: str = "1 minute",
     int_values: bool = False,
+    min_state_partitions: int | None = STATE_PARTITION_FLOOR,
 ) -> DataFrame:
     """WINDOW-SHARED multi-aggregate per-turn sliding stream — the
     reference's shared-window mode (cpp/src/benchmark_core.h:472-562:
@@ -260,6 +300,7 @@ def sliding_agg_stream_multi(
         if outs:
             yield pd.concat(outs)
 
+    _apply_state_partition_floor(df, min_state_partitions)
     # prune before the stateful shuffle (see sliding_agg_stream)
     prepared = (
         df.withColumn("__v", F.expr(value_expr))
@@ -282,6 +323,7 @@ def sliding_count_stream(
     w: int = 100,
     watermark: str = "1 minute",
     out_col: str = "wagg",
+    min_state_partitions: int | None = STATE_PARTITION_FLOOR,
 ) -> DataFrame:
     """COUNT-based sliding window over a stream — the reference's FIFO
     window (evict-oldest when size == w, cpp/src/benchmark_core.h:111-117),
@@ -332,6 +374,7 @@ def sliding_count_stream(
             (bytearray(pickle.dumps(kernel.state_dict(), protocol=pickle.HIGHEST_PROTOCOL)),)
         )
 
+    _apply_state_partition_floor(df, min_state_partitions)
     # prune before the stateful shuffle (see sliding_agg_stream)
     prepared = (
         df.withColumn("__v", F.expr(value_expr))
@@ -354,6 +397,7 @@ def sliding_count_stream_tws(
     w: int = 100,
     watermark: str = "1 minute",
     out_col: str = "wagg",
+    min_state_partitions: int | None = STATE_PARTITION_FLOOR,
 ) -> DataFrame:
     """``sliding_count_stream`` on Spark 4's ``transformWithStateInPandas``
     — the modern arbitrary-state API (RocksDB-backed state store, typed
@@ -419,6 +463,7 @@ def sliding_count_stream_tws(
         def close(self) -> None:
             pass
 
+    _apply_state_partition_floor(df, min_state_partitions)
     # prune before the stateful shuffle (see sliding_agg_stream)
     prepared = (
         df.withColumn("__v", F.expr(value_expr))
@@ -442,6 +487,7 @@ def rising_pattern_stream(
     value_expr: str = "length(text)",
     runs: int = 3,
     watermark: str = "1 minute",
+    min_state_partitions: int | None = STATE_PARTITION_FLOOR,
 ) -> DataFrame:
     """Streaming CEP: emit every row completing ``runs`` strictly-rising
     consecutive values within its key's stream (the classic three-rising-
@@ -489,6 +535,7 @@ def rising_pattern_stream(
             (bytearray(pickle.dumps({"v": 1, "tail": tail.tolist()})),)
         )
 
+    _apply_state_partition_floor(df, min_state_partitions)
     # prune before the stateful shuffle (see sliding_agg_stream)
     prepared = (
         df.withColumn("__v", F.expr(value_expr))
@@ -533,6 +580,7 @@ def hll_distinct_stream(
     ts_col: str = "ts",
     watermark: str = "1 minute",
     out_col: str = "hll_est",
+    min_state_partitions: int | None = STATE_PARTITION_FLOOR,
 ) -> DataFrame:
     """Streaming distinct-count sketch per key: the deterministic
     HyperLogLog of plans/pipeline_queries.py (same hash, same 64
@@ -547,6 +595,7 @@ def hll_distinct_stream(
     computed JVM-side BEFORE the stateful operator; the Python kernel
     only scatter-maxes 64 int8 registers per key per batch (no per-row
     Python, state is 64 bytes per key regardless of stream length)."""
+    _apply_state_partition_floor(df, min_state_partitions)
     # spec constants + the one hash definition live with the batch twin
     from ..plans.pipeline_queries import _HLL_C, _HLL_M, _HLL_P, spark_md5_60
 

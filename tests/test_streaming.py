@@ -711,3 +711,40 @@ def test_sliding_agg_stream_multi_matches_batch(spark, stream_dirs):
     assert len(got) == len(exp)
     for c in ("wsum_0", "wsum_1", "wmax_0", "wmax_1"):
         assert got[c].astype(int).tolist() == exp[c].tolist(), c
+
+
+def test_state_partition_floor_applied_before_stream_start(spark, stream_dirs):
+    """The round-4 scaling study showed shuffle.partitions below the floor
+    (8 state partitions) makes one task wave per micro-batch with the
+    Zipf-hot partition setting the wall; the engine must raise the session
+    to STATE_PARTITION_FLOOR at stream construction (the state partition
+    count is frozen into the checkpoint at first query start), and the
+    opt-out must leave the caller's setting untouched."""
+    from sliding_window_aggregators_spark.streaming.engine import (
+        STATE_PARTITION_FLOOR,
+        sliding_agg_stream,
+    )
+
+    src, _, _ = stream_dirs
+    pdf = transcripts_pandas(40, 4)
+    _write_chunk(spark, src, pdf, "c0")
+    conf = spark.conf
+    orig = conf.get("spark.sql.shuffle.partitions")
+    try:
+        conf.set("spark.sql.shuffle.partitions", "8")
+        with pytest.warns(UserWarning, match="state-partition packing floor"):
+            sliding_agg_stream(_read_stream(spark, src))
+        assert int(conf.get("spark.sql.shuffle.partitions")) == (
+            STATE_PARTITION_FLOOR
+        )
+
+        conf.set("spark.sql.shuffle.partitions", "8")
+        sliding_agg_stream(_read_stream(spark, src), min_state_partitions=None)
+        assert int(conf.get("spark.sql.shuffle.partitions")) == 8
+
+        # a deliberate setting ABOVE the floor is never lowered
+        conf.set("spark.sql.shuffle.partitions", "200")
+        sliding_agg_stream(_read_stream(spark, src))
+        assert int(conf.get("spark.sql.shuffle.partitions")) == 200
+    finally:
+        conf.set("spark.sql.shuffle.partitions", orig)
