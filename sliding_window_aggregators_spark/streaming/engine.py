@@ -208,6 +208,7 @@ def sliding_agg_stream_multi(
     watermark: str = "1 minute",
     int_values: bool = False,
     min_state_partitions: int | None = STATE_PARTITION_FLOOR,
+    value_exprs: Sequence[str] | None = None,
 ) -> DataFrame:
     """WINDOW-SHARED multi-aggregate per-turn sliding stream — the
     reference's shared-window mode (cpp/src/benchmark_core.h:472-562:
@@ -230,15 +231,45 @@ def sliding_agg_stream_multi(
     bandwidth-bound at high core counts (see BENCH/BASELINE.md round-4
     streaming scaling study). Late-data admission and eviction use the
     LONGEST duration, so every window's query range is always fully
-    retained."""
+    retained.
+
+    ``value_exprs`` (one SQL expression per monoid) lifts a DIFFERENT
+    input per aggregate — e.g. ``sum(length(text))`` + ``max(turn_idx)``
+    + ``mincount(length(tool))`` fused in the one stateful operator, the
+    shape of the reference's twin/shared benchmark modes
+    (cpp/src/benchmark_core.h:472-562) where each aggregator has its own
+    lifted input. Identical expressions are deduplicated to one shuffled
+    column; when omitted, every monoid shares ``value_expr``. With
+    duplicate monoid names the output columns are disambiguated as
+    ``w{mi}_{name}_{i}``."""
     dur_us = [_interval_us(d) for d in durations]
     max_dur = max(dur_us)
     ms = [
         get_monoid(name, np.int64 if int_values else np.float64)
         for name in monoids
     ]
+    if value_exprs is None:
+        value_exprs = [value_expr] * len(monoids)
+    if len(value_exprs) != len(monoids):
+        raise ValueError(
+            f"value_exprs has {len(value_exprs)} entries for "
+            f"{len(monoids)} monoids"
+        )
+    # dedupe identical expressions: one shuffled/state column per distinct
+    # lift, monoid mi reads column __v{expr_slot[mi]}
+    slot_of_expr: dict[str, int] = {}
+    expr_slot = []
+    for e in value_exprs:
+        if e not in slot_of_expr:
+            slot_of_expr[e] = len(slot_of_expr)
+        expr_slot.append(slot_of_expr[e])
+    names_unique = len(set(monoids)) == len(monoids)
     out_cols = [
-        (f"w{name}_{i}", mi, i)
+        (
+            f"w{name}_{i}" if names_unique else f"w{mi}_{name}_{i}",
+            mi,
+            i,
+        )
         for mi, name in enumerate(monoids)
         for i in range(len(dur_us))
     ]
@@ -270,18 +301,19 @@ def sliding_agg_stream_multi(
         for pdf in ([gathered] if gathered is not None else []):
             pdf = pdf.sort_values(ts_col, kind="mergesort")
             ts = pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
-            vals = pdf["__v"].to_numpy()
-            if int_values:
-                vals = vals.astype(np.int64)
             youngest = sts[0].youngest()
             if youngest is not None:
                 keep = ts >= (int(youngest) - max_dur)
-                pdf, ts, vals = pdf[keep], ts[keep], vals[keep]
+                pdf, ts = pdf[keep], ts[keep]
             if len(ts) == 0:
                 continue
+            slot_vals = []
+            for s in range(len(slot_of_expr)):
+                v = pdf[f"__v{s}"].to_numpy()
+                slot_vals.append(v.astype(np.int64) if int_values else v)
             cols = {key: key_tuple[0], ts_col: pdf[ts_col].to_numpy()}
-            for m, st in zip(ms, sts):
-                st.bulk_insert(ts, m.lift(vals))
+            for mi, (m, st) in enumerate(zip(ms, sts)):
+                st.bulk_insert(ts, m.lift(slot_vals[expr_slot[mi]]))
             hi = np.searchsorted(sts[0].ts, ts, side="right")
             los = [
                 np.searchsorted(sts[0].ts, ts - d, side="left")
@@ -301,12 +333,14 @@ def sliding_agg_stream_multi(
             yield pd.concat(outs)
 
     _apply_state_partition_floor(df, min_state_partitions)
-    # prune before the stateful shuffle (see sliding_agg_stream)
-    prepared = (
-        df.withColumn("__v", F.expr(value_expr))
-        .select(key, ts_col, "__v")
-        .withWatermark(ts_col, watermark)
-    )
+    # prune before the stateful shuffle (see sliding_agg_stream): one
+    # column per DISTINCT lift expression rides the exchange
+    prepared = df
+    for expr, s in slot_of_expr.items():
+        prepared = prepared.withColumn(f"__v{s}", F.expr(expr))
+    prepared = prepared.select(
+        key, ts_col, *[f"__v{s}" for s in range(len(slot_of_expr))]
+    ).withWatermark(ts_col, watermark)
     return prepared.groupBy(key).applyInPandasWithState(
         fn, out_schema, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
     )

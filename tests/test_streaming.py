@@ -748,3 +748,74 @@ def test_state_partition_floor_applied_before_stream_start(spark, stream_dirs):
         assert int(conf.get("spark.sql.shuffle.partitions")) == 200
     finally:
         conf.set("spark.sql.shuffle.partitions", orig)
+
+
+def test_sliding_agg_stream_multi_heterogeneous_exprs(spark, stream_dirs):
+    """Per-monoid lifted inputs in the ONE fused stateful operator — the
+    reference's twin/shared modes give each aggregator its own lifted
+    input (cpp/src/benchmark_core.h:472-562): sum(length(text)) +
+    max(turn_idx) + sum(turn_idx) fused, with the duplicate expression
+    deduplicated to one shuffled column and duplicate monoid names
+    disambiguated as w{mi}_{name}_{i}. The plan must still carry exactly
+    one Exchange and only the two distinct __v columns."""
+    from sliding_window_aggregators_spark.streaming import (
+        sliding_agg_stream_multi,
+    )
+
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(600, 20)
+    _write_chunk(spark, src, pdf.iloc[:300], "c0")
+    _write_chunk(spark, src, pdf.iloc[300:], "c1")
+
+    stream = sliding_agg_stream_multi(
+        _read_stream(spark, src),
+        monoids=("sum", "max", "sum"),
+        durations=("3 minutes",),
+        value_exprs=("length(text)", "turn_idx", "turn_idx"),
+        int_values=True,
+    )
+    plan = stream._jdf.queryExecution().analyzed().toString()
+    assert "__v0" in plan and "__v1" in plan and "__v2" not in plan
+
+    q, sink = write_stream_exactly_once(stream, out, ckpt)
+    q.awaitTermination(120)
+    phys = q._jsq.explainInternal(False)
+    # the fused operator pays ONE shuffle for all 3 aggregates, and the
+    # state-partition floor is live in the executed micro-batch plan
+    assert phys.count("Exchange") == 1, phys
+    assert "numPartitions = 32" in phys, phys
+
+    cols = ["w0_sum_0", "w1_max_0", "w2_sum_0"]
+    got = (
+        sink.read_committed(spark)
+        .select("conv_id", "ts", *cols)
+        .toPandas()
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    exp_rows = []
+    dur = 180_000_000
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values("ts")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        lens = g["text"].str.len().to_numpy()
+        tix = g["turn_idx"].to_numpy()
+        for i in range(len(g)):
+            mask = ts[: i + 1] >= ts[i] - dur
+            exp_rows.append(
+                (
+                    conv,
+                    g["ts"].iloc[i],
+                    int(lens[: i + 1][mask].sum()),
+                    int(tix[: i + 1][mask].max()),
+                    int(tix[: i + 1][mask].sum()),
+                )
+            )
+    exp = (
+        pd.DataFrame(exp_rows, columns=["conv_id", "ts"] + cols)
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for c in cols:
+        assert got[c].astype(int).tolist() == exp[c].tolist(), c
