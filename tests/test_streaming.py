@@ -819,3 +819,141 @@ def test_sliding_agg_stream_multi_heterogeneous_exprs(spark, stream_dirs):
     assert len(got) == len(exp)
     for c in cols:
         assert got[c].astype(int).tolist() == exp[c].tolist(), c
+
+
+def test_session_stream_ooo_merge_across_microbatches(spark, stream_dirs):
+    """SURVEY M4's named hard part: a late (in-watermark) row arriving in a
+    LATER micro-batch must merge previously-separate sessions. Chunk c0
+    carries turns at minutes 0 and 8 (gap 5m -> two open sessions); chunk
+    c1 delivers minute 4 late, bridging them into ONE session; a flush
+    chunk advances the watermark so append mode finalizes everything. A
+    second conv with a 20-minute gap pins that non-bridged sessions stay
+    split. Output must equal the batch session_window recompute."""
+    src, _, ckpt = stream_dirs
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    def rows(conv, minutes):
+        return pd.DataFrame(
+            {
+                "conv_id": conv,
+                "turn_idx": range(len(minutes)),
+                "role": "user",
+                "text": "x",
+                "tool": "",
+                "ts": [base + pd.Timedelta(minutes=m) for m in minutes],
+            }
+        )
+
+    c0 = pd.concat([rows("c1", [0, 8]), rows("c2", [0, 20])])
+    c1 = rows("c1", [4])  # late but inside the 10m watermark
+    flush = rows("__flush", [600])
+    _write_chunk(spark, src, c0, "c0")
+    _write_chunk(spark, src, c1, "c1")
+    _write_chunk(spark, src, flush, "c2f")
+
+    stream = session_stream(
+        spark.readStream.schema(SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*")),
+        gap="5 minutes",
+        watermark="10 minutes",
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_ooo")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.sql(
+            "select * from sess_ooo where conv_id != '__flush' "
+            "order by conv_id, session_start"
+        )
+        .toPandas()
+    )
+    batch = spark.createDataFrame(pd.concat([c0, c1]))
+    exp = (
+        session_stream(batch, gap="5 minutes", watermark="10 minutes")
+        .orderBy("conv_id", "session_start")
+        .toPandas()
+    )
+    assert got.values.tolist() == exp.values.tolist(), (got, exp)
+    # the bridge actually happened: c1 is ONE 3-turn session
+    c1_rows = got[got["conv_id"] == "c1"]
+    assert len(c1_rows) == 1 and int(c1_rows["n_turns"].iloc[0]) == 3
+    # and the non-bridged conv stayed split
+    assert (got["conv_id"] == "c2").sum() == 2
+
+
+def test_session_stream_scrambled_replay_matches_batch(spark, stream_dirs):
+    """Session windows under fully scrambled arrival: rows are dealt into
+    4 chunks by row-hash (any row may arrive 'late' relative to its
+    neighbors), replayed one file per micro-batch under a generous
+    watermark, flushed, and the merged-session output must equal the
+    batch session_window recompute of the whole table."""
+    src, _, ckpt = stream_dirs
+    rng = np.random.default_rng(7)
+    n_convs, n_turns = 8, 30
+    rows = []
+    base = pd.Timestamp("2026-01-01 00:00:00").value // 1000
+    for c in range(n_convs):
+        gaps_s = rng.choice([30, 200], size=n_turns, p=[0.8, 0.2])
+        ts = base + np.cumsum(gaps_s) * 1_000_000 + c * 1_000_000
+        for i, t in enumerate(ts):
+            rows.append((f"conv{c:02d}", i, "user", "x", "", t))
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="us")
+    chunk_of = (
+        pd.util.hash_pandas_object(
+            pdf["conv_id"] + pdf["turn_idx"].astype(str), index=False
+        )
+        % 4
+    ).to_numpy()
+    for b in range(4):
+        _write_chunk(spark, src, pdf[chunk_of == b], f"s{b}")
+    flush = pdf.iloc[:1].copy()
+    flush["conv_id"] = "__flush"
+    flush["ts"] = pdf["ts"].max() + pd.Timedelta(days=40)
+    _write_chunk(spark, src, flush, "s4f")
+
+    stream = session_stream(
+        spark.readStream.schema(SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*")),
+        gap="2 minutes",
+        watermark="30 days",
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_scram")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql(
+            "select * from sess_scram where conv_id != '__flush' "
+            "order by conv_id, session_start"
+        )
+        .toPandas()
+    )
+    exp = (
+        session_stream(
+            spark.createDataFrame(pdf), gap="2 minutes", watermark="30 days"
+        )
+        .orderBy("conv_id", "session_start")
+        .toPandas()
+    )
+    # multiple sessions per conv actually formed (the 200s gaps split)
+    assert len(exp) > n_convs
+    assert got.values.tolist() == exp.values.tolist()
