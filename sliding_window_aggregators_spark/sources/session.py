@@ -32,6 +32,24 @@ def _ship_package(spark: SparkSession) -> None:
                     full = os.path.join(dirpath, fn)
                     zf.write(full, os.path.relpath(full, root))
     spark.sparkContext.addPyFile(zpath)
+    # when google.protobuf came from the vendored mini-runtime, ship it as
+    # its own zip rooted at `google/` so remote executors (where the
+    # driver's PYTHONPATH does not reach) can import it top-level too
+    try:
+        import google.protobuf as _gpb
+
+        if getattr(_gpb, "SWAG_MINI_RUNTIME", False):
+            vdir = os.path.join(pkg_dir, "_vendor")
+            vzip = os.path.join(os.path.dirname(zpath), "swag_vendor_pb.zip")
+            with zipfile.ZipFile(vzip, "w") as zf:
+                for dirpath, _dirnames, filenames in os.walk(vdir):
+                    for fn in filenames:
+                        if fn.endswith(".py"):
+                            full = os.path.join(dirpath, fn)
+                            zf.write(full, os.path.relpath(full, vdir))
+            spark.sparkContext.addPyFile(vzip)
+    except ImportError:
+        pass
     spark._swag_shipped = True
 
 
@@ -39,6 +57,16 @@ def get_spark(app: str = "swag-spark", cpus: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle = shuffle_partitions or max(32, cpus)
+    # must precede JVM launch: sets PYTHONPATH (inherited by the gateway
+    # and its Python workers) to the vendored protobuf mini-runtime when
+    # no real wheel exists — transformWithStateInPandas needs it
+    # worker-side (see compat.ensure_protobuf)
+    from ..compat import ensure_protobuf
+
+    try:
+        ensure_protobuf()
+    except ImportError:
+        pass  # TWS path stays unavailable; everything else is unaffected
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)

@@ -478,7 +478,7 @@ def sliding_count_stream_tws(
             if chunks:
                 pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
                 pdf = pdf.sort_values([ts_col, order_col], kind="mergesort")
-                res = kernel.process(pdf["__v"].to_numpy())
+                res = kernel.process(pdf["swag_v"].to_numpy())
                 outs.append(
                     pd.DataFrame(
                         {
@@ -498,10 +498,13 @@ def sliding_count_stream_tws(
             pass
 
     _apply_state_partition_floor(df, min_state_partitions)
-    # prune before the stateful shuffle (see sliding_agg_stream)
+    # prune before the stateful shuffle (see sliding_agg_stream). NB the
+    # lifted column must NOT start with an underscore: the TWS input
+    # path converts rows through a namedtuple with rename=True, which
+    # turns leading-underscore names into positional _N
     prepared = (
-        df.withColumn("__v", F.expr(value_expr))
-        .select(key, ts_col, order_col, "__v")
+        df.withColumn("swag_v", F.expr(value_expr))
+        .select(key, ts_col, order_col, "swag_v")
         .withWatermark(ts_col, watermark)
     )
     return prepared.groupBy(key).transformWithStateInPandas(

@@ -290,12 +290,19 @@ def test_tumbling_and_session_streams_run(spark, stream_dirs):
     ]
 
 
+def _tws_protocol_available() -> bool:
+    """transformWithState's Python state-server protocol needs
+    google.protobuf; a real wheel or the vendored mini-runtime
+    (compat.ensure_protobuf) both satisfy it."""
+    from sliding_window_aggregators_spark.compat import protobuf_available
+
+    return protobuf_available()
+
+
 @pytest.mark.skipif(
-    importlib.util.find_spec("google") is None
-    or importlib.util.find_spec("google.protobuf") is None,
-    reason="transformWithState's Python state-server protocol needs "
-    "protobuf, which this container does not ship (no pip installs); "
-    "the operator is gated accordingly",
+    not _tws_protocol_available(),
+    reason="no google.protobuf wheel and the vendored mini-runtime failed "
+    "to import",
 )
 def test_sliding_count_stream_tws_matches_batch(spark, stream_dirs):
     """The transformWithStateInPandas (Spark 4 arbitrary-state API,
