@@ -5,6 +5,7 @@ from .engine import (  # noqa: F401
     session_stream,
     sliding_agg_stream,
     sliding_agg_stream_multi,
+    sliding_agg_stream_tws,
     sliding_count_stream,
     tumbling_stream,
     tumbling_stream_salted,

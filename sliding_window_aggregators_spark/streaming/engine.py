@@ -78,6 +78,69 @@ def _apply_state_partition_floor(df: DataFrame, floor) -> None:
         spark.conf.set("spark.sql.shuffle.partitions", str(floor))
 
 
+def _ooo_sliding_step(
+    st: OrderedAggState,
+    pdfs,
+    *,
+    monoid,
+    vcol: str,
+    key_name: str,
+    key_val,
+    ts_col: str,
+    id_cols,
+    out_col: str,
+    dur_us: int,
+    int_values: bool,
+):
+    """One micro-batch of the OOO sliding kernel against a key's
+    OrderedAggState — shared by the applyInPandasWithState path
+    (:func:`sliding_agg_stream`) and the transformWithStateInPandas path
+    (:func:`sliding_agg_stream_tws`), so both production APIs run the
+    SAME FiBA-style bulkInsert / interval-fold / bulkEvict semantics
+    (FiBA.hpp:1866-1918 / 1746-1835).
+
+    ``pdfs`` is the state API's chunk iterator; chunk order within a
+    batch is arbitrary, so chunks are gathered before the event-time
+    sort and the late-data rule (drop older than youngest − duration,
+    benchmark_core.h:577). Per-turn queries fold over state rows in
+    [t − duration, t]; the whole batch is inserted before the queries,
+    so same-timestamp ties always see each other (batch-boundary-
+    independent fixpoint — see the tie-semantics note in
+    sliding_agg_stream's history). Eviction retains TWO durations behind
+    the youngest: an admitted late row at the admit horizon folds back
+    to youngest − 2·duration. Returns the output DataFrame or None."""
+    from ..operators.kernels import interval_fold
+
+    chunks = list(pdfs)
+    gathered = pd.concat(chunks) if len(chunks) > 1 else (
+        chunks[0] if chunks else None
+    )
+    outs = []
+    for pdf in ([gathered] if gathered is not None else []):
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        ts = pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vals = pdf[vcol].to_numpy()
+        if int_values:
+            vals = vals.astype(np.int64)
+        youngest = st.youngest()
+        if youngest is not None:
+            keep = ts >= (int(youngest) - dur_us)
+            pdf, ts, vals = pdf[keep], ts[keep], vals[keep]
+        if len(ts) == 0:
+            continue
+        st.bulk_insert(ts, monoid.lift(vals))
+        lo = np.searchsorted(st.ts, ts - dur_us, side="left")
+        hi = np.searchsorted(st.ts, ts, side="right")
+        res = monoid.lower(interval_fold(monoid, st.partials, lo, hi))
+        cols = {key_name: key_val, ts_col: pdf[ts_col].to_numpy()}
+        for c in id_cols:
+            cols[c] = pdf[c].to_numpy()
+        cols[out_col] = res
+        outs.append(pd.DataFrame(cols))
+        st.bulk_evict(int(st.youngest()) - 2 * dur_us - 1)
+    return pd.concat(outs) if outs else None
+
+
 def sliding_agg_stream(
     df: DataFrame,
     *,
@@ -123,59 +186,14 @@ def sliding_agg_stream(
             st = OrderedAggState.loads(bytes(state.get[0]), monoid)
         else:
             st = OrderedAggState(monoid)
-        outs = []
-        # the state API may deliver a group's micro-batch rows in several
-        # arbitrarily-ordered chunks; gather them so event-time ordering and
-        # the late-data rule see the whole batch at once
-        chunks = list(pdfs)
-        gathered = pd.concat(chunks) if len(chunks) > 1 else (
-            chunks[0] if chunks else None
+        out = _ooo_sliding_step(
+            st, pdfs, monoid=monoid, vcol="__v", key_name=key,
+            key_val=key_tuple[0], ts_col=ts_col, id_cols=id_cols,
+            out_col=out_col, dur_us=dur_us, int_values=int_values,
         )
-        for pdf in ([gathered] if gathered is not None else []):
-            pdf = pdf.sort_values(ts_col, kind="mergesort")
-            ts = pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
-            vals = pdf["__v"].to_numpy()
-            if int_values:
-                vals = vals.astype(np.int64)
-            # late-data policy (benchmark_core.h:577): drop rows older than
-            # youngest-so-far − duration
-            youngest = st.youngest()
-            if youngest is not None:
-                keep = ts >= (int(youngest) - dur_us)
-                pdf, ts, vals = pdf[keep], ts[keep], vals[keep]
-            if len(ts) == 0:
-                continue
-            st.bulk_insert(ts, monoid.lift(vals))
-            # per-turn query: fold over state rows in [t−dur, t] for each
-            # arriving turn — vectorized interval fold over the full state.
-            # Tie semantics (documented divergence): the whole micro-batch is
-            # inserted BEFORE the per-row queries, so rows sharing one
-            # timestamp within a batch see each other's values (hi uses
-            # side='right' over post-insert state). The reference's per-row
-            # insert-then-query loop would exclude a later-arriving tie; the
-            # fixpoint here is batch-boundary-independent for same-ts rows
-            # (all ties always included) which is the stabler contract for
-            # replayed/reordered micro-batches.
-            lo = np.searchsorted(st.ts, ts - dur_us, side="left")
-            hi = np.searchsorted(st.ts, ts, side="right")
-            from ..operators.kernels import interval_fold
-
-            res = monoid.lower(interval_fold(monoid, st.partials, lo, hi))
-            cols = {key: key_tuple[0], ts_col: pdf[ts_col].to_numpy()}
-            for c in id_cols:
-                cols[c] = pdf[c].to_numpy()
-            cols[out_col] = res
-            outs.append(pd.DataFrame(cols))
-            # expiry: retain TWO durations behind the youngest — the
-            # late-data rule admits rows back to youngest − duration, and
-            # an admitted row at exactly that horizon folds over
-            # [t − duration, t], which reaches youngest − 2·duration;
-            # evicting at one duration would silently undercount admitted
-            # late rows against already-evicted state
-            st.bulk_evict(int(st.youngest()) - 2 * dur_us - 1)
         state.update((bytearray(st.dumps()),))
-        if outs:
-            yield pd.concat(outs)
+        if out is not None:
+            yield out
 
     _apply_state_partition_floor(df, min_state_partitions)
     # prune BEFORE the stateful shuffle: applyInPandasWithState hands the
@@ -509,6 +527,87 @@ def sliding_count_stream_tws(
     )
     return prepared.groupBy(key).transformWithStateInPandas(
         statefulProcessor=SlidingCountProcessor(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
+def sliding_agg_stream_tws(
+    df: DataFrame,
+    *,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    value_expr: str = "length(text)",
+    monoid_name: str = "sum",
+    duration: str = "10 minutes",
+    watermark: str = "1 minute",
+    out_col: str = "wagg",
+    id_cols: Sequence[str] = (),
+    int_values: bool = False,
+    min_state_partitions: int | None = STATE_PARTITION_FLOOR,
+) -> DataFrame:
+    """:func:`sliding_agg_stream` on Spark 4's
+    ``transformWithStateInPandas`` — the OOO ordered-aggregate state
+    (FiBA analogue, operators/ordered.py) running under the PRODUCTION
+    arbitrary-state API (RocksDB state store, typed state variables),
+    the reference contract that the O(log d) out-of-order state must
+    execute under the production API (FiBA.hpp:1837-1918). Semantics are
+    byte-identical to the applyInPandasWithState path: both call
+    :func:`_ooo_sliding_step` per key per micro-batch.
+
+    Requires google.protobuf for the Python↔state-server protocol — a
+    real wheel or the vendored mini-runtime (compat.ensure_protobuf),
+    and a RocksDB state-store provider on the session."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    dur_us = _interval_us(duration)
+    monoid = get_monoid(monoid_name, np.int64 if int_values else np.float64)
+    id_cols = [c for c in id_cols if c not in (key, ts_col)]
+    out_type = _OUT_SPARK_TYPE[monoid_name]
+    key_t = df.schema[key].dataType.simpleString()
+    id_ts = [df.schema[c].dataType.simpleString() for c in id_cols]
+    out_schema = ", ".join(
+        [f"{key} {key_t}", f"{ts_col} timestamp"]
+        + [f"{c} {t}" for c, t in zip(id_cols, id_ts)]
+        + [f"{out_col} {out_type}"]
+    )
+
+    class OooSlidingProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("ordered", "blob binary")
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            blob = self._state.get() if self._state.exists() else None
+            if blob is not None:
+                st = OrderedAggState.loads(bytes(blob[0]), monoid)
+            else:
+                st = OrderedAggState(monoid)
+            out = _ooo_sliding_step(
+                st, rows, monoid=monoid, vcol="swag_v", key_name=key,
+                key_val=key_tuple[0], ts_col=ts_col, id_cols=id_cols,
+                out_col=out_col, dur_us=dur_us, int_values=int_values,
+            )
+            self._state.update((bytearray(st.dumps()),))
+            return iter([out] if out is not None else [])
+
+        def close(self) -> None:
+            pass
+
+    _apply_state_partition_floor(df, min_state_partitions)
+    # prune before the stateful shuffle (see sliding_agg_stream); the
+    # lifted column must not start with an underscore on the TWS path
+    # (namedtuple rename=True mangles leading-underscore names to _N)
+    prepared = (
+        df.withColumn("swag_v", F.expr(value_expr))
+        .select(key, ts_col, *id_cols, "swag_v")
+        .withWatermark(ts_col, watermark)
+    )
+    return prepared.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=OooSlidingProcessor(),
         outputStructType=out_schema,
         outputMode="Append",
         timeMode="None",

@@ -964,3 +964,68 @@ def test_session_stream_scrambled_replay_matches_batch(spark, stream_dirs):
     # multiple sessions per conv actually formed (the 200s gaps split)
     assert len(exp) > n_convs
     assert got.values.tolist() == exp.values.tolist()
+
+
+@pytest.mark.skipif(
+    not _tws_protocol_available(),
+    reason="no google.protobuf wheel and the vendored mini-runtime failed "
+    "to import",
+)
+def test_sliding_agg_stream_tws_matches_apply_path(spark, stream_dirs):
+    """The OOO ordered-aggregate state under the PRODUCTION arbitrary-
+    state API (transformWithStateInPandas + RocksDB) must produce exactly
+    what the applyInPandasWithState path produces — same per-turn answers
+    over out-of-order arrivals spanning two micro-batches (both APIs call
+    the shared _ooo_sliding_step kernel, the engine's FiBA analogue under
+    the reference's production-API contract, FiBA.hpp:1837-1918)."""
+    from sliding_window_aggregators_spark.streaming import (
+        sliding_agg_stream_tws,
+    )
+
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(400, 8, ooo_distance=30, ooo_every=5)
+    _write_chunk(spark, src, pdf.iloc[:200], "c0")
+    _write_chunk(spark, src, pdf.iloc[200:], "c1")
+
+    def run(factory, out_dir, ckpt_dir, **extra):
+        stream = factory(
+            spark.readStream.schema(SCHEMA)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*")),
+            monoid_name="sum",
+            value_expr="length(text)",
+            duration="2 minutes",
+            out_col="wsum",
+            **extra,
+        )
+        q, sink = write_stream_exactly_once(stream, out_dir, ckpt_dir)
+        q.awaitTermination(180)
+        return (
+            sink.read_committed(spark)
+            .select("conv_id", "ts", "wsum")
+            .toPandas()
+            .sort_values(["conv_id", "ts", "wsum"])
+            .reset_index(drop=True)
+        )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got_tws = run(sliding_agg_stream_tws, out + "_tws", ckpt + "_tws")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    got_apply = run(sliding_agg_stream, out + "_a", ckpt + "_a")
+
+    assert len(got_tws) == len(got_apply) == 400
+    assert got_tws["wsum"].tolist() == got_apply["wsum"].tolist()
+    assert got_tws["conv_id"].tolist() == got_apply["conv_id"].tolist()
