@@ -410,11 +410,35 @@ def _vm_membw() -> float:
     return round(n * 50 / (time.perf_counter() - t0), 1)
 
 
+def _wait_for_window(min_bw: float, max_wait_s: float) -> float:
+    """Bounded wait for a healthy host window (round-4 verdict item 1):
+    poll the membw probe up to ``max_wait_s`` seconds and return the last
+    probe. If the window never turns healthy, the run proceeds anyway —
+    every number is annotated with its probe, so a throttled run is
+    normalizable, just less comparable across rounds. Configure via
+    SWAG_BENCH_MIN_BW_MBPS / SWAG_BENCH_MAX_WAIT_S (0 disables)."""
+    t0 = time.perf_counter()
+    bw = _vm_membw()
+    while bw < min_bw and (time.perf_counter() - t0) < max_wait_s:
+        print(
+            f"# host throttled (membw {bw:,.0f} MB/s < {min_bw:,.0f}) — "
+            f"waiting for a healthy window "
+            f"({int(time.perf_counter() - t0)}/{int(max_wait_s)}s)",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+        bw = _vm_membw()
+    return bw
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    membw = _vm_membw()
+    membw = _wait_for_window(
+        float(os.environ.get("SWAG_BENCH_MIN_BW_MBPS", "3000")),
+        float(os.environ.get("SWAG_BENCH_MAX_WAIT_S", "600")),
+    )
 
     import __spark_entry__ as entry
     from sliding_window_aggregators_spark.sources import get_spark

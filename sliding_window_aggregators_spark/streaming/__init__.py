@@ -1,4 +1,5 @@
 from .engine import (  # noqa: F401
+    conversation_timeout_stream,
     dedup_stream,
     hll_distinct_stream,
     salted_repartition,

@@ -614,6 +614,149 @@ def sliding_agg_stream_tws(
     )
 
 
+def conversation_timeout_stream(
+    df: DataFrame,
+    *,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    min_state_partitions: int | None = STATE_PARTITION_FLOOR,
+) -> DataFrame:
+    """Inactivity-timeout CEP on EVENT-TIME TIMERS (north_rule "CEP
+    engine", session shape): when a conversation goes quiet for ``gap``,
+    emit ONE closure row (key, session_start, timeout_at, n_turns) the
+    moment the watermark passes last-activity + gap — the push-based
+    complement of :func:`session_stream` (which aggregates; this one
+    *fires*). Runs on ``transformWithStateInPandas`` with
+    ``timeMode="EventTime"``: per key the state is a single
+    (first_ts, last_ts, n) triple and one registered timer, so state is
+    O(1) per conversation regardless of stream length; every arriving
+    batch extends the deadline (deleteTimer + registerTimer), and the
+    expired-timer callback emits + clears, so a revived conversation
+    starts a fresh session.
+
+    Semantics note (CEP, not aggregation): every admitted row joins the
+    OPEN session — a row arriving late (but in-watermark) whose event
+    time would have split into a separate ``session_window`` session is
+    counted into the open one. For in-order-per-key arrival the output
+    equals the batch ``session_window`` recompute exactly (test pins
+    this); under adversarial cross-session reordering prefer
+    :func:`session_stream`.
+
+    Timer protocol: this operator exercises the state server's
+    RegisterTimer / DeleteTimer / ListTimers / ExpiryTimerRequest
+    messages end-to-end (the full timer surface of the
+    StateMessage protocol)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_ms = _interval_us(gap) // 1000
+    key_t = df.schema[key].dataType.simpleString()
+    out_key = key  # the hook parameter below shadows `key` in its scope
+    out_schema = (
+        f"{key} {key_t}, session_start timestamp, timeout_at timestamp, "
+        f"n_turns long"
+    )
+
+    class TimeoutProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState(
+                "sess", "first_ms long, last_ms long, n long"
+            )
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            chunks = list(rows)
+            if not chunks:
+                return iter([])
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            ts_ms = np.sort(
+                pdf[ts_col].to_numpy().astype("datetime64[ms]").astype(np.int64)
+            )
+            cur = self._sess.get() if self._sess.exists() else None
+            # vectorized session split: a session break is a sorted-ts
+            # step > gap. Sessions that COMPLETE inside this batch (an
+            # intra-batch quiet gap) close immediately — only the last
+            # one stays open awaiting the timer.
+            brk = np.flatnonzero(np.diff(ts_ms) > gap_ms) + 1
+            starts = np.concatenate(([0], brk))
+            ends = np.concatenate((brk, [len(ts_ms)]))
+            sessions = [
+                [int(ts_ms[a]), int(ts_ms[b - 1]), int(b - a)]
+                for a, b in zip(starts, ends)
+            ]
+            if cur is not None:
+                # merge the carried open session with the batch's first
+                # session if the quiet gap between them is within `gap`
+                if sessions[0][0] - int(cur[1]) <= gap_ms:
+                    s = sessions[0]
+                    s[0] = min(s[0], int(cur[0]))
+                    s[1] = max(s[1], int(cur[1]))
+                    s[2] += int(cur[2])
+                else:
+                    sessions.insert(0, [int(cur[0]), int(cur[1]), int(cur[2])])
+            closed, open_s = sessions[:-1], sessions[-1]
+            self._sess.update(tuple(open_s))
+            # extend the deadline: drop any previously registered timer,
+            # arm one at last-activity + gap
+            for t in list(self._handle.listTimers()):
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(open_s[1] + gap_ms)
+            if not closed:
+                return iter([])
+            out = pd.DataFrame(
+                {
+                    out_key: [key_tuple[0]] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(s[0], unit="ms") for s in closed
+                    ],
+                    "timeout_at": [
+                        pd.Timestamp(s[1] + gap_ms, unit="ms") for s in closed
+                    ],
+                    "n_turns": [s[2] for s in closed],
+                }
+            )
+            return iter([out])
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # signature must match the base class exactly: the worker
+            # invokes this hook with KEYWORD arguments
+            key_tuple = key
+            cur = self._sess.get() if self._sess.exists() else None
+            if cur is None:
+                return iter([])
+            first, last, n = int(cur[0]), int(cur[1]), int(cur[2])
+            self._sess.clear()
+            out = pd.DataFrame(
+                {
+                    out_key: [key_tuple[0]],
+                    "session_start": [pd.Timestamp(first, unit="ms")],
+                    "timeout_at": [pd.Timestamp(last + gap_ms, unit="ms")],
+                    "n_turns": [n],
+                }
+            )
+            return iter([out])
+
+        def close(self) -> None:
+            pass
+
+    _apply_state_partition_floor(df, min_state_partitions)
+    # prune before the stateful shuffle (see sliding_agg_stream)
+    prepared = (
+        df.select(key, ts_col)
+        .withWatermark(ts_col, watermark)
+    )
+    return prepared.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=TimeoutProcessor(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+
+
 def rising_pattern_stream(
     df: DataFrame,
     *,

@@ -1029,3 +1029,105 @@ def test_sliding_agg_stream_tws_matches_apply_path(spark, stream_dirs):
     assert len(got_tws) == len(got_apply) == 400
     assert got_tws["wsum"].tolist() == got_apply["wsum"].tolist()
     assert got_tws["conv_id"].tolist() == got_apply["conv_id"].tolist()
+
+
+@pytest.mark.skipif(
+    not _tws_protocol_available(),
+    reason="no google.protobuf wheel and the vendored mini-runtime failed "
+    "to import",
+)
+def test_conversation_timeout_stream_matches_session_recompute(
+    spark, stream_dirs
+):
+    """Event-time-timer CEP: one closure row per quiet-gap, fired when the
+    watermark passes last-activity + gap. With in-order-per-conv arrival
+    the closures must equal the batch session_window recompute (start,
+    end = last + gap, count), including a session SPANNING the micro-batch
+    boundary (the deadline must be extended, not double-fired). Exercises
+    the state server's full timer protocol (Register/Delete/ListTimers +
+    expiry callbacks) through the vendored protobuf runtime."""
+    from sliding_window_aggregators_spark.streaming import (
+        conversation_timeout_stream,
+    )
+
+    src, _, ckpt = stream_dirs
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    def rows(conv, minutes):
+        return pd.DataFrame(
+            {
+                "conv_id": conv,
+                "turn_idx": range(len(minutes)),
+                "role": "user",
+                "text": "x",
+                "tool": "",
+                "ts": [base + pd.Timedelta(minutes=m) for m in minutes],
+            }
+        )
+
+    # c1: turns 0,2 | batch boundary | 4,6  → ONE session (gaps 2m < 5m)
+    #     then 30,31 → a second session
+    # c2: 0,1 then quiet → one session; c3 single turn → one session
+    c0 = pd.concat([rows("c1", [0, 2]), rows("c2", [0, 1]), rows("c3", [0])])
+    c1 = rows("c1", [4, 6, 30, 31])
+    flush = rows("__flush", [600])
+    _write_chunk(spark, src, c0, "c0")
+    _write_chunk(spark, src, c1, "c1")
+    _write_chunk(spark, src, flush, "c2f")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = conversation_timeout_stream(
+            spark.readStream.schema(SCHEMA)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*")),
+            gap="5 minutes",
+            watermark="2 minutes",
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("conv_timeout")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+    got = (
+        spark.sql(
+            "select * from conv_timeout where conv_id != '__flush' "
+            "order by conv_id, session_start"
+        )
+        .toPandas()
+    )
+    exp = (
+        session_stream(
+            spark.createDataFrame(pd.concat([c0, c1])),
+            gap="5 minutes",
+            watermark="2 minutes",
+        )
+        .orderBy("conv_id", "session_start")
+        .toPandas()
+    )
+    # same sessions: (conv, start, end==timeout_at, count)
+    assert got[["conv_id", "session_start", "timeout_at"]].values.tolist() == (
+        exp[["conv_id", "session_start", "session_end"]].values.tolist()
+    )
+    assert got["n_turns"].tolist() == exp["n_turns"].tolist()
+    # the boundary-spanning session really is one 4-turn closure
+    c1_first = got[got["conv_id"] == "c1"].iloc[0]
+    assert int(c1_first["n_turns"]) == 4
