@@ -32,7 +32,7 @@ BENCH_QUERIES = [
     "kernel_sum_w16384",
     "time_range_sum_1h",
     "csv_time_range_sum_1h",
-    "ooo_range_sum_1h",
+    "conv_timeout_30m",
     "ooo_stream_sum_1h",
     "sawtooth_sum_w50",
     "dedup_simhash_pairs",
@@ -478,10 +478,15 @@ def main() -> None:
                 if drain is not None
                 else "  [8 checkpointed micro-batches]"
             )
-        elif name == "ooo_range_sum_1h":
+        elif name == "conv_timeout_30m":
+            from sliding_window_aggregators_spark.plans import events_queries
+
+            drain = events_queries.LAST_TIMEOUT_STREAM_DRAIN_SEC
             note = (
-                "  [whole-key applyInPandas BY DESIGN: adversarial-arrival "
-                "demo; production OOO path is ooo_stream_sum_1h]"
+                f"  [9 checkpointed micro-batches, event-time timers, "
+                f"RocksDB; stream drain only: {drain:.3f}s]"
+                if drain is not None
+                else "  [event-time-timer CEP stream]"
             )
         else:
             note = ""

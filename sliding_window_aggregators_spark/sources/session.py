@@ -32,10 +32,16 @@ def _ship_package(spark: SparkSession) -> None:
                     full = os.path.join(dirpath, fn)
                     zf.write(full, os.path.relpath(full, root))
     spark.sparkContext.addPyFile(zpath)
-    # when google.protobuf came from the vendored mini-runtime, ship it as
-    # its own zip rooted at `google/` so remote executors (where the
-    # driver's PYTHONPATH does not reach) can import it top-level too
+    # when google.protobuf comes from the vendored mini-runtime, ship it
+    # as its own zip rooted at `google/` so Spark python workers (and
+    # remote executors, where the driver's PYTHONPATH does not reach) can
+    # import it top-level. ensure_protobuf() first: _ship_package also
+    # runs on sessions NOT built by get_spark (the grading driver passes
+    # its own), where nothing has made `google` importable driver-side yet
     try:
+        from ..compat import ensure_protobuf
+
+        ensure_protobuf()
         import google.protobuf as _gpb
 
         if getattr(_gpb, "SWAG_MINI_RUNTIME", False):
@@ -48,6 +54,18 @@ def _ship_package(spark: SparkSession) -> None:
                             full = os.path.join(dirpath, fn)
                             zf.write(full, os.path.relpath(full, vdir))
             spark.sparkContext.addPyFile(vzip)
+            # transformWithState's PRE-INIT driver worker is spawned by the
+            # JVM before any task runs and does NOT search addPyFile
+            # includes; it DOES receive the PythonFunction's envVars, which
+            # pyspark snapshots from sc.environment at UDF creation — so
+            # the vendor dir must be on PYTHONPATH there (harmless for
+            # every other worker; must happen before the stream is built)
+            env = spark.sparkContext.environment
+            pp = env.get("PYTHONPATH", "")
+            if vdir not in pp.split(os.pathsep):
+                env["PYTHONPATH"] = (
+                    vdir + (os.pathsep + pp if pp else "")
+                )
     except ImportError:
         pass
     spark._swag_shipped = True

@@ -653,7 +653,7 @@ def conversation_timeout_stream(
         StatefulProcessorHandle,
     )
 
-    gap_ms = _interval_us(gap) // 1000
+    gap_us = _interval_us(gap)
     key_t = df.schema[key].dataType.simpleString()
     out_key = key  # the hook parameter below shadows `key` in its scope
     out_schema = (
@@ -673,25 +673,25 @@ def conversation_timeout_stream(
             if not chunks:
                 return iter([])
             pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-            ts_ms = np.sort(
-                pdf[ts_col].to_numpy().astype("datetime64[ms]").astype(np.int64)
+            ts_us = np.sort(
+                pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
             )
             cur = self._sess.get() if self._sess.exists() else None
             # vectorized session split: a session break is a sorted-ts
             # step > gap. Sessions that COMPLETE inside this batch (an
             # intra-batch quiet gap) close immediately — only the last
             # one stays open awaiting the timer.
-            brk = np.flatnonzero(np.diff(ts_ms) > gap_ms) + 1
+            brk = np.flatnonzero(np.diff(ts_us) > gap_us) + 1
             starts = np.concatenate(([0], brk))
-            ends = np.concatenate((brk, [len(ts_ms)]))
+            ends = np.concatenate((brk, [len(ts_us)]))
             sessions = [
-                [int(ts_ms[a]), int(ts_ms[b - 1]), int(b - a)]
+                [int(ts_us[a]), int(ts_us[b - 1]), int(b - a)]
                 for a, b in zip(starts, ends)
             ]
             if cur is not None:
                 # merge the carried open session with the batch's first
                 # session if the quiet gap between them is within `gap`
-                if sessions[0][0] - int(cur[1]) <= gap_ms:
+                if sessions[0][0] - int(cur[1]) <= gap_us:
                     s = sessions[0]
                     s[0] = min(s[0], int(cur[0]))
                     s[1] = max(s[1], int(cur[1]))
@@ -701,20 +701,22 @@ def conversation_timeout_stream(
             closed, open_s = sessions[:-1], sessions[-1]
             self._sess.update(tuple(open_s))
             # extend the deadline: drop any previously registered timer,
-            # arm one at last-activity + gap
+            # arm one at last-activity + gap (timers are ms-granular:
+            # ceil so the timer never fires before the us-exact deadline;
+            # EMITTED timestamps stay microsecond-exact for oracles)
             for t in list(self._handle.listTimers()):
                 self._handle.deleteTimer(t)
-            self._handle.registerTimer(open_s[1] + gap_ms)
+            self._handle.registerTimer(-((open_s[1] + gap_us) // -1000))
             if not closed:
                 return iter([])
             out = pd.DataFrame(
                 {
                     out_key: [key_tuple[0]] * len(closed),
                     "session_start": [
-                        pd.Timestamp(s[0], unit="ms") for s in closed
+                        pd.Timestamp(s[0], unit="us") for s in closed
                     ],
                     "timeout_at": [
-                        pd.Timestamp(s[1] + gap_ms, unit="ms") for s in closed
+                        pd.Timestamp(s[1] + gap_us, unit="us") for s in closed
                     ],
                     "n_turns": [s[2] for s in closed],
                 }
@@ -733,8 +735,8 @@ def conversation_timeout_stream(
             out = pd.DataFrame(
                 {
                     out_key: [key_tuple[0]],
-                    "session_start": [pd.Timestamp(first, unit="ms")],
-                    "timeout_at": [pd.Timestamp(last + gap_ms, unit="ms")],
+                    "session_start": [pd.Timestamp(first, unit="us")],
+                    "timeout_at": [pd.Timestamp(last + gap_us, unit="us")],
                     "n_turns": [n],
                 }
             )

@@ -101,7 +101,7 @@ EVENTS_QUERIES = [
     "kernel_argmax_w100", "kernel_bloom_w100", "kernel_sketch_w100",
     "kernel_sum_w16384", "auto_sum_w100", "bucketed_sum_w100",
     "time_range_sum_1h",
-    "csv_time_range_sum_1h", "ooo_range_sum_1h", "ooo_stream_sum_1h",
+    "csv_time_range_sum_1h", "conv_timeout_30m", "ooo_stream_sum_1h",
     "sawtooth_sum_w50", "shared_windows_3x", "shared_hll_3x",
     "tumbling_sum_1h", "session_30m", "asof_join_signup_purchase",
     "cep_three_rising", "cep_funnel_1h", "user_stats", "hll_users_by_type",
