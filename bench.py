@@ -483,7 +483,7 @@ def main() -> None:
 
             drain = events_queries.LAST_TIMEOUT_STREAM_DRAIN_SEC
             note = (
-                f"  [9 checkpointed micro-batches, event-time timers, "
+                f"  [5 checkpointed micro-batches, event-time timers, "
                 f"RocksDB; stream drain only: {drain:.3f}s]"
                 if drain is not None
                 else "  [event-time-timer CEP stream]"
