@@ -186,12 +186,18 @@ def main():
     # independently, aggregate parallel bandwidth (observed 0.6 – 29 GB/s
     # at 16 procs) on an internally-idle box. A run under host throttling
     # measures the host, not the engine — wait for a healthy window.
-    for attempt in range(30):
+    # gate thresholds/patience are env-tunable so an external probe-gated
+    # watcher (tools/batch_scaling_watch.py) can align this internal gate
+    # with its own instead of stacking a second 30-minute wait on top
+    min_bw1 = float(os.environ.get("SWAG_SCALE_MIN_BW1", "1500"))
+    min_bwN = float(os.environ.get("SWAG_SCALE_MIN_BWN", "8000"))
+    attempts = int(os.environ.get("SWAG_SCALE_GATE_ATTEMPTS", "30"))
+    for attempt in range(attempts):
         with mp.Pool(1) as pool:
             bw1 = sum(pool.map(_bw, range(1)))
         with mp.Pool(16) as pool:
             bwN = sum(pool.map(_bw, range(16)))
-        if bw1 >= 1500 and bwN >= 8000:
+        if bw1 >= min_bw1 and bwN >= min_bwN:
             break
         print(
             f"# host throttled (membw 1p={bw1:,.0f} 16p={bwN:,.0f} MB/s) — "

@@ -66,9 +66,13 @@ def main() -> None:
         line = {"t": round(time.time() - t0), "bw1": round(bw1), "bwN": round(bwN)}
         if bw1 >= args.min_bw1 and bwN >= args.min_bwN:
             print(f"# healthy window ({line}) — firing bench_scaling", file=sys.stderr)
+            env = dict(os.environ,
+                       SWAG_SCALE_MIN_BW1=str(args.min_bw1),
+                       SWAG_SCALE_MIN_BWN=str(args.min_bwN),
+                       SWAG_SCALE_GATE_ATTEMPTS="3")
             res = subprocess.run(
                 [sys.executable, os.path.join(HERE, "bench_scaling.py")],
-                capture_output=True, text=True, timeout=3600,
+                capture_output=True, text=True, timeout=3600, env=env,
             )
             runs += 1
             line["ran"] = True
