@@ -155,20 +155,30 @@ def _bw(_):
     return n * 50 / (time.perf_counter() - t0)
 
 
-def vm_probes() -> dict:
-    with mp.Pool(8) as p:
-        lo = sum(p.map(_burn, range(8)))
-    with mp.Pool(32) as p:
-        hi = sum(p.map(_burn, range(32)))
+def bw_probes() -> dict:
+    """Quick (~10 s) bandwidth-only probe — run immediately before the
+    levels so the recorded window is the one the levels actually ran in.
+    The healthy windows this host grants often last only a few minutes;
+    every probe-second spent before the levels is window burned."""
     with mp.Pool(1) as p:
         bw1 = sum(p.map(_bw, range(1)))
     with mp.Pool(16) as p:
         bwN = sum(p.map(_bw, range(16)))
     return {
-        "raw_cpu_scaling_eff_8_32": round((hi / lo) / 4, 3),
         "membw_1proc_MBps": round(bw1),
         "membw_16proc_MBps": round(bwN),
     }
+
+
+def cpu_probe() -> dict:
+    """Slow (~1 min) raw-CPU scaling probe — run AFTER the levels; it
+    characterizes the host's CPU grant, which shifts far more slowly
+    than the bandwidth windows."""
+    with mp.Pool(8) as p:
+        lo = sum(p.map(_burn, range(8)))
+    with mp.Pool(32) as p:
+        hi = sum(p.map(_burn, range(32)))
+    return {"raw_cpu_scaling_eff_8_32": round((hi / lo) / 4, 3)}
 
 
 def main():
@@ -212,8 +222,9 @@ def main():
             file=sys.stderr,
         )
         time.sleep(60)
-    probes = vm_probes()  # measured BEFORE the levels, on an idle box
+    probes = bw_probes()  # bandwidth window, immediately before the levels
     levels = {c: run_level(c, path) for c in [2, 8, 32]}
+    probes.update(cpu_probe())  # slow CPU probe after — doesn't burn window
 
     def eff(a, b):
         return (levels[b]["turns_per_sec"] / levels[a]["turns_per_sec"]) / (b / a)

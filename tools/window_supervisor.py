@@ -105,10 +105,12 @@ def main() -> None:
         return ok
 
     def fire_batch(p):
+        # the supervisor IS the gate — one quick internal re-check only,
+        # so the healthy window isn't burned waiting on a second gate
         env = dict(os.environ,
                    SWAG_SCALE_MIN_BW1=str(args.batch_min_bw1),
                    SWAG_SCALE_MIN_BWN=str(args.batch_min_bw16),
-                   SWAG_SCALE_GATE_ATTEMPTS="3")
+                   SWAG_SCALE_GATE_ATTEMPTS="1")
         r = subprocess.run(
             [sys.executable, os.path.join(HERE, "bench_scaling.py")],
             capture_output=True, text=True, timeout=3600, env=env,
