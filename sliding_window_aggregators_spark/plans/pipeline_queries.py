@@ -572,6 +572,140 @@ where d.doc_id % {_EVAL_MOD} <> 0
 """
 
 
+# ---------------------------------------------------------------------------
+# bounded-vocab bigram language-model corpus-fit score
+# ---------------------------------------------------------------------------
+
+# vocabulary size: tokens outside the top-V by corpus frequency map to a
+# single UNK sentinel, which bounds BOTH model tables — unigram contexts
+# ≤ V+1 rows, bigrams ≤ (V+1)^2 — independent of corpus size. That is
+# the whole 100 TB story: the model is an aggregate over a bounded key
+# domain, so it broadcasts (or at worst equi-joins) at any input scale.
+_LM_V = 1024
+# UNK sentinel: \x01 cannot be a whitespace-split token (docs are ASCII
+# text), and chr(1) spells it identically in Spark SQL and DuckDB
+_LM_UNK = "\x01"
+
+
+def q_lm_fit(spark, sf_dir):
+    """Bigram language-model corpus-fit score per document (the
+    perplexity-style quality signal of a training-data pipeline), with a
+    top-{V}+UNK vocabulary and add-one smoothing, as exact integers.
+
+    Model: vocab = top-{V} tokens by (count desc, token asc); every
+    token maps to itself or UNK; bigram counts cbg(prev,cur) and context
+    counts cun(prev) are corpus aggregates over the bounded vocab. Per
+    document we report the exact integer aggregates (n_bigrams, n_oov,
+    sum_cbg, sum_cun) and the pooled add-one-smoothed conditional
+    likelihood as floor-ppm of ONE rational of two int64 sums:
+
+        lm_fit_ppm = floor(1e6 * (Σcbg + n) / (Σcun + n*(V+1)))
+
+    Per-position mean log-probability (the textbook per-doc score) is a
+    sum of doubles whose result depends on summation order — not
+    reproducible bit-for-bit across engines — so, per this module's
+    determinism discipline, the shipped score is the pooled rational
+    (same signal direction: gibberish scores low, corpus-typical text
+    high) and everything in the row is value-hash exact.
+
+    Scale shape: token posexplode → vocab TopK (TakeOrderedAndProject,
+    V rows — broadcast) → lag window over (doc, position) (one shuffle
+    by doc_id) → two bounded-domain aggregations → equi-joins back →
+    per-doc aggregation. No cross product, no collect, no Python UDF.
+    int64 headroom: sum_cbg*1e6 needs cbg sums < 9.2e12 — at the
+    10^12-turn scale the model tables would be per-shard/per-epoch
+    partitioned anyway, which also keeps the products in range."""
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w")
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(_LM_V)
+        .select("w", F.lit(1).alias("in_v"))
+    )
+    m = tok.join(F.broadcast(vocab), "w", "left").select(
+        "doc_id",
+        "i",
+        F.when(F.col("in_v").isNotNull(), F.col("w"))
+        .otherwise(F.lit(_LM_UNK))
+        .alias("wv"),
+    )
+    wspec = Window.partitionBy("doc_id").orderBy("i")
+    b = (
+        m.withColumn("prev", F.lag("wv").over(wspec))
+        .where(F.col("prev").isNotNull())
+        .select("doc_id", "prev", "wv")
+    )
+    bg = b.groupBy("prev", "wv").agg(F.count(F.lit(1)).alias("cbg"))
+    un = b.groupBy("prev").agg(F.count(F.lit(1)).alias("cun"))
+    scored = b.join(bg, ["prev", "wv"]).join(un, "prev")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum((F.col("wv") == _LM_UNK).cast("long")).alias("n_oov"),
+            F.sum("cbg").alias("sum_cbg"),
+            F.sum("cun").alias("sum_cun"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_oov",
+            "sum_cbg",
+            "sum_cun",
+            F.expr(
+                "((sum_cbg + n_bigrams) * cast(1000000 as bigint)) div "
+                f"(sum_cun + n_bigrams * {_LM_V + 1})"
+            ).alias("lm_fit_ppm"),
+        )
+    )
+
+
+ORACLE_LM_FIT = f"""
+with tok as (
+  select doc_id,
+         generate_subscripts(string_split(text, ' '), 1) as i,
+         unnest(string_split(text, ' ')) as w
+  from documents
+),
+vocab as (
+  select w from (
+    select w, count(*) as c from tok group by w
+    order by c desc, w asc limit {_LM_V}
+  )
+),
+m as (
+  select t.doc_id, t.i,
+         case when v.w is null then chr(1) else t.w end as wv
+  from tok t left join vocab v on t.w = v.w
+),
+b as (
+  select doc_id, wv,
+         lag(wv) over (partition by doc_id order by i) as prev
+  from m
+),
+b2 as (select * from b where prev is not null),
+bg as (select prev, wv, count(*) as cbg from b2 group by 1, 2),
+un as (select prev, count(*) as cun from b2 group by 1)
+select b2.doc_id,
+       count(*) as n_bigrams,
+       cast(sum(case when b2.wv = chr(1) then 1 else 0 end) as bigint) as n_oov,
+       cast(sum(bg.cbg) as bigint) as sum_cbg,
+       cast(sum(un.cun) as bigint) as sum_cun,
+       cast((cast(sum(bg.cbg) as bigint) + count(*)) * 1000000::BIGINT as bigint)
+         // (cast(sum(un.cun) as bigint) + count(*) * {_LM_V + 1}) as lm_fit_ppm
+from b2
+join bg on b2.prev = bg.prev and b2.wv = bg.wv
+join un on b2.prev = un.prev
+group by b2.doc_id
+"""
+
+
+# q_lm_fit / ORACLE_LM_FIT are NOT in QUERIES/ORACLES: the driver
+# registry is at its 50-slot cap; the op gets the identical value-hash
+# oracle comparison at pytest level (test_pipeline_ops) instead.
 QUERIES = {
     "hll_users_by_type": q_hll_users_by_type,
     "decontaminate": q_decontaminate,

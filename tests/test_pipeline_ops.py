@@ -229,3 +229,49 @@ def test_pipeline_queries_vs_duckdb(spark, name):
     con = duck_con(SF_DIR)
     sdf = entry.queries()[name](spark, SF_DIR)
     assert compare(name, sdf, con, entry.oracle_sql()[name])
+
+
+# ---------------------------------------------------------------------------
+# bigram LM corpus-fit score (not in the 50-slot driver registry — the
+# identical value-hash oracle comparison runs here instead)
+# ---------------------------------------------------------------------------
+
+
+def test_lm_fit_vs_duckdb_value_hash(spark):
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.check_oracles import compare, duck_con
+
+    from sliding_window_aggregators_spark.plans.pipeline_queries import (
+        ORACLE_LM_FIT,
+        q_lm_fit,
+    )
+
+    con = duck_con(SF_DIR)
+    assert compare("lm_fit", q_lm_fit(spark, SF_DIR), con, ORACLE_LM_FIT)
+
+
+def test_lm_fit_planted_gibberish_scores_low(spark, tmp_path):
+    from sliding_window_aggregators_spark.plans.pipeline_queries import q_lm_fit
+
+    # 8 corpus-typical docs repeating the same phrases vs one gibberish
+    # doc of unique never-repeated tokens: every gibberish bigram has
+    # cbg=1 while typical-phrase bigrams have cbg≈8, so the pooled
+    # smoothed likelihood must rank gibberish strictly lowest
+    typical = "the cat sat on the mat and the dog ran to the cat"
+    rows = [(i, typical) for i in range(1, 9)]
+    rows.append((9, "qz wv xj kp bn md lt rs gh fy"))
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    got = {r["doc_id"]: r.asDict() for r in q_lm_fit(spark, sf_dir).collect()}
+    assert got[9]["lm_fit_ppm"] < min(got[i]["lm_fit_ppm"] for i in range(1, 9))
+    # tiny corpus: everything is inside the top-1024 vocab
+    assert all(v["n_oov"] == 0 for v in got.values())
+    # n_bigrams = tokens - 1 for every doc
+    assert got[1]["n_bigrams"] == len(typical.split(" ")) - 1
+    assert got[9]["n_bigrams"] == 9
+    # gibberish bigrams are all unique: sum_cbg == n_bigrams exactly
+    assert got[9]["sum_cbg"] == got[9]["n_bigrams"]
