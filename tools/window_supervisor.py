@@ -69,10 +69,15 @@ def main() -> None:
     ap.add_argument("--max-wait-s", type=float, default=18000.0)
     ap.add_argument("--max-runs-per-gate", type=int, default=3)
     ap.add_argument("--grid-min-bw1", type=float, default=3800.0)
-    ap.add_argument("--batch-min-bw1", type=float, default=1500.0)
+    # the 2->8 pair is bandwidth-bound at the 2- and 8-proc grants, not
+    # the 1-proc one: this host's windows often cap single-stream while
+    # granting healthy aggregate bandwidth (bw16 8-13 GB/s with bw1 at
+    # 0.3-0.6 GB/s) — exactly the per-executor-bandwidth regime a real
+    # cluster has, so gate the pair on bw2 + bw16
+    ap.add_argument("--batch-min-bw2", type=float, default=2500.0)
     ap.add_argument("--batch-min-bw16", type=float, default=8000.0)
     ap.add_argument("--stream-min-bw8", type=float, default=2000.0)
-    ap.add_argument("--stream-min-ratio", type=float, default=2.5)
+    ap.add_argument("--stream-min-ratio", type=float, default=2.0)
     ap.add_argument("--target", type=float, default=0.8)
     ap.add_argument("--log", default="/tmp/window_supervisor.jsonl")
     args = ap.parse_args()
@@ -105,11 +110,11 @@ def main() -> None:
         return ok
 
     def fire_batch(p):
-        # the supervisor IS the gate — one quick internal re-check only,
+        # the supervisor IS the gate — disarm the internal one entirely
         # so the healthy window isn't burned waiting on a second gate
         env = dict(os.environ,
-                   SWAG_SCALE_MIN_BW1=str(args.batch_min_bw1),
-                   SWAG_SCALE_MIN_BWN=str(args.batch_min_bw16),
+                   SWAG_SCALE_MIN_BW1="0",
+                   SWAG_SCALE_MIN_BWN="0",
                    SWAG_SCALE_GATE_ATTEMPTS="1")
         r = subprocess.run(
             [sys.executable, os.path.join(HERE, "bench_scaling.py")],
@@ -153,7 +158,7 @@ def main() -> None:
                 and p["bw1"] >= args.grid_min_bw1:
             matches.append(("grid", fire_grid))
         if not done["batch"] and runs["batch"] < args.max_runs_per_gate \
-                and p["bw1"] >= args.batch_min_bw1 and p["bw16"] >= args.batch_min_bw16:
+                and p["bw2"] >= args.batch_min_bw2 and p["bw16"] >= args.batch_min_bw16:
             matches.append(("batch", fire_batch))
         if not done["stream"] and runs["stream"] < args.max_runs_per_gate \
                 and p["bw8"] >= args.stream_min_bw8 \
