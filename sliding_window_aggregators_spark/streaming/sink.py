@@ -60,11 +60,23 @@ class ExactlyOnceParquetSink:
         # Spark jobs (a .count() here would re-execute the whole micro-batch
         # plan a second time, and for a nondeterministic upstream could even
         # disagree with what was written)
-        n = _footer_row_count(path)
+        per_file = _footer_row_counts(path)
         with open(
             os.path.join(self.metrics_dir, f"batch_{batch_id}.json"), "w"
         ) as fh:
-            json.dump({"batch_id": batch_id, "rows": n}, fh)
+            json.dump(
+                {
+                    "batch_id": batch_id,
+                    "rows": sum(per_file.values()),
+                    # per-partition lineage: one parquet file per write
+                    # partition; rows-per-file from the footers (no extra
+                    # Spark job), keyed by file name so a reader can join
+                    # back to the _partition_id column stamped on the rows
+                    "partitions": len(per_file),
+                    "rows_per_file": per_file,
+                },
+                fh,
+            )
         # atomic commit marker: the write is visible only once this exists
         tmp = self._marker(batch_id) + ".tmp"
         with open(tmp, "w") as fh:
@@ -84,15 +96,20 @@ class ExactlyOnceParquetSink:
         return spark.read.parquet(*paths) if paths else None
 
 
-def _footer_row_count(path: str) -> int:
-    """Sum of num_rows from the parquet footers under ``path``."""
+def _footer_row_counts(path: str) -> dict:
+    """num_rows per parquet file under ``path``, from the footers."""
     import pyarrow.parquet as pq
 
-    total = 0
-    for name in os.listdir(path):
-        if name.endswith(".parquet"):
-            total += pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
-    return total
+    return {
+        name: pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
+        for name in sorted(os.listdir(path))
+        if name.endswith(".parquet")
+    }
+
+
+def _footer_row_count(path: str) -> int:
+    """Sum of num_rows from the parquet footers under ``path``."""
+    return sum(_footer_row_counts(path).values())
 
 
 def write_stream_exactly_once(

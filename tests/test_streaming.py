@@ -168,6 +168,20 @@ def test_exactly_once_checkpoint_resume(spark, stream_dirs):
     replay_id = eos.committed_batches()[0]
     eos(spark.range(5).withColumnRenamed("id", "conv_id"), replay_id)
     assert total.count() == 400
+    # per-partition metrics: every committed batch has a metrics JSON
+    # whose per-file footer counts sum to its row count
+    import json as _json
+
+    for b in eos.committed_batches():
+        with open(os.path.join(out, "_metrics", f"batch_{b}.json")) as fh:
+            m = _json.load(fh)
+        assert m["batch_id"] == b
+        assert m["rows"] == sum(m["rows_per_file"].values())
+        assert m["partitions"] == len(m["rows_per_file"])
+    assert sum(
+        _json.load(open(os.path.join(out, "_metrics", f"batch_{b}.json")))["rows"]
+        for b in eos.committed_batches()
+    ) == 400
 
 
 def test_stream_stream_join_matches_batch_twin(spark, stream_dirs):
