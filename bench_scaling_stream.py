@@ -64,12 +64,22 @@ def build_zip(dst: str) -> None:
 
 
 def run_level(
-    cpus: int, src: str, zip_path: str, turns: int, multi: bool = False
+    cpus: int, src: str, zip_path: str, turns: int, multi: bool = False,
+    cluster: bool = False,
 ) -> dict:
     work = tempfile.mkdtemp(prefix=f"swag_stream_{cpus}_")
+    # cluster mode: N REAL single-core executor JVMs (Spark's
+    # local-cluster master) instead of N threads in one JVM. local[N]
+    # shares one JVM / one GC / one Arrow bridge / one Python-worker
+    # pool across all N slots — a shared-runtime artifact a real N→4N
+    # executor scale-out does not have. local-cluster[N,1,mem] gives
+    # every slot its own executor process (own heap, own bridge, own
+    # python workers), which is the honest two-cluster-size emulation
+    # the north rule's spark-submit criterion describes.
+    master = f"local-cluster[{cpus},1,4096]" if cluster else f"local[{cpus}]"
     cmd = [
         SPARK_SUBMIT,
-        "--master", f"local[{cpus}]",
+        "--master", master,
         "--py-files", zip_path,
         # 32 state partitions at EVERY level (not max(8, cpus)): with one
         # availableNow batch, a level running exactly one task wave lets
@@ -82,7 +92,9 @@ def run_level(
         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
         "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=1048576",
         "--conf", "spark.sql.session.timeZone=UTC",
-        "--conf", "spark.driver.memory=24g",
+        "--conf", ("spark.driver.memory=8g" if cluster
+                   else "spark.driver.memory=24g"),
+        *(["--conf", "spark.executor.memory=3g"] if cluster else []),
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.ui.showConsoleProgress=false",
         os.path.join(HERE, "jobs", "streaming_job.py"),
@@ -182,6 +194,11 @@ def main() -> None:
     ap.add_argument("--multi", action="store_true",
                     help="run the protocol-shaped 5-monoid x 3-window "
                          "window-shared job instead of the single sum")
+    ap.add_argument("--cluster", action="store_true",
+                    help="N real single-core executor JVMs per level "
+                         "(local-cluster[N,1,4096]) instead of N threads "
+                         "in one JVM — the honest multi-executor N vs 4N "
+                         "emulation")
     args = ap.parse_args()
 
     src = f"/tmp/swag_stream_src_{args.turns}_{args.convs}"
@@ -198,7 +215,8 @@ def main() -> None:
 
     probes = membw_probes()
     levels = {
-        c: run_level(c, src, zip_path, args.turns, multi=args.multi)
+        c: run_level(c, src, zip_path, args.turns, multi=args.multi,
+                     cluster=args.cluster)
         for c in (2, 8)
     }
     eff = (
@@ -215,6 +233,8 @@ def main() -> None:
             f"{args.turns} transcript turns, {args.convs} convs, 8 arrival "
             f"chunks, availableNow drain, exactly-once sink"
         ),
+        "mode": ("local-cluster[N,1,4096] — N isolated single-core "
+                 "executor JVMs" if args.cluster else "local[N]"),
         "levels": levels,
         "scaling_efficiency_2_to_8": round(eff, 3),
         "vm_context": probes,

@@ -78,6 +78,9 @@ def main() -> None:
     ap.add_argument("--batch-min-bw16", type=float, default=8000.0)
     ap.add_argument("--stream-min-bw8", type=float, default=2000.0)
     ap.add_argument("--stream-min-ratio", type=float, default=2.0)
+    ap.add_argument("--stream-cluster", action="store_true",
+                    help="fire the stream pair in local-cluster mode "
+                         "(N isolated executor JVMs per level)")
     ap.add_argument("--target", type=float, default=0.8)
     ap.add_argument("--log", default="/tmp/window_supervisor.jsonl")
     args = ap.parse_args()
@@ -132,11 +135,11 @@ def main() -> None:
         return eff is not None and eff >= args.target
 
     def fire_stream(p):
-        r = subprocess.run(
-            [sys.executable, os.path.join(HERE, "bench_scaling_stream.py"),
-             "--turns", "16777216", "--convs", "16384", "--multi"],
-            capture_output=True, text=True, timeout=7200,
-        )
+        cmd = [sys.executable, os.path.join(HERE, "bench_scaling_stream.py"),
+               "--turns", "16777216", "--convs", "16384", "--multi"]
+        if args.stream_cluster:
+            cmd.append("--cluster")
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=7200)
         eff = None
         try:
             rep = json.loads(r.stdout)
