@@ -72,18 +72,34 @@ from pyspark.sql import SparkSession
 from sliding_window_aggregators_spark.sources.session import _ship_package
 
 cpus = {cpus}
+cluster = {cluster}
 OPS = {ops!r}
 WINDOWS = {windows!r}
 
-spark = (SparkSession.builder.master(f"local[{{cpus}}]").appName(f"swag-scale-{{cpus}}")
+# cluster mode: N real single-core executor JVMs (own heap, GC, Arrow
+# bridge, Python workers each) instead of N threads in one JVM — the
+# honest multi-executor N vs 4N emulation; local[N]'s shared runtime is
+# an artifact a real executor scale-out does not have
+master = f"local-cluster[{{cpus}},1,2048]" if cluster else f"local[{{cpus}}]"
+builder = (SparkSession.builder.master(master).appName(f"swag-scale-{{cpus}}")
     .config("spark.sql.files.maxPartitionBytes", "1g")   # 1 bucket file = 1 task
     .config("spark.sql.files.openCostInBytes", "1g")
     .config("spark.sql.adaptive.enabled", "false")
     .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1048576")
     .config("spark.ui.enabled", "false")
-    .config("spark.ui.showConsoleProgress", "false")
-    .config("spark.driver.memory", "48g")
-    .getOrCreate())
+    .config("spark.ui.showConsoleProgress", "false"))
+if cluster:
+    builder = (builder
+        .config("spark.driver.memory", "16g")
+        .config("spark.executor.memory", "1536m")
+        # benchmark hygiene on one box: no locality trade-off, and the
+        # timed run must not start before all executors registered
+        .config("spark.locality.wait", "0s")
+        .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
+        .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s"))
+else:
+    builder = builder.config("spark.driver.memory", "48g")
+spark = builder.getOrCreate()
 _ship_package(spark)
 inp = spark.read.parquet({path!r})
 
@@ -129,9 +145,9 @@ def run_sub(code: str) -> str:
     return r.stdout
 
 
-def run_level(cpus: int, path: str) -> dict:
-    out = run_sub(WORKER.format(here=HERE, cpus=cpus, ops=OPS, windows=WINDOWS,
-                                path=path))
+def run_level(cpus: int, path: str, cluster: bool = False) -> dict:
+    out = run_sub(WORKER.format(here=HERE, cpus=cpus, cluster=cluster,
+                                ops=OPS, windows=WINDOWS, path=path))
     line = [ln for ln in out.strip().splitlines() if ln.startswith("{")]
     return json.loads(line[-1])
 
@@ -188,6 +204,11 @@ def main():
     ap.add_argument("--rewrite-only", action="store_true",
                     help="regenerate BENCH/BASELINE.md from the existing "
                          "run log without measuring anything")
+    ap.add_argument("--cluster", action="store_true",
+                    help="N real single-core executor JVMs per level "
+                         "(local-cluster[N,1,2048]) instead of N threads "
+                         "in one JVM — the honest multi-executor N vs 4N "
+                         "emulation")
     args = ap.parse_args()
 
     if args.rewrite_only:
@@ -223,7 +244,7 @@ def main():
         )
         time.sleep(60)
     probes = bw_probes()  # bandwidth window, immediately before the levels
-    levels = {c: run_level(c, path) for c in [2, 8, 32]}
+    levels = {c: run_level(c, path, cluster=args.cluster) for c in [2, 8, 32]}
     probes.update(cpu_probe())  # slow CPU probe after — doesn't burn window
 
     def eff(a, b):
@@ -235,6 +256,8 @@ def main():
             f"{len(WINDOWS)} windows {WINDOWS}, {args.turns} transcript turns, "
             f"{args.convs} convs (Zipf skew), bucketed+sorted scan, combine sink"
         ),
+        "mode": ("local-cluster[N,1,2048] — N isolated single-core "
+                 "executor JVMs" if args.cluster else "local[N]"),
         "levels": levels,
         "scaling_efficiency_2_to_8": round(eff(2, 8), 3),
         "scaling_efficiency_8_to_32": round(eff(8, 32), 3),
@@ -286,15 +309,23 @@ def write_baseline(report):
         else "(target ≥ 0.8 — NOT met in any window so far; see the run log "
         "and variance sections for the host-window context)."
     )
+    def _mode(r):
+        return "cluster" if "cluster" in r.get("mode", "local[N]") else "local"
+
     runlog_md = "\n".join(
-        f"| {_turns(r):,} | {r['scaling_efficiency_2_to_8']:.3f} | {r['scaling_efficiency_8_to_32']:.3f} "
+        f"| {_turns(r):,} | {_mode(r)} | {r['scaling_efficiency_2_to_8']:.3f} "
+        f"| {r['scaling_efficiency_8_to_32']:.3f} "
         f"| {r['vm_context']['membw_1proc_MBps']:,} | {r['vm_context']['membw_16proc_MBps']:,} "
         f"| {r['vm_context']['raw_cpu_scaling_eff_8_32']:.2f} |"
         for r in runs
     )
+    level_label = (
+        "local-cluster[{c},1,2048]" if _mode(report) == "cluster"
+        else "local[{c}]"
+    )
     rows_md = "\n".join(
-        f"| local[{c}] | {v['rows']} | {v['sec']:.2f} | {v['turns_per_sec']:,.0f} "
-        f"| {v['window_queries_per_sec']:,.0f} |"
+        f"| {level_label.format(c=c)} | {v['rows']} | {v['sec']:.2f} "
+        f"| {v['turns_per_sec']:,.0f} | {v['window_queries_per_sec']:,.0f} |"
         for c, v in levels.items()
     )
     md = f"""# BENCH/BASELINE — two-cluster-size scaling evidence
@@ -323,8 +354,8 @@ Headline = best run in `BENCH/scaling_runs.jsonl` (every probe-gated
 run, each with the membw/CPU probes measured immediately before it —
 the full log, nothing curated away):
 
-| turns | 2→8 eff | 8→32 eff | membw 1p MB/s | membw 16p MB/s | raw cpu 8→32 |
-|---|---|---|---|---|---|
+| turns | mode | 2→8 eff | 8→32 eff | membw 1p MB/s | membw 16p MB/s | raw cpu 8→32 |
+|---|---|---|---|---|---|---|
 {runlog_md}
 
 ## Why the high-count pair under-reports (measured, single box)

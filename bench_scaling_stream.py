@@ -94,7 +94,23 @@ def run_level(
         "--conf", "spark.sql.session.timeZone=UTC",
         "--conf", ("spark.driver.memory=8g" if cluster
                    else "spark.driver.memory=24g"),
-        *(["--conf", "spark.executor.memory=3g"] if cluster else []),
+        *(
+            [
+                "--conf", "spark.executor.memory=3g",
+                # benchmark hygiene for the multi-executor emulation:
+                # don't trade parallelism for locality on a single box
+                # (default 3s locality.wait serializes waves), and don't
+                # start the query until every executor has registered
+                # (else level-8's first batch runs on 2-3 executors and
+                # under-reports the level)
+                "--conf", "spark.locality.wait=0s",
+                "--conf", "spark.scheduler.minRegisteredResourcesRatio=1.0",
+                "--conf",
+                "spark.scheduler.maxRegisteredResourcesWaitingTime=60s",
+            ]
+            if cluster
+            else []
+        ),
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.ui.showConsoleProgress=false",
         os.path.join(HERE, "jobs", "streaming_job.py"),

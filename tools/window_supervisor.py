@@ -81,6 +81,9 @@ def main() -> None:
     ap.add_argument("--stream-cluster", action="store_true",
                     help="fire the stream pair in local-cluster mode "
                          "(N isolated executor JVMs per level)")
+    ap.add_argument("--batch-cluster", action="store_true",
+                    help="fire the batch pair in local-cluster mode "
+                         "(N isolated executor JVMs per level)")
     ap.add_argument("--target", type=float, default=0.8)
     ap.add_argument("--log", default="/tmp/window_supervisor.jsonl")
     args = ap.parse_args()
@@ -119,10 +122,11 @@ def main() -> None:
                    SWAG_SCALE_MIN_BW1="0",
                    SWAG_SCALE_MIN_BWN="0",
                    SWAG_SCALE_GATE_ATTEMPTS="1")
-        r = subprocess.run(
-            [sys.executable, os.path.join(HERE, "bench_scaling.py")],
-            capture_output=True, text=True, timeout=3600, env=env,
-        )
+        cmd = [sys.executable, os.path.join(HERE, "bench_scaling.py")]
+        if args.batch_cluster:
+            cmd.append("--cluster")
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600,
+                           env=env)
         eff = None
         try:
             txt = r.stdout
