@@ -125,6 +125,14 @@ def job():
     return inp.mapInPandas(gen, "rows long, sink double").groupBy().sum("rows").collect()[0][0]
 
 n = job()  # warm-up (JIT, Arrow init, python workers) — benchmark_core.h:100-109
+if cluster:
+    # after warm-up (all executors registered, python daemons forked):
+    # pin each executor JVM + descendants to ONE distinct core, so the
+    # N-executor level consumes exactly N cores of executor work — a
+    # 1-slot executor otherwise borrows idle host cores for GC/scan/
+    # python threads, inflating the low level and deflating efficiency
+    from sliding_window_aggregators_spark.sources.affinity import pin_executors
+    print(f"pinned executors: {{pin_executors(spark)}}", file=sys.stderr)
 dt = float("inf")
 for _ in range(2):
     t0 = time.perf_counter()

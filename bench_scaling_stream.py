@@ -120,6 +120,7 @@ def run_level(
         "--monoid", "sum",
         "--duration", "10 minutes",
         "--available-now",
+        *(["--pin-executors"] if cluster else []),
     ]
     if multi:
         # the protocol job shape (batch study parity): 5 monoids x 3
@@ -140,6 +141,8 @@ def run_level(
     # PythonRunner merges the job's stderr into spark-submit's stdout —
     # search both streams
     m = re.search(r"drain seconds: ([0-9.]+)", r.stdout + r.stderr)
+    mb = re.search(r"batch progress: (\[.*?\])\s*$",
+                   r.stdout + r.stderr, re.MULTILINE)
     # no marker → the boot-excluded drain time is unavailable; substitute
     # wall time but FLAG it so a scaling ratio over estimated drains is
     # never mistaken for the documented boot-excluded metric
@@ -164,6 +167,11 @@ def run_level(
     }
     if m is None:
         out["drain_estimated"] = True  # full process wall incl. JVM boot
+    if mb:
+        try:
+            out["batches"] = json.loads(mb.group(1))
+        except ValueError:
+            pass
     return out
 
 

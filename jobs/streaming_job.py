@@ -66,6 +66,11 @@ def main() -> None:
                     default="2 minutes,10 minutes,60 minutes")
     ap.add_argument("--available-now", action="store_true",
                     help="drain available input then stop (batch-mode run)")
+    ap.add_argument("--pin-executors", action="store_true",
+                    help="pin each executor JVM (+ descendants) to one "
+                         "distinct host core — single-box multi-executor "
+                         "emulation where an N-executor level must consume "
+                         "exactly N cores (see sources/affinity.py)")
     ap.add_argument("--combine-sink", action="store_true",
                     help="fold each micro-batch's per-turn results to one "
                          "row (count + per-column sums) before the "
@@ -91,6 +96,17 @@ def main() -> None:
     # launcher; getOrCreate attaches to it (local runs get local[*])
     spark = SparkSession.builder.appName("swag-streaming-job").getOrCreate()
     _ship_package(spark)
+
+    if args.pin_executors:
+        from sliding_window_aggregators_spark.sources.affinity import (
+            pin_executors,
+        )
+
+        # a JVM-only action forces full executor registration (the bench
+        # launch sets minRegisteredResourcesRatio=1.0) before pinning;
+        # python daemons fork later inside the stream and inherit the mask
+        spark.range(1 << 20).repartition(64).count()
+        print(f"pinned executors: {pin_executors(spark)}", file=sys.stderr)
 
     # glob one level so both flat files and per-arrival chunk directories
     # under the source root are picked up
@@ -173,6 +189,29 @@ def main() -> None:
     # streaming efficiency pair
     print(f"drain seconds: {time.perf_counter() - t0:.3f}", file=sys.stderr)
     print(f"committed batches: {sink.committed_batches()}", file=sys.stderr)
+    # per-batch duration breakdown (planning vs execution vs offset/WAL
+    # commits vs state-store commit) so a scaling study can tell engine
+    # work from fixed micro-batch machinery — one compact JSON line
+    try:
+        import json as _json
+
+        batches = []
+        for p in q.recentProgress:
+            p = _json.loads(p.json) if hasattr(p, "json") else p
+            rec = {
+                "batchId": p.get("batchId"),
+                "numInputRows": p.get("numInputRows"),
+                "durationMs": p.get("durationMs", {}),
+            }
+            ops = p.get("stateOperators") or []
+            if ops:
+                rec["stateCommitMs"] = sum(
+                    o.get("commitTimeMs", 0) for o in ops
+                )
+            batches.append(rec)
+        print("batch progress: " + _json.dumps(batches), file=sys.stderr)
+    except Exception as exc:  # diagnostics must never fail the job
+        print(f"batch progress unavailable: {exc!r}", file=sys.stderr)
 
 
 if __name__ == "__main__":
