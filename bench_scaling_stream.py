@@ -48,6 +48,23 @@ if not os.path.exists(os.path.join(path, "c0", "_SUCCESS")):
     for c in range(8):
         (df.where(F.col("turn_idx") % 8 == c).coalesce(4)
            .write.mode("overwrite").parquet(os.path.join(path, f"c{{c}}")))
+skew_path = os.path.join(path, "_skew.json")
+if not os.path.exists(skew_path):
+    # the state-partition histogram this input hashes into (F.hash IS the
+    # Murmur3 of HashPartitioning): the per-key-serial constraint of ANY
+    # per-key stateful engine makes the hottest partition a lower bound
+    # on the high-parallelism level's wall clock — record it so measured
+    # efficiency can be judged against the input's analytic ceiling
+    import json
+    nparts = 32
+    rows = (spark.read.parquet(os.path.join(path, "*"))
+            .groupBy(F.pmod(F.hash("conv_id"), F.lit(nparts)).alias("p"))
+            .count().collect())
+    counts = sorted((r["count"] for r in rows), reverse=True)
+    total = sum(counts)
+    with open(skew_path, "w") as fh:
+        json.dump({{"partitions": nparts, "total_rows": total,
+                    "partition_rows_desc": counts}}, fh)
 spark.stop()
 print("GEN_OK")
 """
@@ -65,7 +82,7 @@ def build_zip(dst: str) -> None:
 
 def run_level(
     cpus: int, src: str, zip_path: str, turns: int, multi: bool = False,
-    cluster: bool = False,
+    cluster: bool = False, halo: bool = False,
 ) -> dict:
     work = tempfile.mkdtemp(prefix=f"swag_stream_{cpus}_")
     # cluster mode: N REAL single-core executor JVMs (Spark's
@@ -121,6 +138,12 @@ def run_level(
         "--duration", "10 minutes",
         "--available-now",
         *(["--pin-executors"] if cluster else []),
+        # hot-key chunk-halo: the engine's answer to the input's serial-
+        # atom ceiling (see skew_model) — the 40 hottest conversations'
+        # state spreads over 96h event-time chunks (halo cost 60min/96h
+        # ≈ 1%), turning the Zipf head into balanced parallel groups
+        *(["--hot-keys-top", "40", "--chunk-span", "96 hours"]
+          if halo else []),
     ]
     if multi:
         # the protocol job shape (batch study parity): 5 monoids x 3
@@ -175,6 +198,41 @@ def run_level(
     return out
 
 
+def _lpt_makespan(atoms: list[int], n: int) -> int:
+    """Longest-processing-time greedy makespan of `atoms` on `n` cores —
+    what a perfect scheduler achieves on this partition histogram."""
+    import heapq
+
+    cores = [0] * n
+    for a in sorted(atoms, reverse=True):
+        heapq.heappush(cores, heapq.heappop(cores) + a)
+    return max(cores)
+
+
+def skew_model(src: str) -> dict | None:
+    """The input's analytic scaling envelope. Per-key ordered state makes
+    each of the 32 hash partitions an indivisible serial atom (true of ANY
+    per-key stateful engine — the hottest conversation cannot be split
+    without the halo decomposition); a perfect engine with a perfect
+    scheduler on this input therefore shows
+    eff_ideal(a→b) = (makespan_LPT(a)/makespan_LPT(b))/(b/a), not 1.0.
+    Measured efficiency should be read against this, and the gap closed by
+    engine work; the ceiling itself is closed only by hot-key chunking."""
+    import json as _json
+
+    p = os.path.join(src, "_skew.json")
+    if not os.path.exists(p):
+        return None
+    d = _json.load(open(p))
+    atoms = d["partition_rows_desc"]
+    t2, t8 = _lpt_makespan(atoms, 2), _lpt_makespan(atoms, 8)
+    return {
+        "state_partitions": d["partitions"],
+        "top_partition_share": round(atoms[0] / d["total_rows"], 4),
+        "ideal_eff_2_to_8": round((t2 / t8) / 4, 3),
+    }
+
+
 def _bw(_):
     import numpy as np
 
@@ -223,6 +281,10 @@ def main() -> None:
                          "(local-cluster[N,1,4096]) instead of N threads "
                          "in one JVM — the honest multi-executor N vs 4N "
                          "emulation")
+    ap.add_argument("--halo", action="store_true",
+                    help="hot-key chunk-halo decomposition (top-40 convs, "
+                         "96h spans): lifts the input's serial-atom "
+                         "scaling ceiling (see input_skew_model)")
     args = ap.parse_args()
 
     src = f"/tmp/swag_stream_src_{args.turns}_{args.convs}"
@@ -240,7 +302,7 @@ def main() -> None:
     probes = membw_probes()
     levels = {
         c: run_level(c, src, zip_path, args.turns, multi=args.multi,
-                     cluster=args.cluster)
+                     cluster=args.cluster, halo=args.halo)
         for c in (2, 8)
     }
     eff = (
@@ -251,6 +313,8 @@ def main() -> None:
         if args.multi
         else "sliding sum 10m"
     )
+    if args.halo:
+        shape += " + hot-key chunk-halo (top-40, 96h spans)"
     report = {
         "job": (
             f"spark-submit --py-files streaming job: {shape} over "
@@ -263,6 +327,20 @@ def main() -> None:
         "scaling_efficiency_2_to_8": round(eff, 3),
         "vm_context": probes,
     }
+    sk = skew_model(src)
+    if sk:
+        if args.halo:
+            sk["note"] = (
+                "hot-key chunk-halo active: the serial-atom ceiling below "
+                "is the UNCHUNKED plan's — this run's decomposition is "
+                "designed to beat it"
+            )
+        else:
+            sk["measured_over_ideal"] = (
+                round(eff / sk["ideal_eff_2_to_8"], 3)
+                if sk["ideal_eff_2_to_8"] else None
+            )
+        report["input_skew_model"] = sk
     print(json.dumps(report, indent=2))
 
 

@@ -71,6 +71,16 @@ def main() -> None:
                          "distinct host core — single-box multi-executor "
                          "emulation where an N-executor level must consume "
                          "exactly N cores (see sources/affinity.py)")
+    ap.add_argument("--hot-keys-top", type=int, default=0, metavar="N",
+                    help="chunk-halo decomposition for the N hottest "
+                         "conversations (discovered by a batch pre-read of "
+                         "--source): each hot key's sliding state spreads "
+                         "over one group per elapsed --chunk-span instead "
+                         "of one serial straggler group "
+                         "(streaming/engine.py _with_time_chunk_halo)")
+    ap.add_argument("--chunk-span", default="96 hours",
+                    help="event-time span of one hot-key chunk; must be "
+                         ">= the longest window duration")
     ap.add_argument("--combine-sink", action="store_true",
                     help="fold each micro-batch's per-turn results to one "
                          "row (count + per-column sums) before the "
@@ -108,6 +118,31 @@ def main() -> None:
         spark.range(1 << 20).repartition(64).count()
         print(f"pinned executors: {pin_executors(spark)}", file=sys.stderr)
 
+    hot_keys = None
+    if args.hot_keys_top:
+        # hot-key discovery: one batch aggregation over the source (a
+        # production deployment would read these from table stats or a
+        # sampled side job; the grouping expression must be fixed at
+        # query start, so the list is a plan-time input)
+        import time as _time
+
+        from pyspark.sql import functions as F
+
+        t_hot = _time.perf_counter()
+        hot_keys = [
+            r["conv_id"]
+            for r in spark.read.option("pathGlobFilter", "*.parquet")
+            .parquet(os.path.join(args.source, "*"))
+            .groupBy("conv_id").count()
+            .orderBy(F.desc("count"), "conv_id")
+            .limit(args.hot_keys_top).collect()
+        ]
+        print(
+            f"hot-key discovery seconds: {_time.perf_counter() - t_hot:.3f} "
+            f"({len(hot_keys)} keys)",
+            file=sys.stderr,
+        )
+
     # glob one level so both flat files and per-arrival chunk directories
     # under the source root are picked up
     stream = spark.readStream.schema(TRANSCRIPTS_SCHEMA).option(
@@ -137,6 +172,8 @@ def main() -> None:
             value_expr="length(text) + 1",
             watermark=args.watermark,
             int_values=True,
+            hot_keys=hot_keys,
+            chunk_span=args.chunk_span if hot_keys else None,
         )
     else:
         agg = sliding_agg_stream(
@@ -146,6 +183,8 @@ def main() -> None:
             duration=args.duration,
             watermark=args.watermark,
             out_col="wagg",
+            hot_keys=hot_keys,
+            chunk_span=args.chunk_span if hot_keys else None,
         )
     import time
 

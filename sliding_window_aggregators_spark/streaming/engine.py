@@ -15,11 +15,14 @@ stream, keyed by ``conv_id``:
 
 Scale design (10^12 turns): the only shuffle is the stateful operator's
 groupBy; state per key is O(rows inside 2× the duration window) in
-Arrow-friendly arrays. Hot-conversation skew: per-turn SLIDING aggregates
-need whole-key state (their outputs are not distributive over sub-
-streams) — the hot-key answer there is the batch chunked-halo kernel
-(operators/batch.py) / capacity planning; DISTRIBUTIVE tumbling
-aggregates get real salting via :func:`tumbling_stream_salted`
+Arrow-friendly arrays. Hot-conversation skew: per-turn SLIDING aggregate
+outputs are not distributive over sub-streams, so salting alone cannot
+split a key — hot keys are instead cut by the event-time CHUNK-HALO
+decomposition (``hot_keys``/``chunk_span`` on the sliding streams — one
+state group per elapsed span, each self-sufficient via a duration-long
+replicated halo; see :func:`_with_time_chunk_halo`), the streaming twin
+of the batch chunked-halo kernel (operators/batch.py). DISTRIBUTIVE
+tumbling aggregates get real salting via :func:`tumbling_stream_salted`
 (aggregate by (key, bucket, window), merge by (key, window)).
 """
 
@@ -91,6 +94,7 @@ def _ooo_sliding_step(
     out_col: str,
     dur_us: int,
     int_values: bool,
+    emit_col: str | None = None,
 ):
     """One micro-batch of the OOO sliding kernel against a key's
     OrderedAggState — shared by the applyInPandasWithState path
@@ -108,7 +112,11 @@ def _ooo_sliding_step(
     independent fixpoint — see the tie-semantics note in
     sliding_agg_stream's history). Eviction retains TWO durations behind
     the youngest: an admitted late row at the admit horizon folds back
-    to youngest − 2·duration. Returns the output DataFrame or None."""
+    to youngest − 2·duration. Returns the output DataFrame or None.
+
+    ``emit_col``: name of a boolean column marking HALO rows (the
+    chunk-halo decomposition's replicas) — they are inserted into state
+    like any row, but no output row is emitted for them."""
     from ..operators.kernels import interval_fold
 
     chunks = list(pdfs)
@@ -132,13 +140,94 @@ def _ooo_sliding_step(
         lo = np.searchsorted(st.ts, ts - dur_us, side="left")
         hi = np.searchsorted(st.ts, ts, side="right")
         res = monoid.lower(interval_fold(monoid, st.partials, lo, hi))
-        cols = {key_name: key_val, ts_col: pdf[ts_col].to_numpy()}
+        own = (
+            ~pdf[emit_col].to_numpy()
+            if emit_col is not None
+            else np.ones(len(pdf), dtype=bool)
+        )
+        cols = {key_name: key_val, ts_col: pdf[ts_col].to_numpy()[own]}
         for c in id_cols:
-            cols[c] = pdf[c].to_numpy()
-        cols[out_col] = res
-        outs.append(pd.DataFrame(cols))
+            cols[c] = pdf[c].to_numpy()[own]
+        cols[out_col] = res[own]
+        if own.any():
+            outs.append(pd.DataFrame(cols))
         st.bulk_evict(int(st.youngest()) - 2 * dur_us - 1)
     return pd.concat(outs) if outs else None
+
+
+def _with_time_chunk_halo(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    hot_keys: Sequence,
+    span_us: int,
+    dur_us: int,
+) -> DataFrame:
+    """Event-time chunk-halo decomposition for HOT keys — the streaming
+    twin of the batch chunked-halo (operators/batch.py
+    ``sliding_rows_kernel_parallel``).
+
+    Per-key ordered sliding state is a serial atom: ONE conversation
+    carrying 14% of all rows bounds the whole cluster's makespan (the
+    measured ceiling in BENCH/BASELINE.md's skew model). For keys listed
+    in ``hot_keys``, time is cut into spans of ``span_us``; a row is
+    OWNED by chunk ``floor(ts/span)`` under the composite group key
+    ``(key, _ck)``, and rows in the last ``dur_us`` of a span are
+    REPLICATED (``_halo=true``) into the next chunk so every owned row's
+    ``[ts − duration, ts]`` window is complete inside its own chunk.
+    Each (key, chunk) is then an independent state partition: a 10^9-turn
+    conversation becomes span-many parallel state groups instead of one
+    straggler, at a replication cost of ``duration/span``. Cold keys get
+    the sentinel chunk −1 — one group per key, exactly the unchunked
+    plan. Exact for every monoid (the fold never crosses a chunk's
+    replicated horizon); the only behavioural delta is the late-row
+    admission heuristic (drop older than youngest − duration), which is
+    evaluated per chunk and therefore admits ≥ what the whole-key state
+    admits — strictly closer to the batch recompute.
+
+    Implemented as one generator (explode of 1–2 per-row chunk
+    assignments), not a self-union: the stream source is scanned ONCE
+    per micro-batch."""
+    us = F.unix_micros(F.col(ts_col))
+    hot = F.col(key).isin(list(hot_keys))
+    ck = F.floor(us / F.lit(span_us)).cast("long")
+    cold = F.lit(-1).cast("long")
+    no = F.lit(False)
+
+    def pair(c, h):
+        return F.struct(c.alias("c"), h.alias("h"))
+
+    assign = (
+        F.when(
+            hot & (us % F.lit(span_us) >= F.lit(span_us - dur_us)),
+            F.array(pair(ck, no), pair(ck + 1, F.lit(True))),
+        )
+        .when(hot, F.array(pair(ck, no)))
+        .otherwise(F.array(pair(cold, no)))
+    )
+    return (
+        df.withColumn("_a", F.explode(assign))
+        .withColumn("_ck", F.col("_a.c").cast("long"))
+        .withColumn("_halo", F.col("_a.h"))
+        .drop("_a")
+    )
+
+
+def _chunk_timeout(state: GroupState, ck, span_us: int, dur_us: int) -> None:
+    """Arm event-time expiry for a finished hot chunk's state: once the
+    watermark passes chunk-end + 2·duration no late row can target the
+    chunk, so its state is dead weight — without this, chunked hot keys
+    would accrete one state entry per elapsed span forever. Cold keys
+    (sentinel chunk −1) keep the unchunked lifetime."""
+    if ck is None or int(ck) < 0:
+        return
+    end_ms = ((int(ck) + 1) * span_us + 2 * dur_us) // 1000
+    try:
+        wm = state.getCurrentWatermarkMs()
+    except Exception:
+        wm = 0
+    # Spark requires a timeout strictly beyond the current watermark
+    state.setTimeoutTimestamp(max(end_ms, wm + 1))
 
 
 def sliding_agg_stream(
@@ -154,6 +243,8 @@ def sliding_agg_stream(
     id_cols: Sequence[str] = (),
     int_values: bool = False,
     min_state_partitions: int | None = STATE_PARTITION_FLOOR,
+    hot_keys: Sequence | None = None,
+    chunk_span: str | None = None,
 ) -> DataFrame:
     """Per-turn sliding event-time aggregate over a streaming DataFrame.
 
@@ -163,9 +254,23 @@ def sliding_agg_stream(
     they are never inserted into state, only aligned with the per-row
     answers, so a driver/oracle can join on a stable row identity even
     under duplicate timestamps. ``int_values=True`` runs the monoid over
-    exact int64 (the cents discipline: bit-identical to a SQL oracle)."""
+    exact int64 (the cents discipline: bit-identical to a SQL oracle).
+
+    ``hot_keys`` + ``chunk_span``: chunk-halo decomposition for skewed
+    keys (see :func:`_with_time_chunk_halo`) — the listed keys' state and
+    work spread over one group per elapsed ``chunk_span`` instead of one
+    serial group, with expired chunks dropped by event-time timeout.
+    ``chunk_span`` must be ≥ ``duration`` (halo replicas come only from
+    the immediately preceding chunk)."""
     dur_us = _interval_us(duration)
     monoid = get_monoid(monoid_name, np.int64 if int_values else np.float64)
+    chunked = bool(hot_keys) and chunk_span is not None
+    span_us = _interval_us(chunk_span) if chunk_span is not None else None
+    if chunked and span_us < dur_us:
+        raise ValueError(
+            f"chunk_span ({chunk_span}) must be >= duration ({duration}): "
+            "the halo only replicates from the immediately preceding chunk"
+        )
 
     id_cols = [c for c in id_cols if c not in (key, ts_col)]
     out_type = _OUT_SPARK_TYPE[monoid_name]
@@ -182,6 +287,9 @@ def sliding_agg_stream(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if chunked and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             st = OrderedAggState.loads(bytes(state.get[0]), monoid)
         else:
@@ -190,8 +298,11 @@ def sliding_agg_stream(
             st, pdfs, monoid=monoid, vcol="__v", key_name=key,
             key_val=key_tuple[0], ts_col=ts_col, id_cols=id_cols,
             out_col=out_col, dur_us=dur_us, int_values=int_values,
+            emit_col="_halo" if chunked else None,
         )
         state.update((bytearray(st.dumps()),))
+        if chunked:
+            _chunk_timeout(state, key_tuple[1], span_us, dur_us)
         if out is not None:
             yield out
 
@@ -202,15 +313,21 @@ def sliding_agg_stream(
     # transcripts stream) rides the hash exchange AND the Arrow bridge,
     # turning a kernel-bound operator into a bandwidth-bound one (measured
     # ~6x less stream bytes on the 16M-turn scaling job)
-    prepared = (
-        df.withColumn("__v", F.expr(value_expr))
-        .select(key, ts_col, *id_cols, "__v")
-        .withWatermark(ts_col, watermark)
+    prepared = df.withColumn("__v", F.expr(value_expr)).select(
+        key, ts_col, *id_cols, "__v"
     )
+    if chunked:
+        prepared = _with_time_chunk_halo(
+            prepared, key, ts_col, hot_keys, span_us, dur_us
+        )
+    prepared = prepared.withWatermark(ts_col, watermark)
+    group_cols = [key, "_ck"] if chunked else [key]
     return (
-        prepared.groupBy(key)
+        prepared.groupBy(*group_cols)
         .applyInPandasWithState(
-            fn, out_schema, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+            fn, out_schema, STATE_SCHEMA, "append",
+            GroupStateTimeout.EventTimeTimeout if chunked
+            else GroupStateTimeout.NoTimeout,
         )
     )
 
@@ -227,6 +344,8 @@ def sliding_agg_stream_multi(
     int_values: bool = False,
     min_state_partitions: int | None = STATE_PARTITION_FLOOR,
     value_exprs: Sequence[str] | None = None,
+    hot_keys: Sequence | None = None,
+    chunk_span: str | None = None,
 ) -> DataFrame:
     """WINDOW-SHARED multi-aggregate per-turn sliding stream — the
     reference's shared-window mode (cpp/src/benchmark_core.h:472-562:
@@ -251,6 +370,11 @@ def sliding_agg_stream_multi(
     LONGEST duration, so every window's query range is always fully
     retained.
 
+    ``hot_keys`` + ``chunk_span``: chunk-halo decomposition for skewed
+    keys (see :func:`_with_time_chunk_halo`); the halo span uses the
+    LONGEST duration, so every window's range stays complete within its
+    chunk, and expired chunk state is dropped by event-time timeout.
+
     ``value_exprs`` (one SQL expression per monoid) lifts a DIFFERENT
     input per aggregate — e.g. ``sum(length(text))`` + ``max(turn_idx)``
     + ``mincount(length(tool))`` fused in the one stateful operator, the
@@ -262,6 +386,13 @@ def sliding_agg_stream_multi(
     ``w{mi}_{name}_{i}``."""
     dur_us = [_interval_us(d) for d in durations]
     max_dur = max(dur_us)
+    chunked = bool(hot_keys) and chunk_span is not None
+    span_us = _interval_us(chunk_span) if chunk_span is not None else None
+    if chunked and span_us < max_dur:
+        raise ValueError(
+            f"chunk_span ({chunk_span}) must be >= the longest duration: "
+            "the halo only replicates from the immediately preceding chunk"
+        )
     ms = [
         get_monoid(name, np.int64 if int_values else np.float64)
         for name in monoids
@@ -304,6 +435,9 @@ def sliding_agg_stream_multi(
     ) -> Iterator[pd.DataFrame]:
         from ..operators.kernels import interval_fold
 
+        if chunked and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             blobs = pickle.loads(bytes(state.get[0]))
             sts = [
@@ -329,7 +463,12 @@ def sliding_agg_stream_multi(
             for s in range(len(slot_of_expr)):
                 v = pdf[f"__v{s}"].to_numpy()
                 slot_vals.append(v.astype(np.int64) if int_values else v)
-            cols = {key: key_tuple[0], ts_col: pdf[ts_col].to_numpy()}
+            own = (
+                ~pdf["_halo"].to_numpy()
+                if chunked
+                else np.ones(len(pdf), dtype=bool)
+            )
+            cols = {key: key_tuple[0], ts_col: pdf[ts_col].to_numpy()[own]}
             for mi, (m, st) in enumerate(zip(ms, sts)):
                 st.bulk_insert(ts, m.lift(slot_vals[expr_slot[mi]]))
             hi = np.searchsorted(sts[0].ts, ts, side="right")
@@ -339,14 +478,19 @@ def sliding_agg_stream_multi(
             ]
             for c, mi, di in out_cols:
                 m, st = ms[mi], sts[mi]
-                cols[c] = m.lower(interval_fold(m, st.partials, los[di], hi))
-            outs.append(pd.DataFrame(cols))
+                cols[c] = m.lower(
+                    interval_fold(m, st.partials, los[di], hi)
+                )[own]
+            if own.any():
+                outs.append(pd.DataFrame(cols))
             horizon = int(sts[0].youngest()) - 2 * max_dur - 1
             for st in sts:
                 st.bulk_evict(horizon)
         state.update(
             (bytearray(pickle.dumps([st.dumps() for st in sts])),)
         )
+        if chunked:
+            _chunk_timeout(state, key_tuple[1], span_us, max_dur)
         if outs:
             yield pd.concat(outs)
 
@@ -358,9 +502,17 @@ def sliding_agg_stream_multi(
         prepared = prepared.withColumn(f"__v{s}", F.expr(expr))
     prepared = prepared.select(
         key, ts_col, *[f"__v{s}" for s in range(len(slot_of_expr))]
-    ).withWatermark(ts_col, watermark)
-    return prepared.groupBy(key).applyInPandasWithState(
-        fn, out_schema, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )
+    if chunked:
+        prepared = _with_time_chunk_halo(
+            prepared, key, ts_col, hot_keys, span_us, max_dur
+        )
+    prepared = prepared.withWatermark(ts_col, watermark)
+    group_cols = [key, "_ck"] if chunked else [key]
+    return prepared.groupBy(*group_cols).applyInPandasWithState(
+        fn, out_schema, STATE_SCHEMA, "append",
+        GroupStateTimeout.EventTimeTimeout if chunked
+        else GroupStateTimeout.NoTimeout,
     )
 
 

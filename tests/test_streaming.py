@@ -1145,3 +1145,170 @@ def test_conversation_timeout_stream_matches_session_recompute(
     # the boundary-spanning session really is one 4-turn closure
     c1_first = got[got["conv_id"] == "c1"].iloc[0]
     assert int(c1_first["n_turns"]) == 4
+
+
+def test_chunk_span_shorter_than_duration_rejected(spark, stream_dirs):
+    src, _out, _ckpt = stream_dirs
+    pdf = transcripts_pandas(50, 4)
+    _write_chunk(spark, src, pdf, "c0")
+    with pytest.raises(ValueError, match="chunk_span"):
+        sliding_agg_stream(
+            _read_stream(spark, src),
+            duration="10 minutes",
+            chunk_span="2 minutes",
+            hot_keys=["conv000000"],
+        )
+
+
+def test_sliding_agg_stream_chunk_halo_matches_unchunked(spark, stream_dirs):
+    """Hot-key event-time chunk-halo decomposition: identical per-turn
+    answers to the whole-key plan while the hot key's state spreads over
+    one group per elapsed chunk span (more state groups, same output)."""
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(800, 6)  # ts spans ~13 min; few convs -> hot
+    hot = pdf["conv_id"].value_counts().index[0]
+    _write_chunk(spark, src, pdf.iloc[:400], "c0")
+    _write_chunk(spark, src, pdf.iloc[400:], "c1")
+
+    def run(tag, **extra):
+        stream = sliding_agg_stream(
+            _read_stream(spark, src),
+            monoid_name="sum",
+            value_expr="length(text)",
+            duration="2 minutes",
+            out_col="wsum",
+            id_cols=("turn_idx",),
+            **extra,
+        )
+        q, sink = write_stream_exactly_once(
+            stream, f"{out}_{tag}", f"{ckpt}_{tag}"
+        )
+        q.awaitTermination(180)
+        import json as _json
+
+        state_rows = None
+        for p in q.recentProgress:
+            d = _json.loads(p.json) if hasattr(p, "json") else p
+            ops = d.get("stateOperators") or []
+            if ops and d.get("numInputRows"):
+                state_rows = ops[0].get("numRowsTotal")
+        got = (
+            sink.read_committed(spark)
+            .select("conv_id", "turn_idx", "wsum")
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        return got, state_rows
+
+    plain, plain_state = run("plain")
+    chunked, chunked_state = run(
+        "halo", hot_keys=[hot], chunk_span="5 minutes"
+    )
+    assert len(chunked) == len(plain) == 800
+    pd.testing.assert_frame_equal(chunked, plain)
+    # the hot key really was decomposed: more state groups than the
+    # whole-key plan's one-per-conv (13 min of data / 5 min spans)
+    assert chunked_state is not None and plain_state is not None
+    assert chunked_state > plain_state
+
+
+def test_sliding_agg_stream_multi_chunk_halo_matches_unchunked(
+    spark, stream_dirs
+):
+    """The window-shared multi-aggregate stream under hot-key chunking:
+    every monoid x duration column equal to the whole-key plan, across a
+    micro-batch boundary, halo span taken from the LONGEST duration."""
+    from sliding_window_aggregators_spark.streaming import (
+        sliding_agg_stream_multi,
+    )
+
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(700, 5)
+    counts = pdf["conv_id"].value_counts()
+    hots = list(counts.index[:2])
+    _write_chunk(spark, src, pdf.iloc[:350], "c0")
+    _write_chunk(spark, src, pdf.iloc[350:], "c1")
+
+    def run(tag, **extra):
+        stream = sliding_agg_stream_multi(
+            _read_stream(spark, src),
+            monoids=("sum", "max"),
+            durations=("1 minutes", "2 minutes"),
+            value_expr="length(text)",
+            int_values=True,
+            **extra,
+        )
+        q, sink = write_stream_exactly_once(
+            stream, f"{out}_{tag}", f"{ckpt}_{tag}"
+        )
+        q.awaitTermination(180)
+        got = (
+            sink.read_committed(spark)
+            .select("conv_id", "ts", "wsum_0", "wsum_1", "wmax_0", "wmax_1")
+            .toPandas()
+            .sort_values(["conv_id", "ts"])
+            .reset_index(drop=True)
+        )
+        return got
+
+    plain = run("plain")
+    chunked = run("halo", hot_keys=hots, chunk_span="5 minutes")
+    assert len(chunked) == len(plain) == 700
+    pd.testing.assert_frame_equal(chunked, plain)
+
+
+def test_chunk_halo_expired_chunk_state_removed(spark, stream_dirs):
+    """Event-time timeout hygiene: once the watermark passes a chunk's
+    end + 2x duration, that chunk's state group is REMOVED — chunked hot
+    keys must not accrete one dead group per elapsed span forever."""
+    import json as _json
+
+    src, out, ckpt = stream_dirs
+    early = transcripts_pandas(600, 4)  # ~10 min of event time
+    late = transcripts_pandas(650, 4).iloc[600:].copy()
+    late["ts"] = late["ts"] + pd.Timedelta(hours=8)  # watermark leap
+    hot = early["conv_id"].value_counts().index[0]
+    _write_chunk(spark, src, early, "c0")
+
+    stream = sliding_agg_stream(
+        _read_stream(spark, src),
+        monoid_name="sum",
+        value_expr="length(text)",
+        duration="2 minutes",
+        out_col="wsum",
+        hot_keys=[hot],
+        chunk_span="3 minutes",
+    )
+    q, sink = write_stream_exactly_once(stream, out, ckpt)
+    q.awaitTermination(180)
+
+    _write_chunk(spark, src, late, "c1")
+    q2, sink2 = write_stream_exactly_once(
+        sliding_agg_stream(
+            _read_stream(spark, src),
+            monoid_name="sum",
+            value_expr="length(text)",
+            duration="2 minutes",
+            out_col="wsum",
+            hot_keys=[hot],
+            chunk_span="3 minutes",
+        ),
+        out,
+        ckpt,
+    )
+    q2.awaitTermination(180)
+
+    totals = []
+    for p in q2.recentProgress:
+        d = _json.loads(p.json) if hasattr(p, "json") else p
+        ops = d.get("stateOperators") or []
+        if ops:
+            totals.append(
+                (ops[0].get("numRowsTotal"), ops[0].get("numRowsRemoved"))
+            )
+    # the 8h-later batch advances the watermark past every early chunk's
+    # deadline: groups are removed and the steady-state count collapses
+    # to the cold convs + the single live chunk
+    assert any((r or 0) > 0 for _t, r in totals)
+    assert totals[-1][0] <= 4 + 2

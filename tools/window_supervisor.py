@@ -84,6 +84,9 @@ def main() -> None:
     ap.add_argument("--batch-cluster", action="store_true",
                     help="fire the batch pair in local-cluster mode "
                          "(N isolated executor JVMs per level)")
+    ap.add_argument("--stream-halo", action="store_true",
+                    help="fire the stream pair with hot-key chunk-halo "
+                         "(the engine's skew answer)")
     ap.add_argument("--target", type=float, default=0.8)
     ap.add_argument("--log", default="/tmp/window_supervisor.jsonl")
     args = ap.parse_args()
@@ -143,6 +146,8 @@ def main() -> None:
                "--turns", "16777216", "--convs", "16384", "--multi"]
         if args.stream_cluster:
             cmd.append("--cluster")
+        if args.stream_halo:
+            cmd.append("--halo")
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=7200)
         eff = None
         try:
