@@ -262,10 +262,18 @@ def bw_probes() -> dict:
     every probe-second spent before the levels is window burned."""
     with mp.Pool(1) as p:
         bw1 = sum(p.map(_bw, range(1)))
+    with mp.Pool(2) as p:
+        bw2 = sum(p.map(_bw, range(2)))
+    with mp.Pool(8) as p:
+        bw8 = sum(p.map(_bw, range(8)))
     with mp.Pool(16) as p:
         bwN = sum(p.map(_bw, range(16)))
     return {
         "membw_1proc_MBps": round(bw1),
+        # the 2- and 8-proc grants bound what a bandwidth-bound 2->8 pair
+        # can show: eff <= (bw8/bw2)/4 (the round-4 grant law)
+        "membw_2proc_MBps": round(bw2),
+        "membw_8proc_MBps": round(bw8),
         "membw_16proc_MBps": round(bwN),
     }
 

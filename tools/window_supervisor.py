@@ -87,6 +87,8 @@ def main() -> None:
     ap.add_argument("--stream-halo", action="store_true",
                     help="fire the stream pair with hot-key chunk-halo "
                          "(the engine's skew answer)")
+    ap.add_argument("--batch-halo", action="store_true",
+                    help="fire the batch pair on the chunked-halo layout")
     ap.add_argument("--target", type=float, default=0.8)
     ap.add_argument("--log", default="/tmp/window_supervisor.jsonl")
     args = ap.parse_args()
@@ -128,6 +130,8 @@ def main() -> None:
         cmd = [sys.executable, os.path.join(HERE, "bench_scaling.py")]
         if args.batch_cluster:
             cmd.append("--cluster")
+        if args.batch_halo:
+            cmd.append("--halo")
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600,
                            env=env)
         eff = None
