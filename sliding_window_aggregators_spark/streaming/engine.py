@@ -162,6 +162,8 @@ def _with_time_chunk_halo(
     hot_keys: Sequence,
     span_us: int,
     dur_us: int,
+    ck_col: str = "_ck",
+    halo_col: str = "_halo",
 ) -> DataFrame:
     """Event-time chunk-halo decomposition for HOT keys — the streaming
     twin of the batch chunked-halo (operators/batch.py
@@ -205,11 +207,12 @@ def _with_time_chunk_halo(
         .when(hot, F.array(pair(ck, no)))
         .otherwise(F.array(pair(cold, no)))
     )
+    tmp = "swag_assign" if ck_col[0] != "_" else "_a"
     return (
-        df.withColumn("_a", F.explode(assign))
-        .withColumn("_ck", F.col("_a.c").cast("long"))
-        .withColumn("_halo", F.col("_a.h"))
-        .drop("_a")
+        df.withColumn(tmp, F.explode(assign))
+        .withColumn(ck_col, F.col(f"{tmp}.c").cast("long"))
+        .withColumn(halo_col, F.col(f"{tmp}.h"))
+        .drop(tmp)
     )
 
 
@@ -698,6 +701,8 @@ def sliding_agg_stream_tws(
     id_cols: Sequence[str] = (),
     int_values: bool = False,
     min_state_partitions: int | None = STATE_PARTITION_FLOOR,
+    hot_keys: Sequence | None = None,
+    chunk_span: str | None = None,
 ) -> DataFrame:
     """:func:`sliding_agg_stream` on Spark 4's
     ``transformWithStateInPandas`` — the OOO ordered-aggregate state
@@ -710,7 +715,15 @@ def sliding_agg_stream_tws(
 
     Requires google.protobuf for the Python↔state-server protocol — a
     real wheel or the vendored mini-runtime (compat.ensure_protobuf),
-    and a RocksDB state-store provider on the session."""
+    and a RocksDB state-store provider on the session.
+
+    ``hot_keys`` + ``chunk_span``: the chunk-halo decomposition (see
+    :func:`_with_time_chunk_halo`) under THIS API too — columns are
+    named ``swag_ck``/``swag_halo`` (the TWS input path's namedtuple
+    ``rename=True`` mangles leading underscores), and expired chunks are
+    dropped through the production TIMER protocol (``registerTimer`` at
+    chunk-end + 2·duration, state cleared in ``handleExpiredTimer``)
+    instead of applyInPandasWithState's GroupStateTimeout."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -718,6 +731,13 @@ def sliding_agg_stream_tws(
 
     dur_us = _interval_us(duration)
     monoid = get_monoid(monoid_name, np.int64 if int_values else np.float64)
+    chunked = bool(hot_keys) and chunk_span is not None
+    span_us = _interval_us(chunk_span) if chunk_span is not None else None
+    if chunked and span_us < dur_us:
+        raise ValueError(
+            f"chunk_span ({chunk_span}) must be >= duration ({duration}): "
+            "the halo only replicates from the immediately preceding chunk"
+        )
     id_cols = [c for c in id_cols if c not in (key, ts_col)]
     out_type = _OUT_SPARK_TYPE[monoid_name]
     key_t = df.schema[key].dataType.simpleString()
@@ -730,6 +750,7 @@ def sliding_agg_stream_tws(
 
     class OooSlidingProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
             self._state = handle.getValueState("ordered", "blob binary")
 
         def handleInputRows(self, key_tuple, rows, timer_values):
@@ -742,9 +763,25 @@ def sliding_agg_stream_tws(
                 st, rows, monoid=monoid, vcol="swag_v", key_name=key,
                 key_val=key_tuple[0], ts_col=ts_col, id_cols=id_cols,
                 out_col=out_col, dur_us=dur_us, int_values=int_values,
+                emit_col="swag_halo" if chunked else None,
             )
             self._state.update((bytearray(st.dumps()),))
+            if chunked and key_tuple[1] is not None and int(key_tuple[1]) >= 0:
+                # production-timer twin of _chunk_timeout: re-arm expiry
+                # at chunk-end + 2·duration (ms-granular, ceil)
+                deadline = -(
+                    ((int(key_tuple[1]) + 1) * span_us + 2 * dur_us) // -1000
+                )
+                for t in list(self._handle.listTimers()):
+                    self._handle.deleteTimer(t)
+                self._handle.registerTimer(deadline)
             return iter([out] if out is not None else [])
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # the chunk's watermark deadline passed: no in-watermark row
+            # can still target it — drop the dead ordered state
+            self._state.clear()
+            return iter([])
 
         def close(self) -> None:
             pass
@@ -753,16 +790,21 @@ def sliding_agg_stream_tws(
     # prune before the stateful shuffle (see sliding_agg_stream); the
     # lifted column must not start with an underscore on the TWS path
     # (namedtuple rename=True mangles leading-underscore names to _N)
-    prepared = (
-        df.withColumn("swag_v", F.expr(value_expr))
-        .select(key, ts_col, *id_cols, "swag_v")
-        .withWatermark(ts_col, watermark)
+    prepared = df.withColumn("swag_v", F.expr(value_expr)).select(
+        key, ts_col, *id_cols, "swag_v"
     )
-    return prepared.groupBy(key).transformWithStateInPandas(
+    if chunked:
+        prepared = _with_time_chunk_halo(
+            prepared, key, ts_col, hot_keys, span_us, dur_us,
+            ck_col="swag_ck", halo_col="swag_halo",
+        )
+    prepared = prepared.withWatermark(ts_col, watermark)
+    group_cols = [key, "swag_ck"] if chunked else [key]
+    return prepared.groupBy(*group_cols).transformWithStateInPandas(
         statefulProcessor=OooSlidingProcessor(),
         outputStructType=out_schema,
         outputMode="Append",
-        timeMode="None",
+        timeMode="EventTime" if chunked else "None",
     )
 
 

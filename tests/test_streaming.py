@@ -1312,3 +1312,70 @@ def test_chunk_halo_expired_chunk_state_removed(spark, stream_dirs):
     # to the cold convs + the single live chunk
     assert any((r or 0) > 0 for _t, r in totals)
     assert totals[-1][0] <= 4 + 2
+
+
+@pytest.mark.skipif(
+    not _tws_protocol_available(),
+    reason="no google.protobuf wheel and the vendored mini-runtime failed "
+    "to import",
+)
+def test_sliding_agg_stream_tws_chunk_halo_matches_plain(spark, stream_dirs):
+    """Chunk-halo under the PRODUCTION arbitrary-state API: the TWS path
+    with hot-key chunking (swag_ck/swag_halo columns, timer-based chunk
+    expiry through RegisterTimer/handleExpiredTimer) must equal the
+    whole-key applyInPandasWithState plan, over OOO arrivals spanning two
+    micro-batches."""
+    from sliding_window_aggregators_spark.streaming import (
+        sliding_agg_stream_tws,
+    )
+
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(500, 6, ooo_distance=30, ooo_every=5)
+    hot = pdf["conv_id"].value_counts().index[0]
+    _write_chunk(spark, src, pdf.iloc[:250], "c0")
+    _write_chunk(spark, src, pdf.iloc[250:], "c1")
+
+    def run(factory, out_dir, ckpt_dir, **extra):
+        stream = factory(
+            spark.readStream.schema(SCHEMA)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*")),
+            monoid_name="sum",
+            value_expr="length(text)",
+            duration="2 minutes",
+            out_col="wsum",
+            **extra,
+        )
+        q, sink = write_stream_exactly_once(stream, out_dir, ckpt_dir)
+        q.awaitTermination(180)
+        return (
+            sink.read_committed(spark)
+            .select("conv_id", "ts", "wsum")
+            .toPandas()
+            .sort_values(["conv_id", "ts", "wsum"])
+            .reset_index(drop=True)
+        )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got_tws = run(
+            sliding_agg_stream_tws, out + "_twsh", ckpt + "_twsh",
+            hot_keys=[hot], chunk_span="3 minutes",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    got_plain = run(sliding_agg_stream, out + "_p", ckpt + "_p")
+
+    assert len(got_tws) == len(got_plain) == 500
+    pd.testing.assert_frame_equal(got_tws, got_plain)
