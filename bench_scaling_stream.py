@@ -348,6 +348,8 @@ def main() -> None:
         ),
         "mode": ("local-cluster[N,1,4096] — N isolated single-core "
                  "executor JVMs" if args.cluster else "local[N]"),
+        "cluster": args.cluster,
+        "halo": args.halo,
         "levels": levels,
         "scaling_efficiency_2_to_8": round(eff, 3),
         "vm_context": probes,

@@ -157,8 +157,11 @@ def main() -> None:
         try:
             rep = json.loads(r.stdout)
             rep["gate_probe"] = p
-            with open("/tmp/stream_watch_r5c.jsonl", "a") as fh:
-                fh.write(json.dumps(rep) + "\n")
+            for path in ("/tmp/stream_watch_r5c.jsonl",
+                         os.path.join(HERE, "BENCH",
+                                      "stream_scaling_runs.jsonl")):
+                with open(path, "a") as fh:
+                    fh.write(json.dumps(rep) + "\n")
             eff = rep["scaling_efficiency_2_to_8"]
         except Exception:
             pass
