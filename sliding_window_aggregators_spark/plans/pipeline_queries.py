@@ -703,6 +703,124 @@ group by b2.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Token-budget document chunking with overlap (the pretraining chunker)
+# ---------------------------------------------------------------------------
+
+_CHUNK_C = 64  # tokens per training chunk
+_CHUNK_O = 16  # tokens of overlap replicated from the previous chunk
+_CHUNK_S = _CHUNK_C - _CHUNK_O  # stride between chunk starts
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Split every document's token stream into fixed-budget training
+    chunks of C=64 tokens starting every S=48 tokens, so consecutive
+    chunks share an O=16-token overlap — the standard LLM-pretraining
+    chunker, and the 1-D text twin of the engine's chunk-halo
+    decomposition (streaming/engine.py hot_keys/chunk_span: same
+    chunk + replicated-halo shape, there over event time, here over
+    token position). A deterministic md5(doc_id)-bucket train/val/test
+    split (98/1/1) rides along, so the output is directly shardable.
+
+    Token i (0-based) belongs to chunk k iff k*S <= i < k*S + C, i.e.
+    k in [max(0, floor((i-O)/S)), floor(i/S)] — at most ceil(C/S) = 2
+    chunks per token, a bounded replication factor exactly like the
+    halo's duration/span ratio. A trailing chunk whose tokens are ALL
+    overlap (no token past its first O positions) is a subset of its
+    predecessor and is dropped (n_new > 0), matching the halo kernels'
+    own-row accounting.
+
+    Scale shape: posexplode -> explode(sequence(k_lo, k_hi)) (<= 2x row
+    replication, computed per-row JVM-side) -> ONE groupBy
+    (doc_id, chunk_id). No cross product, no collect, no Python UDF;
+    chunk_hash is md5 over the position-ordered token string
+    (array_sort on (i, w) structs - exact, order-pinned), identical in
+    DuckDB via string_agg(... order by i)."""
+    C, O, S = _CHUNK_C, _CHUNK_O, _CHUNK_S
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w")
+    )
+    ex = tok.select(
+        "doc_id",
+        "i",
+        "w",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(0), F.expr(f"(i - {O}) div {S}")),
+                F.expr(f"i div {S}"),
+            )
+        ).alias("chunk_id"),
+    )
+    return (
+        ex.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.min("i").alias("start_i"),
+            F.max("i").alias("end_i"),
+            F.sum(
+                F.when(
+                    (F.col("chunk_id") == 0)
+                    | (F.col("i") >= F.col("chunk_id") * S + O),
+                    1,
+                ).otherwise(0)
+            ).alias("n_new"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(i, w))),"
+                        " x -> x.w)"
+                    ),
+                )
+            ).alias("chunk_hash"),
+        )
+        .where(F.col("n_new") > 0)
+        .withColumn(
+            "split",
+            F.expr(
+                f"case when {spark_md5_60('doc_id')} % 100 < 98 then 'train'"
+                f" when {spark_md5_60('doc_id')} % 100 = 98 then 'val'"
+                " else 'test' end"
+            ),
+        )
+    )
+
+
+ORACLE_DOC_CHUNKS = f"""
+with tok as (
+  select doc_id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 as i,
+         unnest(string_split(text, ' ')) as w
+  from documents
+),
+ex as (
+  select doc_id, i, w,
+         unnest(generate_series(greatest(0, (i - {_CHUNK_O}) // {_CHUNK_S}),
+                                i // {_CHUNK_S})) as chunk_id
+  from tok
+)
+select doc_id, chunk_id,
+       count(*) as n_tok,
+       min(i) as start_i,
+       max(i) as end_i,
+       cast(sum(case when chunk_id = 0
+                       or i >= chunk_id * {_CHUNK_S} + {_CHUNK_O}
+                     then 1 else 0 end) as bigint) as n_new,
+       md5(string_agg(w, ' ' order by i)) as chunk_hash,
+       case when {duck_md5_60('doc_id')} % 100 < 98 then 'train'
+            when {duck_md5_60('doc_id')} % 100 = 98 then 'val'
+            else 'test' end as split
+from ex
+group by doc_id, chunk_id,
+         case when {duck_md5_60('doc_id')} % 100 < 98 then 'train'
+              when {duck_md5_60('doc_id')} % 100 = 98 then 'val'
+              else 'test' end
+having sum(case when chunk_id = 0
+                  or i >= chunk_id * {_CHUNK_S} + {_CHUNK_O}
+                then 1 else 0 end) > 0
+"""
+
+
 # q_lm_fit / ORACLE_LM_FIT are NOT in QUERIES/ORACLES: the driver
 # registry is at its 50-slot cap; the op gets the identical value-hash
 # oracle comparison at pytest level (test_pipeline_ops) instead.

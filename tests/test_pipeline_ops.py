@@ -275,3 +275,66 @@ def test_lm_fit_planted_gibberish_scores_low(spark, tmp_path):
     assert got[9]["n_bigrams"] == 9
     # gibberish bigrams are all unique: sum_cbg == n_bigrams exactly
     assert got[9]["sum_cbg"] == got[9]["n_bigrams"]
+
+
+def test_doc_chunks_vs_duckdb_value_hash(spark):
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.check_oracles import compare, duck_con
+
+    from sliding_window_aggregators_spark.plans.pipeline_queries import (
+        ORACLE_DOC_CHUNKS,
+        q_doc_chunks,
+    )
+
+    con = duck_con(SF_DIR)
+    assert compare("doc_chunks", q_doc_chunks(spark, SF_DIR), con, ORACLE_DOC_CHUNKS)
+
+
+def test_doc_chunks_structure_planted(spark, tmp_path):
+    from sliding_window_aggregators_spark.plans.pipeline_queries import (
+        _CHUNK_C,
+        _CHUNK_O,
+        _CHUNK_S,
+        q_doc_chunks,
+    )
+
+    # 150 tokens, C=64 / S=48: chunks [0,64) [48,112) [96,150); the k=3
+    # tail [144,150) is pure overlap (subset of chunk 2) and must be
+    # dropped by the n_new > 0 own-token rule — the chunk-halo
+    # own-row-accounting analogue
+    n = 150
+    text = " ".join(f"t{i}" for i in range(n))
+    rows = [(1, text), (2, " ".join(f"s{i}" for i in range(10)))]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    got = q_doc_chunks(spark, sf_dir).collect()
+    d1 = sorted(
+        (r.asDict() for r in got if r["doc_id"] == 1),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["chunk_id"] for r in d1] == [0, 1, 2]
+    assert [(r["start_i"], r["end_i"]) for r in d1] == [
+        (0, 63),
+        (48, 111),
+        (96, 149),
+    ]
+    assert [r["n_tok"] for r in d1] == [64, 64, 54]
+    # every token appears once per covering chunk: total = n + O * (chunks-1)
+    assert sum(r["n_tok"] for r in d1) == n + _CHUNK_O * (len(d1) - 1)
+    # the chunk grid is the configured one
+    assert all(r["start_i"] == r["chunk_id"] * _CHUNK_S for r in d1)
+    assert all(
+        r["end_i"] - r["start_i"] + 1 <= _CHUNK_C for r in d1
+    )
+    # short doc: exactly one chunk holding all tokens
+    d2 = [r.asDict() for r in got if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["n_tok"] == 10 and d2[0]["n_new"] == 10
+    # deterministic split is a pure function of doc_id
+    assert {r["split"] for r in got if r["doc_id"] == 1}.issubset(
+        {"train", "val", "test"}
+    )
+    assert len({r["split"] for r in got if r["doc_id"] == 1}) == 1
