@@ -120,23 +120,22 @@ def main() -> None:
 
     hot_keys = None
     if args.hot_keys_top:
-        # hot-key discovery: one batch aggregation over the source (a
-        # production deployment would read these from table stats or a
-        # sampled side job; the grouping expression must be fixed at
-        # query start, so the list is a plan-time input)
+        # hot-key discovery: the engine's side-job helper (one batch
+        # aggregation over the source; the grouping expression must be
+        # fixed at query start, so the list is a plan-time input)
         import time as _time
 
-        from pyspark.sql import functions as F
+        from sliding_window_aggregators_spark.streaming import (
+            discover_hot_keys,
+        )
 
         t_hot = _time.perf_counter()
-        hot_keys = [
-            r["conv_id"]
-            for r in spark.read.option("pathGlobFilter", "*.parquet")
-            .parquet(os.path.join(args.source, "*"))
-            .groupBy("conv_id").count()
-            .orderBy(F.desc("count"), "conv_id")
-            .limit(args.hot_keys_top).collect()
-        ]
+        hot_keys = discover_hot_keys(
+            spark.read.option("pathGlobFilter", "*.parquet")
+            .parquet(os.path.join(args.source, "*")),
+            key="conv_id",
+            top_n=args.hot_keys_top,
+        )
         print(
             f"hot-key discovery seconds: {_time.perf_counter() - t_hot:.3f} "
             f"({len(hot_keys)} keys)",

@@ -81,6 +81,44 @@ def _apply_state_partition_floor(df: DataFrame, floor) -> None:
         spark.conf.set("spark.sql.shuffle.partitions", str(floor))
 
 
+def discover_hot_keys(
+    df: DataFrame,
+    key: str = "conv_id",
+    top_n: int = 40,
+    min_share: float = 0.0,
+) -> list:
+    """Find the keys that need chunk-halo decomposition: one batch
+    aggregation over a (sample of the) source, hottest first.
+
+    The grouping expression of a streaming query is fixed at query
+    start, so ``hot_keys`` is a plan-time input — a production
+    deployment reads it from table statistics or a sampled side job;
+    this helper IS that side job. ``min_share`` filters to keys that
+    actually hold at least that fraction of all rows (e.g.
+    ``1 / STATE_PARTITION_FLOOR``): on a non-skewed input it returns
+    ``[]`` and the stream stays unchunked, so callers can wire it in
+    unconditionally. Ties break on the key value for determinism.
+
+    Scale shape: one groupBy(key).count() over the source (map-side
+    combine, one shuffle of |keys| rows), a TopK collect bounded by
+    ``top_n``, and — only when ``min_share`` is set — one count over the
+    persisted per-key counts, never a second source scan."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    if min_share > 0.0:
+        counts = counts.persist()
+    try:
+        top = (
+            counts.orderBy(F.desc("n"), F.asc(key)).limit(top_n).collect()
+        )
+        if min_share > 0.0:
+            total = counts.agg(F.sum("n")).first()[0] or 0
+            top = [r for r in top if total and r["n"] / total >= min_share]
+    finally:
+        if min_share > 0.0:
+            counts.unpersist()
+    return [r[key] for r in top]
+
+
 def _ooo_sliding_step(
     st: OrderedAggState,
     pdfs,

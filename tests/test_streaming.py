@@ -1379,3 +1379,30 @@ def test_sliding_agg_stream_tws_chunk_halo_matches_plain(spark, stream_dirs):
 
     assert len(got_tws) == len(got_plain) == 500
     pd.testing.assert_frame_equal(got_tws, got_plain)
+
+
+def test_discover_hot_keys(spark):
+    from sliding_window_aggregators_spark.streaming import discover_hot_keys
+
+    rows = (
+        [("c_hot", i) for i in range(60)]
+        + [("b_warm", i) for i in range(25)]
+        + [("a_warm", i) for i in range(25)]
+        + [(f"k{i}", 0) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx long")
+    # hottest-first, count ties broken by key value ascending
+    assert discover_hot_keys(df, top_n=3) == ["c_hot", "a_warm", "b_warm"]
+    # min_share filters: 60/120=0.5, 25/120~0.208, singles ~0.008
+    assert discover_hot_keys(df, top_n=10, min_share=0.25) == ["c_hot"]
+    assert (
+        discover_hot_keys(df, top_n=10, min_share=0.1)
+        == ["c_hot", "a_warm", "b_warm"]
+    )
+    # non-skewed input with a tight share threshold: nothing to chunk —
+    # callers can wire the helper in unconditionally
+    uniform = spark.createDataFrame(
+        [(f"u{i}", j) for i in range(16) for j in range(4)],
+        "conv_id string, turn_idx long",
+    )
+    assert discover_hot_keys(uniform, min_share=0.2) == []
