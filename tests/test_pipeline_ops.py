@@ -338,3 +338,49 @@ def test_doc_chunks_structure_planted(spark, tmp_path):
         {"train", "val", "test"}
     )
     assert len({r["split"] for r in got if r["doc_id"] == 1}) == 1
+
+
+@given(st.integers(min_value=1, max_value=2000))
+@settings(max_examples=200, deadline=None)
+def test_doc_chunks_grid_properties(n):
+    # pure-python twin of the SQL chunk-grid arithmetic: for every doc
+    # length n, (a) every token lands in >= 1 kept chunk, (b) no token
+    # is replicated more than ceil(C/S) = 2 times, (c) kept chunks are
+    # exactly those starting on the stride grid with at least one
+    # own (non-overlap) token, (d) coverage row count = n + O * (kept-1)
+    # whenever every kept chunk is full-stride-covered
+    from sliding_window_aggregators_spark.plans.pipeline_queries import (
+        _CHUNK_C,
+        _CHUNK_O,
+        _CHUNK_S,
+    )
+
+    C, O, S = _CHUNK_C, _CHUNK_O, _CHUNK_S
+    member = {}
+    for i in range(n):
+        k_lo = max(0, (i - O) // S)
+        k_hi = i // S
+        for k in range(k_lo, k_hi + 1):
+            member.setdefault(k, []).append(i)
+    kept = {
+        k: v
+        for k, v in member.items()
+        if k == 0 or any(i >= k * S + O for i in v)
+    }
+    # (c) kept == stride-grid chunks owning at least one new token
+    expect = {0} | {k for k in member if k > 0 and n > k * S + O}
+    assert set(kept) == expect
+    # (a) full coverage by kept chunks
+    covered = sorted({i for v in kept.values() for i in v})
+    assert covered == list(range(n))
+    # (b) bounded replication
+    from collections import Counter
+
+    reps = Counter(i for v in kept.values() for i in v)
+    assert max(reps.values()) <= -(-C // S)
+    # each kept chunk matches the SQL aggregate's start/size bounds
+    for k, v in kept.items():
+        assert min(v) == k * S
+        assert max(v) - min(v) + 1 <= C
+    # (d) total emitted rows = n + O per extra kept chunk
+    assert sum(len(v) for v in kept.values()) == n + O * (len(kept) - 1)
