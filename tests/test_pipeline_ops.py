@@ -306,7 +306,13 @@ def test_doc_chunks_structure_planted(spark, tmp_path):
     # own-row-accounting analogue
     n = 150
     text = " ".join(f"t{i}" for i in range(n))
-    rows = [(1, text), (2, " ".join(f"s{i}" for i in range(10)))]
+    rows = [
+        (1, text),
+        (2, " ".join(f"s{i}" for i in range(10))),
+        # empty text: split('') is [''] in BOTH Spark and DuckDB — one
+        # chunk of one empty token, md5('') chunk hash
+        (3, ""),
+    ]
     sf_dir = str(tmp_path)
     spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
         f"{sf_dir}/documents.parquet"
@@ -338,6 +344,10 @@ def test_doc_chunks_structure_planted(spark, tmp_path):
         {"train", "val", "test"}
     )
     assert len({r["split"] for r in got if r["doc_id"] == 1}) == 1
+    # empty text: exactly one chunk of one empty token, md5('') hash
+    d3 = [r.asDict() for r in got if r["doc_id"] == 3]
+    assert len(d3) == 1 and d3[0]["n_tok"] == 1
+    assert d3[0]["chunk_hash"] == "d41d8cd98f00b204e9800998ecf8427e"
 
 
 @given(st.integers(min_value=1, max_value=2000))
