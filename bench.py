@@ -410,6 +410,24 @@ def _vm_membw() -> float:
     return round(n * 50 / (time.perf_counter() - t0), 1)
 
 
+def _vm_cpu_mops() -> float:
+    """Single-core CPU probe (fixed pure-python add loop, Mops/s). The
+    host throttles CPU independently of memory bandwidth — round 5
+    measured the full query suite uniformly 2-3x slower (including
+    pure-SQL rows no code change touched) in a window whose membw probe
+    looked acceptable but whose CPU ran a calibrated loop at half speed.
+    Reporting both probes makes every run's window fully legible:
+    query-suite wall times track THIS number; kernel-grid rates track
+    the membw one. Healthy-window reference on this box: ~17-19 Mops."""
+    t0 = time.perf_counter()
+    s = 0
+    n = 20_000_000
+    for i in range(n):
+        s += i
+    dt = time.perf_counter() - t0
+    return round(n / dt / 1e6, 1)
+
+
 def _wait_for_window(min_bw: float, max_wait_s: float) -> float:
     """Bounded wait for a healthy host window (round-4 verdict item 1):
     poll the membw probe up to ``max_wait_s`` seconds and return the last
@@ -439,6 +457,7 @@ def main() -> None:
         float(os.environ.get("SWAG_BENCH_MIN_BW_MBPS", "3000")),
         float(os.environ.get("SWAG_BENCH_MAX_WAIT_S", "600")),
     )
+    cpu_mops = _vm_cpu_mops()  # before Spark starts: uncontended core
 
     import __spark_entry__ as entry
     from sliding_window_aggregators_spark.sources import get_spark
@@ -516,6 +535,8 @@ def main() -> None:
         "kernel_grid_samples": samples,
         "cpus": cpus,
         "vm_membw_MBps": membw,
+        "vm_cpu_Mops": cpu_mops,
+        "vm_cpu_Mops_after": _vm_cpu_mops(),
     }
     print(json.dumps(result))
     spark.stop()
