@@ -101,6 +101,14 @@ class Monoid:
     invertible: bool = False
     commutative: bool = True
     idempotent: bool = False
+    # Largest window for which the one-shot sliding fold uses the
+    # log-doubling path (ceil(log2 w) shifted combines) instead of the
+    # block prefix/suffix scans — measured per-family crossover: the
+    # doubling wins while 2*log2(w) combine passes cost less than the
+    # scans' ~7 materializations + flip copies. Monoids whose
+    # accumulate() is much slower than combine() (HLL's lane-max scan)
+    # raise it. See operators/kernels.py sliding_partials.
+    doubling_threshold: int = 32
     # SubtractOnEvict is only sound when inverse_combine is total over the
     # input domain; monoids whose inverse degenerates at a domain boundary
     # (geomean's ±inf log partials) or is deliberately lossy (BusyLoop)
@@ -687,6 +695,8 @@ class HyperLogLog(Monoid):
 
     name = "hll"
     idempotent = True
+    # lane-max accumulate is ~6x slower than combine: doubling wins to ~256
+    doubling_threshold = 256
     M = HLL_M
 
     def lift(self, values):
@@ -751,6 +761,8 @@ class HistogramQuantile(Monoid):
 
     name = "histq"
     invertible = True
+    # 64-lane int64 adds: measured doubling crossover ~128-256
+    doubling_threshold = 128
 
     def lift(self, values):
         v = np.asarray(values).astype(np.int64)

@@ -60,6 +60,39 @@ def sliding_partials(monoid: Monoid, p: Partial, w: int) -> Partial:
         return p
     if w <= 1:
         return p
+    if w <= getattr(monoid, "doubling_threshold", 32):
+        # log-doubling fast path: the block decomposition below costs
+        # ~7 full-array materializations (pad concat, two scans with a
+        # flip copy, two gathers, combine, where) — pure memory traffic
+        # that dominates for vector partials (bloom/hll/histq/cms carry
+        # 256-512 bytes/row). Doubling needs only ceil(log2 w) shifted
+        # combines to build power-of-2 spans plus popcount(w)-1 to
+        # compose them: w=4 -> 2 combines, w=32 -> 5. shift(q, k)_i =
+        # q_{i-k} (identity for i<k), so span-s aggregates clamp at the
+        # stream head exactly like the scan path. Combine order is
+        # (older, newer) throughout — non-commutative monoids (Collect,
+        # ArgMax's >= tie-break) depend on it. Interleaved same-process
+        # A/B (window-immune): sum w4 x5.8, bloom w4 x3.2, hll w4 x27.8;
+        # still >= x1.3 for every registry monoid at w=32, crossover
+        # ~w64 for bloom/geomean (hll/sum keep winning past w256, but
+        # the uniform w<=32 rule is the one that regresses nothing).
+        def shift(q: Partial, k: int) -> Partial:
+            if k >= n:
+                return monoid.identity(n)
+            return p_concat(monoid.identity(k), p_slice(q, 0, n - k))
+
+        spans = {1: p}
+        s = 1
+        while s * 2 <= w:
+            spans[s * 2] = monoid.combine(shift(spans[s], s), spans[s])
+            s *= 2
+        out = spans[s]
+        covered = s
+        while covered < w:
+            t = 1 << ((w - covered).bit_length() - 1)
+            out = monoid.combine(shift(spans[t], covered), out)
+            covered += t
+        return out
     nblocks = -(-n // w)
     pad = nblocks * w - n
     padded = p_concat(p, monoid.identity(pad)) if pad else p
@@ -72,7 +105,9 @@ def sliding_partials(monoid: Monoid, p: Partial, w: int) -> Partial:
     i = np.arange(n)
     s = np.maximum(0, i - w + 1)
     same_block = (s // w) == (i // w)
-    Fi = p_take(F, i)
+    # F already is out_i for same-block windows: truncate the pad with a
+    # view instead of gathering a full identity-index copy
+    Fi = p_slice(F, 0, n)
     if bool(same_block.all()):
         return Fi
     combined = monoid.combine(p_take(S, s), Fi)

@@ -34,7 +34,10 @@ def ac(a, b):
 
 
 MONOIDS = ["sum", "max", "min", "mean", "geomean", "stddev", "mincount", "relvar", "count", "bloom", "hll", "histq", "cms"]
-WINDOWS = [1, 2, 4, 100, 519, 3000, 5000]
+# 2..32 exercises the log-doubling small-window fast path (odd widths pin
+# the power-of-2 span composition; 32/33 straddle its threshold), 100+ the
+# block-scan decomposition
+WINDOWS = [1, 2, 4, 13, 32, 33, 100, 519, 3000, 5000]
 
 
 @pytest.mark.parametrize("name", MONOIDS)
