@@ -995,6 +995,146 @@ class BusyLoop(Monoid):
 
 
 # ---------------------------------------------------------------------------
+# CEP pattern matching as a monoid: DFA transition composition
+# ---------------------------------------------------------------------------
+
+
+class Dfa:
+    """A deterministic finite automaton spec: ``delta`` is the (S, A)
+    transition table (state × symbol → state), ``accept`` the accepting
+    state set, ``q0`` the start state. Plain data — the monoid below does
+    the work."""
+
+    def __init__(self, delta: np.ndarray, accept, q0: int = 0):
+        delta = np.asarray(delta, dtype=np.uint8)
+        if delta.ndim != 2 or delta.shape[0] > 255:
+            raise ValueError("delta must be (S<=255, A)")
+        if (delta >= delta.shape[0]).any():
+            raise ValueError("delta targets out of range")
+        self.delta = delta
+        self.nstates, self.alphabet = delta.shape
+        self.accept = frozenset(int(s) for s in accept)
+        self.q0 = int(q0)
+
+
+def dfa_run(symbol: int, k: int, alphabet: int) -> Dfa:
+    """DFA accepting any sequence containing ≥k CONSECUTIVE occurrences
+    of ``symbol`` (the CEP "tool loop" / retry-storm detector). States
+    0..k = current trailing-run length capped at k; state k is absorbing
+    (once seen, the window matched)."""
+    delta = np.zeros((k + 1, alphabet), dtype=np.uint8)
+    for s in range(k):
+        delta[s, :] = 0
+        delta[s, symbol] = s + 1
+    delta[k, :] = k  # absorbing accept
+    return Dfa(delta, accept={k})
+
+
+def dfa_contains(pattern, alphabet: int) -> Dfa:
+    """DFA accepting any sequence containing ``pattern`` as a CONTIGUOUS
+    substring (the CEP funnel / episode detector), via the classic KMP
+    prefix-function automaton; state m = len(pattern) is absorbing."""
+    pat = [int(p) for p in pattern]
+    m = len(pat)
+    if m == 0:
+        raise ValueError("empty pattern")
+    # failure links
+    fail = [0] * m
+    for i in range(1, m):
+        j = fail[i - 1]
+        while j and pat[i] != pat[j]:
+            j = fail[j - 1]
+        fail[i] = j + 1 if pat[i] == pat[j] else 0
+    delta = np.zeros((m + 1, alphabet), dtype=np.uint8)
+    for s in range(m):
+        for a in range(alphabet):
+            if a == pat[s]:
+                delta[s, a] = s + 1
+            else:
+                j = s
+                while j and pat[j] != a:
+                    j = fail[j - 1]
+                delta[s, a] = j + 1 if pat[j] == a else 0
+    delta[m, :] = m  # absorbing accept
+    return Dfa(delta, accept={m})
+
+
+class DfaTransform(Monoid):
+    """CEP pattern matching lifted to a sliding-window monoid: the partial
+    for a symbol run is its DFA transition FUNCTION (state → state), and
+    ``combine`` is function composition — associative but not commutative
+    or invertible, so this rides the Two-Stacks/DABA family exactly like
+    Max/Collect do (the reference's §2 contract: ANY associative operator
+    slots into every window algorithm, cpp/src/AggregationFunctions.hpp's
+    Recalc/TwoStacks genericity). This is the "parallel prefix automata"
+    construction (Ladner–Fischer; MATCH_RECOGNIZE-style CEP reduced to an
+    associative fold): a window matches a regular pattern iff the
+    composed transition function sends q0 into an accepting state.
+
+    Partial = (…, S) uint8 ``f`` with ``f[..., s]`` = end state when
+    starting from ``s``; combine(a, b) = b∘a (a applied FIRST — window
+    order), a pure gather; identity = the identity permutation. ``lift``
+    totalizes arbitrary integer inputs by reducing mod the alphabet size
+    (so the generic lockstep/kernel grids exercise it unmodified);
+    ``lower`` returns the end state from ``q0`` (callers map acceptance
+    via ``accepts``/``np.isin``). Scans are Hillis–Steele doubling —
+    log₂(n) vectorized gathers, valid for any associative op."""
+
+    name = "dfa"
+    commutative = False
+    invertible = False
+    idempotent = False
+
+    def __init__(self, dfa: Dfa | None = None):
+        self.dfa = dfa if dfa is not None else dfa_run(2, 3, 5)
+        self._S = self.dfa.nstates
+
+    def lift(self, values):
+        sym = np.asarray(values).astype(np.int64) % self.dfa.alphabet
+        # delta[:, sym] is (S, n): column per row's symbol → transpose
+        return {"f": np.ascontiguousarray(self.dfa.delta[:, sym].T)}
+
+    def identity(self, n=1):
+        eye = np.arange(self._S, dtype=np.uint8)
+        return {"f": np.tile(eye, (n, 1))}
+
+    def combine(self, a, b):
+        av, bv = np.broadcast_arrays(a["f"], b["f"])
+        # (b ∘ a)[s] = b[a[s]] — a acts first (earlier window rows)
+        return {"f": np.take_along_axis(bv, av.astype(np.intp), axis=-1)}
+
+    def lower(self, p):
+        return p["f"][..., self.dfa.q0].astype(np.int64)
+
+    def accepts(self, states: np.ndarray) -> np.ndarray:
+        return np.isin(states, list(self.dfa.accept))
+
+    def _scan(self, p, axis, suffix: bool):
+        f = np.moveaxis(np.array(p["f"], copy=True), axis, 0)
+        n = f.shape[0]
+        d = 1
+        while d < n:
+            if suffix:
+                # S_i = S_i ∘-then S_{i+d}: earlier block (S_i) acts first
+                f[:-d] = np.take_along_axis(
+                    f[d:], f[:-d].astype(np.intp), axis=-1
+                )
+            else:
+                # A_i = A_{i-d} then A_i
+                f[d:] = np.take_along_axis(
+                    f[d:], f[:-d].astype(np.intp), axis=-1
+                )
+            d *= 2
+        return {"f": np.ascontiguousarray(np.moveaxis(f, 0, axis))}
+
+    def accumulate(self, p, axis=0):
+        return self._scan(p, axis, suffix=False)
+
+    def raccumulate(self, p, axis=0):
+        return self._scan(p, axis, suffix=True)
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1018,6 +1158,12 @@ def registry(dtype=np.float64) -> dict[str, Monoid]:
         "cms": CountMinSketch(),
         "collect": Collect(),
         "busyloop": BusyLoop(),
+        # CEP family: pattern matching as transition-composition monoids.
+        # "dfa" = the retry-storm detector (≥3 consecutive symbol-2 events
+        # over the 5-symbol event alphabet); "dfa_funnel" = the contiguous
+        # signup(4)→click(0)→purchase(3) episode detector (KMP automaton).
+        "dfa": DfaTransform(),
+        "dfa_funnel": DfaTransform(dfa_contains([4, 0, 3], 5)),
     }
 
 

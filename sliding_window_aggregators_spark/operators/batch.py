@@ -50,6 +50,8 @@ _OUT_SPARK_TYPE = {
     "histq": "bigint",
     "cms": "bigint",
     "argmax": "bigint",
+    "dfa": "bigint",
+    "dfa_funnel": "bigint",
 }
 
 

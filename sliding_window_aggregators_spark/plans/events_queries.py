@@ -529,6 +529,81 @@ def q_kernel_sketch(spark, sf_dir):
     )
 
 
+def q_cep_pattern(spark, sf_dir):
+    """CEP pattern detection as sliding-window aggregation — regular
+    patterns over the per-user event-type sequence, matched by the DFA
+    transition-composition monoids (functions/monoids.py DfaTransform:
+    the parallel-prefix-automata construction — a window matches iff the
+    composed transition function sends q0 to an accepting state). Two
+    detectors in ONE fused pass (one shuffle, one sort, one Arrow
+    stream, two kernels — sliding_rows_kernel_partitioned_multi):
+
+    - ``err_burst``: the last 8 events contain ≥3 CONSECUTIVE errors
+      (retry-storm / alerting; dfa_run over the 5-symbol alphabet);
+    - ``funnel_hit``: the last 16 events contain the CONTIGUOUS episode
+      signup → click → purchase (KMP automaton via dfa_contains).
+
+    Composition is associative but neither commutative nor invertible,
+    so the kernels take the Two-Stacks route — the §2 genericity
+    contract (any associative operator slots into every window
+    algorithm) demonstrated on a non-numeric domain. Not in the 50-slot
+    driver registry (at cap); the identical DuckDB value-hash comparison
+    runs at pytest level (tests/test_cep.py)."""
+    from ..operators.batch import sliding_rows_kernel_partitioned_multi
+
+    df = _events(spark, sf_dir).withColumn(
+        "sym",
+        F.when(F.col("event_type") == "click", 0)
+        .when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "purchase", 3)
+        .otherwise(4),  # signup
+    )
+    out = sliding_rows_kernel_partitioned_multi(
+        df, "user_id", ["ts", "event_id"],
+        [
+            ("sym", "dfa", 8, "err_state", True),
+            ("sym", "dfa_funnel", 16, "funnel_state", True),
+        ],
+        id_cols=["user_id", "event_id"],
+    )
+    # both automata have absorbing accept state 3 (run length k=3 /
+    # pattern length m=3)
+    return out.select(
+        "user_id",
+        "event_id",
+        (F.col("err_state") == 3).cast("int").alias("err_burst"),
+        (F.col("funnel_state") == 3).cast("int").alias("funnel_hit"),
+    )
+
+
+# per-row sliding regex in SQL: a band self-join on row position within
+# the key reconstructs each row's last-16 frame (O(n·w), oracle-only),
+# the frame's symbols concatenate in order, and the same patterns the
+# DFAs encode run as regexes — 'eee' over the last-8 suffix (aggregate
+# FILTER), 'scp' over the full frame.
+ORACLE_CEP_PATTERN = """
+with t as (
+  select user_id, event_id, ts,
+         case event_type when 'click' then 'c' when 'view' then 'v'
+              when 'error' then 'e' when 'purchase' then 'p'
+              else 's' end as sym,
+         row_number() over (partition by user_id order by ts, event_id) as rn
+  from events
+)
+select a.user_id, a.event_id,
+       cast(coalesce(regexp_matches(
+           string_agg(b.sym, '' order by b.rn)
+             filter (where b.rn >= a.rn - 7), 'eee'), false) as int)
+         as err_burst,
+       cast(regexp_matches(
+           string_agg(b.sym, '' order by b.rn), 'scp') as int) as funnel_hit
+from t a
+join t b on a.user_id = b.user_id and b.rn between a.rn - 15 and a.rn
+group by a.user_id, a.event_id
+"""
+
+
 def _hll_oracle() -> str:
     from ..functions.monoids import HLL_ALPHA_M2_SCALED, HLL_M, HLL_P, HLL_RHO_CAP
 

@@ -1,0 +1,203 @@
+"""CEP pattern matching as sliding-window aggregation (DfaTransform:
+transition-composition monoids — parallel prefix automata). Covers the
+automaton constructors against plain-Python replays, the monoid's 2-D
+scans, the fused batch query vs its DuckDB value-hash oracle, planted
+patterns, and the streaming count-window form (tool-loop detection over
+transcripts) vs a brute DFA replay across a micro-batch boundary."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sliding_window_aggregators_spark.functions import (
+    DfaTransform,
+    dfa_contains,
+    dfa_run,
+    get_monoid,
+)
+
+SF_DIR = os.environ.get("SWAG_TEST_SF_DIR", "/root/testdata/sf0.001")
+RNG = np.random.default_rng(20260818)
+
+
+@pytest.fixture
+def stream_dirs(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    return str(src), str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+
+def _replay(dfa, syms):
+    st = dfa.q0
+    outs = []
+    for s in syms:
+        st = int(dfa.delta[st, int(s) % dfa.alphabet])
+        outs.append(st)
+    return outs
+
+
+def test_dfa_contains_matches_python_substring():
+    pat = [0, 2, 1, 2]
+    m = DfaTransform(dfa_contains(pat, 4))
+    pstr = "".join(map(str, pat))
+    for _ in range(50):
+        syms = RNG.integers(0, 4, RNG.integers(1, 40))
+        states = m.lower(m.accumulate(m.lift(syms)))
+        s = "".join(map(str, syms.tolist()))
+        for i, st in enumerate(states.tolist()):
+            assert (st == 4) == (pstr in s[: i + 1]), (s, i)
+
+
+def test_dfa_run_matches_python_trailing_run():
+    m = DfaTransform(dfa_run(1, 3, 3))
+    for _ in range(50):
+        syms = RNG.integers(0, 3, RNG.integers(1, 40)).tolist()
+        states = m.lower(m.accumulate(m.lift(np.array(syms))))
+        seen, run = False, 0
+        for i, s in enumerate(syms):
+            run = run + 1 if s == 1 else 0
+            seen = seen or run >= 3
+            assert (states[i] == 3) == seen
+
+
+def test_dfa_windowed_matches_per_window_replay():
+    """Sliding w=8: kernel answer per row == replay of just that window
+    (the monoid answers 'does THIS window match', not 'has it ever')."""
+    from sliding_window_aggregators_spark.operators.kernels import sliding_reduce
+
+    m = get_monoid("dfa")
+    syms = RNG.integers(0, 5, 500).astype(float)
+    got = sliding_reduce(m, syms, 8)
+    for i in range(len(syms)):
+        w = syms[max(0, i - 7) : i + 1]
+        assert got[i] == _replay(m.dfa, w)[-1]
+
+
+def test_dfa_2d_scans_match_rowwise():
+    for m in [get_monoid("dfa"), get_monoid("dfa_funnel")]:
+        p = m.lift(RNG.integers(0, 5, 64))
+        p2 = {"f": p["f"].reshape(8, 8, -1)}
+        a2, r2 = m.accumulate(p2, axis=1), m.raccumulate(p2, axis=1)
+        for row in range(8):
+            p1 = {"f": p["f"].reshape(8, 8, -1)[row]}
+            assert np.array_equal(a2["f"][row], m.accumulate(p1)["f"])
+            assert np.array_equal(r2["f"][row], m.raccumulate(p1)["f"])
+
+
+def test_cep_pattern_vs_duckdb_value_hash(spark):
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.check_oracles import compare, duck_con
+
+    from sliding_window_aggregators_spark.plans.events_queries import (
+        ORACLE_CEP_PATTERN,
+        q_cep_pattern,
+    )
+
+    con = duck_con(SF_DIR)
+    assert compare("cep_pattern", q_cep_pattern(spark, SF_DIR), con, ORACLE_CEP_PATTERN)
+
+
+def test_cep_pattern_planted(spark, tmp_path):
+    """Planted sequences: an error burst inside the 8-window flags exactly
+    from its 3rd consecutive error until it leaves the window; the funnel
+    flags from the purchase that completes signup→click→purchase."""
+    from sliding_window_aggregators_spark.plans.events_queries import q_cep_pattern
+
+    types = (
+        ["view", "error", "error", "error", "view", "view", "view", "view",
+         "view", "view", "view", "view"]  # errors at idx 1-3
+        + ["signup", "click", "purchase", "view"]  # funnel at idx 14
+    )
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(types)),
+            "ts": pd.date_range("2024-01-01", periods=len(types), freq="1min"),
+            "user_id": 7,
+            "event_type": types,
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = (
+        q_cep_pattern(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # burst completes at idx 3; idx 8 is the last row whose trailing-8
+    # window [1..8] still contains all three errors
+    assert got["err_burst"].tolist() == [
+        1 if 3 <= i <= 8 else 0 for i in range(len(types))
+    ]
+    # funnel completes at idx 14 and stays in the 16-window to the end
+    assert got["funnel_hit"].tolist() == [1 if i >= 14 else 0 for i in range(len(types))]
+
+
+def test_cep_stream_tool_loop_matches_brute(spark, stream_dirs):
+    """Streaming CEP: ≥3 consecutive tool turns within the last 8 turns of
+    a conversation, via sliding_count_stream + the dfa monoid; must equal
+    a brute per-window DFA replay, including across the micro-batch
+    boundary (kernel state carries the open window)."""
+    from test_streaming import _read_stream, _write_chunk
+
+    from sliding_window_aggregators_spark.functions import get_monoid
+    from sliding_window_aggregators_spark.sources import transcripts_pandas
+    from sliding_window_aggregators_spark.streaming import (
+        sliding_count_stream,
+        write_stream_exactly_once,
+    )
+
+    pdf = transcripts_pandas(400, 12).reset_index(drop=True)
+    # plant a tool loop spanning the chunk boundary of one conversation
+    conv = pdf["conv_id"].iloc[0]
+    idx = pdf.index[pdf["conv_id"] == conv][:6]
+    pdf.loc[idx, "role"] = "tool"
+    src, out, ckpt = stream_dirs
+    _write_chunk(spark, src, pdf.iloc[:200], "c0")
+    _write_chunk(spark, src, pdf.iloc[200:], "c1")
+
+    sym_expr = (
+        "cast(case role when 'user' then 0 when 'assistant' then 1 "
+        "when 'tool' then 2 else 3 end as double)"
+    )
+    stream = sliding_count_stream(
+        _read_stream(spark, src),
+        monoid_name="dfa",
+        value_expr=sym_expr,
+        w=8,
+        out_col="wstate",
+    )
+    q, sink = write_stream_exactly_once(stream, out, ckpt)
+    q.awaitTermination(120)
+
+    got = (
+        sink.read_committed(spark)
+        .select("conv_id", "ts", "wstate")
+        .toPandas()
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    m = get_monoid("dfa")
+    sym_map = {"user": 0, "assistant": 1, "tool": 2}
+    exp_rows = []
+    for conv_id, g in pdf.groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        syms = [sym_map.get(r, 3) for r in g["role"]]
+        for i in range(len(g)):
+            w = syms[max(0, i - 7) : i + 1]
+            exp_rows.append((conv_id, g["ts"].iloc[i], _replay(m.dfa, w)[-1]))
+    exp = (
+        pd.DataFrame(exp_rows, columns=["conv_id", "ts", "wstate"])
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert got["wstate"].tolist() == exp["wstate"].tolist()
+    assert (got["wstate"] == 3).any()  # the planted loop was detected
