@@ -126,11 +126,12 @@ def kernel_throughput(scale: int = 1, samples: int = 3) -> dict:
 
 
 def sketch_throughput(scale: int = 1) -> dict:
-    """Turns/sec for the beyond-reference sketch monoids (hll registers,
-    histq bucket counts — 64-lane vector partials) through the same
-    steady-state count-window loop as the main grid; reported under a
-    separate key so the main grid stays protocol-identical to the
-    reference's sum/geomean/bloom set."""
+    """Turns/sec for the beyond-reference extension monoids (hll
+    registers, histq bucket counts, cms counters — vector partials —
+    plus the packed CEP dfa) through the same steady-state count-window
+    loop as the main grid; reported under a separate key so the main
+    grid stays protocol-identical to the reference's sum/geomean/bloom
+    set."""
     import numpy as np
 
     from sliding_window_aggregators_spark.functions import get_monoid
@@ -140,7 +141,7 @@ def sketch_throughput(scale: int = 1) -> dict:
     vals = (1 + (np.arange(n) % 10007)).astype(np.int64)  # int inputs (hash/cents)
     out = {}
     sink = 0.0
-    for op in ("hll", "histq", "cms"):
+    for op in ("hll", "histq", "cms", "dfa"):
         for w in (2**6, 2**14):
             m = get_monoid(op)
             k = SlidingCountWindow(m, w)

@@ -1071,59 +1071,133 @@ class DfaTransform(Monoid):
     associative fold): a window matches a regular pattern iff the
     composed transition function sends q0 into an accepting state.
 
-    Partial = (…, S) uint8 ``f`` with ``f[..., s]`` = end state when
-    starting from ``s``; combine(a, b) = b∘a (a applied FIRST — window
-    order), a pure gather; identity = the identity permutation. ``lift``
-    totalizes arbitrary integer inputs by reducing mod the alphabet size
-    (so the generic lockstep/kernel grids exercise it unmodified);
-    ``lower`` returns the end state from ``q0`` (callers map acceptance
-    via ``accepts``/``np.isin``). Scans are Hillis–Steele doubling —
+    Two partial representations, chosen at construction:
+
+    - PACKED (the fast path, taken whenever the DFA's transition monoid
+      — identity + all products of the per-symbol generator functions —
+      enumerates to ≤ _PACK_CAP elements, which for real CEP automata is
+      O(S·A), e.g. 12 for both registry instances): a partial is a
+      single uint16 ELEMENT CODE and combine is one (M, M)
+      composition-table gather per element — scalar-monoid speed
+      (~10× the vector path at w=64 on the kernel grid).
+    - VECTOR (fallback): (…, S) uint8 ``f`` with ``f[..., s]`` = end
+      state when starting from ``s``; combine = take_along_axis gather.
+
+    In both, combine(a, b) = b∘a (a applied FIRST — window order) and
+    identity = the identity function. ``lift`` totalizes arbitrary
+    integer inputs by reducing mod the alphabet size (so the generic
+    lockstep/kernel grids exercise it unmodified); ``lower`` returns the
+    end state from ``q0`` (callers map acceptance via
+    ``accepts``/``np.isin``). Scans are Hillis–Steele doubling —
     log₂(n) vectorized gathers, valid for any associative op."""
 
     name = "dfa"
     commutative = False
     invertible = False
     idempotent = False
+    # packed combines are single-lane table gathers — cheaper than the
+    # block scans' materializations well past the generic crossover
+    doubling_threshold = 128
+
+    # enumeration cap for the packed representation: real CEP automata
+    # (run-length, KMP) have transition monoids of O(S·A) elements; an
+    # adversarial DFA could approach S^S, where the composition table
+    # stops fitting in cache — fall back to the vector path there
+    _PACK_CAP = 4096
 
     def __init__(self, dfa: Dfa | None = None):
         self.dfa = dfa if dfa is not None else dfa_run(2, 3, 5)
-        self._S = self.dfa.nstates
+        S, A = self.dfa.nstates, self.dfa.alphabet
+        self._S = S
+        # Enumerate the DFA's transition monoid: identity + all products
+        # of the per-symbol generator functions, closed under
+        # right-composition (BFS). Every lift output is a generator and
+        # every combine of products is a product, so the set is closed —
+        # partials become uint16 ELEMENT CODES and combine a single
+        # (M, M) table gather.
+        ident = tuple(range(S))
+        gens = [tuple(int(x) for x in self.dfa.delta[:, a]) for a in range(A)]
+        elems: dict = {ident: 0}
+        queue = [ident]
+        while queue and len(elems) <= self._PACK_CAP:
+            nxt = []
+            for f in queue:
+                for g in gens:
+                    h = tuple(g[f[s]] for s in range(S))  # f then g
+                    if h not in elems:
+                        elems[h] = len(elems)
+                        nxt.append(h)
+            queue = nxt
+        self._packed = len(elems) <= self._PACK_CAP
+        if self._packed:
+            M = len(elems)
+            funcs = np.zeros((M, S), dtype=np.uint8)
+            for f, i in elems.items():
+                funcs[i] = f
+            # comp[a, b] = code of (a then b): h[a,b,s] = funcs[b, funcs[a,s]]
+            hab = funcs[np.arange(M)[None, :, None], funcs[:, None, :]]
+            flat = hab.reshape(M * M, S)
+            index = {funcs[i].tobytes(): i for i in range(M)}
+            table = np.empty(M * M, dtype=np.uint16)
+            for j in range(M * M):
+                table[j] = index[flat[j].tobytes()]
+            self._funcs = funcs
+            self._table = table.reshape(M, M)
+            self._gen_code = np.array([elems[g] for g in gens], dtype=np.uint16)
 
+    # --- packed representation: partial = (…,) uint16 monoid-element code
     def lift(self, values):
         sym = np.asarray(values).astype(np.int64) % self.dfa.alphabet
-        # delta[:, sym] is (S, n): column per row's symbol → transpose
+        if self._packed:
+            return {"c": self._gen_code[sym]}
+        # vector fallback: delta[:, sym] is (S, n) → transpose to (n, S)
         return {"f": np.ascontiguousarray(self.dfa.delta[:, sym].T)}
 
     def identity(self, n=1):
+        if self._packed:
+            return {"c": np.zeros(n, dtype=np.uint16)}  # code 0 = identity
         eye = np.arange(self._S, dtype=np.uint8)
         return {"f": np.tile(eye, (n, 1))}
 
     def combine(self, a, b):
+        if self._packed:
+            return {"c": self._table[a["c"], b["c"]]}
         av, bv = np.broadcast_arrays(a["f"], b["f"])
-        # (b ∘ a)[s] = b[a[s]] — a acts first (earlier window rows)
-        return {"f": np.take_along_axis(bv, av.astype(np.intp), axis=-1)}
+        # (b ∘ a)[s] = b[a[s]] — a acts first (earlier window rows);
+        # uint8 indices feed take_along_axis directly (the intp upcast
+        # copy costs ~1.5× on this 4-byte-row gather)
+        return {"f": np.take_along_axis(bv, av, axis=-1)}
 
     def lower(self, p):
+        if self._packed:
+            return self._funcs[p["c"], self.dfa.q0].astype(np.int64)
         return p["f"][..., self.dfa.q0].astype(np.int64)
 
     def accepts(self, states: np.ndarray) -> np.ndarray:
         return np.isin(states, list(self.dfa.accept))
 
     def _scan(self, p, axis, suffix: bool):
+        if self._packed:
+            c = np.moveaxis(np.array(p["c"], copy=True), axis, 0)
+            n = c.shape[0]
+            d = 1
+            while d < n:
+                if suffix:
+                    c[:-d] = self._table[c[:-d], c[d:]]
+                else:
+                    c[d:] = self._table[c[:-d], c[d:]]
+                d *= 2
+            return {"c": np.ascontiguousarray(np.moveaxis(c, 0, axis))}
         f = np.moveaxis(np.array(p["f"], copy=True), axis, 0)
         n = f.shape[0]
         d = 1
         while d < n:
             if suffix:
                 # S_i = S_i ∘-then S_{i+d}: earlier block (S_i) acts first
-                f[:-d] = np.take_along_axis(
-                    f[d:], f[:-d].astype(np.intp), axis=-1
-                )
+                f[:-d] = np.take_along_axis(f[d:], f[:-d], axis=-1)
             else:
                 # A_i = A_{i-d} then A_i
-                f[d:] = np.take_along_axis(
-                    f[d:], f[:-d].astype(np.intp), axis=-1
-                )
+                f[d:] = np.take_along_axis(f[d:], f[:-d], axis=-1)
             d *= 2
         return {"f": np.ascontiguousarray(np.moveaxis(f, 0, axis))}
 

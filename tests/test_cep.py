@@ -75,15 +75,68 @@ def test_dfa_windowed_matches_per_window_replay():
         assert got[i] == _replay(m.dfa, w)[-1]
 
 
+def test_packed_and_vector_representations_agree():
+    """The packed (transition-monoid code) and vector (state-map array)
+    representations must produce identical lowered answers through lift/
+    combine/scans — forced by capping the enumeration to 0 elements."""
+
+    class VectorOnly(DfaTransform):
+        _PACK_CAP = 0
+
+    for dfa in [dfa_run(2, 3, 5), dfa_contains([4, 0, 3], 5),
+                dfa_contains([1, 0, 1, 1], 3)]:
+        mp, mv = DfaTransform(dfa), VectorOnly(dfa)
+        assert mp._packed and not mv._packed
+        syms = RNG.integers(0, 9, 300)
+        pp, pv = mp.lift(syms), mv.lift(syms)
+        assert mp.lower(mp.accumulate(pp)).tolist() == \
+            mv.lower(mv.accumulate(pv)).tolist()
+        assert mp.lower(mp.raccumulate(pp)).tolist() == \
+            mv.lower(mv.raccumulate(pv)).tolist()
+        assert mp.lower(mp.reduce(pp)).tolist() == mv.lower(mv.reduce(pv)).tolist()
+        # pairwise combines of arbitrary products
+        ap = mp.combine(mp.reduce(pp), pp)
+        av = mv.combine(mv.reduce(pv), pv)
+        assert mp.lower(ap).tolist() == mv.lower(av).tolist()
+
+
+def test_vector_fallback_through_kernels():
+    """A capped (vector-path) instance must still pass the kernel
+    strategies — the fallback is a real code path, not dead weight."""
+    from sliding_window_aggregators_spark.operators.kernels import (
+        SlidingCountWindow,
+        sliding_reduce,
+    )
+
+    class VectorOnly(DfaTransform):
+        _PACK_CAP = 0
+
+    m = VectorOnly(dfa_run(1, 3, 4))
+    data = RNG.integers(0, 4, 800).astype(float)
+    for w in [4, 33, 100]:
+        exp = [
+            m.lower1(m.lift_reduce(data[max(0, i - w + 1) : i + 1]))
+            for i in range(len(data))
+        ]
+        assert sliding_reduce(m, data, w).tolist() == exp
+        k = SlidingCountWindow(m, w, strategy="twostacks")
+        assert k.process(data).tolist() == exp
+
+
 def test_dfa_2d_scans_match_rowwise():
-    for m in [get_monoid("dfa"), get_monoid("dfa_funnel")]:
+    class VectorOnly(DfaTransform):
+        _PACK_CAP = 0
+
+    for m in [get_monoid("dfa"), get_monoid("dfa_funnel"),
+              VectorOnly(dfa_run(2, 3, 5))]:
+        (k,) = m.lift(RNG.integers(0, 5, 4)).keys()
         p = m.lift(RNG.integers(0, 5, 64))
-        p2 = {"f": p["f"].reshape(8, 8, -1)}
+        p2 = {k: p[k].reshape((8, 8) + p[k].shape[1:])}
         a2, r2 = m.accumulate(p2, axis=1), m.raccumulate(p2, axis=1)
         for row in range(8):
-            p1 = {"f": p["f"].reshape(8, 8, -1)[row]}
-            assert np.array_equal(a2["f"][row], m.accumulate(p1)["f"])
-            assert np.array_equal(r2["f"][row], m.raccumulate(p1)["f"])
+            p1 = {k: p2[k][row]}
+            assert np.array_equal(a2[k][row], m.accumulate(p1)[k])
+            assert np.array_equal(r2[k][row], m.raccumulate(p1)[k])
 
 
 def test_cep_pattern_vs_duckdb_value_hash(spark):
