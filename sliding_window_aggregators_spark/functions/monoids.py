@@ -995,6 +995,85 @@ class BusyLoop(Monoid):
 
 
 # ---------------------------------------------------------------------------
+# Time-decayed sum — the timestamped monoid (half-life metrics)
+# ---------------------------------------------------------------------------
+
+DECAY_T_SHIFT = 40  # packed input: (time_unit << 40) | value, value < 2^40
+
+
+class DecayedSum(Monoid):
+    """Exponentially time-decayed sum — the textbook construction that
+    makes a decaying metric associative (the timestamped-monoid idea the
+    reference applies to window bounds, cpp/src/TimestampedFifo.hpp,
+    turned into the AGGREGATE itself): each element contributes
+    ``v · 2^(t − tip)`` where ``tip`` is the window's newest time unit,
+    i.e. a half-life of exactly one time unit (callers pick granularity
+    by quantizing timestamps — e.g. 6-hour units ≈ 16× decay/day).
+
+    Partial = ``{s: float64 decayed sum referenced to time t, t: int64
+    reference tip}``; combine re-references both sides to ``max(t1, t2)``
+    by ``np.ldexp`` — scaling by powers of two is EXACT in IEEE754, so
+    associativity/commutativity hold bit-for-bit as long as the window's
+    time spread keeps terms inside float64's 52-bit span (the engine's
+    exactness discipline: integer cents × power-of-2 decay = dyadic
+    rationals; a 6h-unit query over day-scale windows has total bit
+    spread ≈ value_bits + unit_spread ≪ 52, so Spark and DuckDB agree
+    hash-exactly with no rounding). Identity = {0, −2^62 sentinel} (the
+    MinCount n=−1 pattern); the scan is a cumsum of batch-referenced
+    terms rescaled per prefix — bit-identical to the sequential fold
+    because every operand differs only by a shared exact 2^k factor.
+
+    Input is PACKED into one int64 (``time_unit << 40 | value``, the
+    argmax packed-key discipline) so the monoid stays single-column and
+    slots into every kernel/stream path unmodified."""
+
+    name = "decayed"
+    commutative = True
+    invertible = False
+    _NEG = np.int64(-(np.int64(1) << np.int64(62)))
+
+    @staticmethod
+    def _exp(e):
+        # ldexp wants int32; clip keeps sentinel arithmetic finite (a
+        # clipped exponent only ever applies to s == 0 or to terms the
+        # true fold also decays past float64's subnormal floor)
+        return np.clip(e, -1100, 1100).astype(np.int32)
+
+    def lift(self, values):
+        v = np.asarray(values).astype(np.int64)
+        t = v >> DECAY_T_SHIFT
+        s = (v & ((np.int64(1) << np.int64(DECAY_T_SHIFT)) - 1)).astype(
+            np.float64
+        )
+        return {"s": s, "t": t}
+
+    def identity(self, n=1):
+        return {
+            "s": np.zeros(n, dtype=np.float64),
+            "t": np.full(n, self._NEG, dtype=np.int64),
+        }
+
+    def combine(self, a, b):
+        t1, t2 = a["t"], b["t"]
+        tip = np.maximum(t1, t2)
+        s = np.ldexp(a["s"], self._exp(t1 - tip)) + np.ldexp(
+            b["s"], self._exp(t2 - tip)
+        )
+        return {"s": s, "t": tip}
+
+    def lower(self, p):
+        return p["s"]
+
+    def accumulate(self, p, axis=0):
+        t, s = p["t"], p["s"]
+        tip = np.maximum.accumulate(t, axis=axis)
+        ref = np.max(t, axis=axis, keepdims=True)  # batch reference
+        c = np.ldexp(s, self._exp(t - ref))
+        cs = np.cumsum(c, axis=axis)
+        return {"s": np.ldexp(cs, self._exp(ref - tip)), "t": tip}
+
+
+# ---------------------------------------------------------------------------
 # CEP pattern matching as a monoid: DFA transition composition
 # ---------------------------------------------------------------------------
 
@@ -1238,6 +1317,8 @@ def registry(dtype=np.float64) -> dict[str, Monoid]:
         # signup(4)→click(0)→purchase(3) episode detector (KMP automaton).
         "dfa": DfaTransform(),
         "dfa_funnel": DfaTransform(dfa_contains([4, 0, 3], 5)),
+        # timestamped family: half-life-decayed sum over packed (t, v)
+        "decayed": DecayedSum(),
     }
 
 

@@ -52,6 +52,7 @@ _OUT_SPARK_TYPE = {
     "argmax": "bigint",
     "dfa": "bigint",
     "dfa_funnel": "bigint",
+    "decayed": "double",
 }
 
 

@@ -604,6 +604,50 @@ group by a.user_id, a.event_id
 """
 
 
+def q_decayed_revenue(spark, sf_dir):
+    """Half-life-decayed revenue per event — the timestamped monoid
+    (functions/monoids.py DecayedSum): each window row contributes
+    ``cents · 2^(tu − tip)`` where ``tu`` quantizes event time to 6-hour
+    units (≈16× decay per day) and ``tip`` is the window's newest unit.
+    TWO event-time windows (24 h and 72 h) answered from ONE
+    TimeSegmentedKernel pass (window sharing), packed-input discipline
+    (``tu·2^40 + cents`` — the argmax packed-key trick, so the monoid
+    stays single-column and rides every kernel path unmodified).
+
+    Exactness: integer cents × power-of-2 decay = dyadic rationals with
+    total bit spread ≤ cents_bits + 12 units + log2(window rows) ≪ 52,
+    so Spark and DuckDB agree HASH-EXACTLY with no rounding — the same
+    determinism discipline as the integer-cents sums. Not in the 50-slot
+    driver registry (at cap); the identical value-hash comparison runs
+    at pytest level (tests/test_decayed.py)."""
+    df = _events(spark, sf_dir).withColumn(
+        "tu", F.expr("unix_micros(cast(ts as timestamp)) div 21600000000")
+    ).withColumn("packed", F.col("tu") * F.lit(1 << 40) + F.col("cents"))
+    return sliding_time_kernel_partitioned(
+        df, "user_id", "ts", "packed", "decayed",
+        {"dsum_24h": 24 * HOUR_US, "dsum_72h": 72 * HOUR_US},
+        id_cols=["user_id", "event_id"], tiebreak=["event_id"],
+        int_values=True,
+    )
+
+
+ORACLE_DECAYED_REVENUE = """
+with e as (select user_id, event_id, ts,
+                  cast(round(value * 100) as bigint) as cents,
+                  epoch_us(ts) // 21600000000 as tu
+           from events)
+select a.user_id, a.event_id,
+       sum(case when epoch_us(b.ts) >= epoch_us(a.ts) - 86400000000
+                then b.cents * pow(2.0, -(a.tu - b.tu)) end) as dsum_24h,
+       sum(b.cents * pow(2.0, -(a.tu - b.tu))) as dsum_72h
+from e a join e b
+  on a.user_id = b.user_id
+ and epoch_us(b.ts) >= epoch_us(a.ts) - 259200000000
+ and (b.ts < a.ts or (b.ts = a.ts and b.event_id <= a.event_id))
+group by a.user_id, a.event_id
+"""
+
+
 def _hll_oracle() -> str:
     from ..functions.monoids import HLL_ALPHA_M2_SCALED, HLL_M, HLL_P, HLL_RHO_CAP
 

@@ -33,7 +33,7 @@ def ac(a, b):
     return np.allclose(a, b, rtol=1e-9, equal_nan=True)
 
 
-MONOIDS = ["sum", "max", "min", "mean", "geomean", "stddev", "mincount", "relvar", "count", "bloom", "hll", "histq", "cms", "dfa"]
+MONOIDS = ["sum", "max", "min", "mean", "geomean", "stddev", "mincount", "relvar", "count", "bloom", "hll", "histq", "cms", "dfa", "decayed"]
 # 2..32 exercises the log-doubling small-window fast path (odd widths pin
 # the power-of-2 span composition; 32/33 straddle its threshold), 100+ the
 # block-scan decomposition
