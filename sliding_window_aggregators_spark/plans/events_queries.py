@@ -508,24 +508,49 @@ def q_kernel_sketch(spark, sf_dir):
       SubtractOnEvict fast path. See the CountMinSketch registry
       contract note (functions/monoids.py) for the pinned-query rule.
 
-    All three sketches run in ONE fused partitioned pass (different value
-    columns, same frame): one shuffle + sort, three vector-partial
+    Round-5 addition — the row also carries the two CEP detectors
+    (functions/monoids.py DfaTransform, packed transition-monoid codes):
+
+    - ``err_burst``: ≥3 CONSECUTIVE errors in the last 8 events
+      (dfa_run retry-storm automaton);
+    - ``funnel_hit``: contiguous signup→click→purchase in the last 16
+      (dfa_contains KMP automaton).
+
+    All five kernels run in ONE fused partitioned pass (different value
+    columns AND window sizes, same key/sort): one shuffle + sort, five
     kernels sharing the Arrow stream — see
-    :func:`~..operators.batch.sliding_rows_kernel_partitioned_multi`."""
+    :func:`~..operators.batch.sliding_rows_kernel_partitioned_multi`.
+    (q_cep_pattern keeps the standalone two-detector form with its own
+    oracle at pytest level, tests/test_cep.py.)"""
     from ..operators.batch import sliding_rows_kernel_partitioned_multi
 
     df = _events(spark, sf_dir).withColumn(
         "h",
         F.expr(_cents_md5_60()),
-    ).withColumn("cms_v", F.col("cents") % 101 + 1)
-    return sliding_rows_kernel_partitioned_multi(
+    ).withColumn("cms_v", F.col("cents") % 101 + 1).withColumn(
+        "sym",
+        F.when(F.col("event_type") == "click", 0)
+        .when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "purchase", 3)
+        .otherwise(4),  # signup
+    )
+    out = sliding_rows_kernel_partitioned_multi(
         df, "user_id", ["ts", "event_id"],
         [
             ("h", "hll", W, "whll", True),
             ("cents", "histq", W, "wp99_cents", True),
             ("cms_v", "cms", W, "wcms_q1", True),
+            ("sym", "dfa", 8, "err_state", True),
+            ("sym", "dfa_funnel", 16, "funnel_state", True),
         ],
         id_cols=["user_id", "event_id"],
+    )
+    # both automata: absorbing accept state 3 (run k=3 / pattern m=3)
+    return out.select(
+        "user_id", "event_id", "whll", "wp99_cents", "wcms_q1",
+        (F.col("err_state") == 3).cast("int").alias("err_burst"),
+        (F.col("funnel_state") == 3).cast("int").alias("funnel_hit"),
     )
 
 
@@ -771,10 +796,11 @@ from frames
 # the sketch oracles reconstruct frames with an O(n·w) band self-join
 # (oracle-only); the merged query equi-joins the three pipelines
 ORACLE_KERNEL_SKETCH = f"""
-select user_id, event_id, whll, wp99_cents, wcms_q1
+select user_id, event_id, whll, wp99_cents, wcms_q1, err_burst, funnel_hit
 from ({_hll_oracle()}) h
 join ({_histq_oracle()}) p using (user_id, event_id)
 join ({_cms_oracle()}) c using (user_id, event_id)
+join ({ORACLE_CEP_PATTERN}) d using (user_id, event_id)
 """
 
 
