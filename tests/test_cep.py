@@ -193,6 +193,81 @@ def test_cep_pattern_planted(spark, tmp_path):
     assert got["funnel_hit"].tolist() == [1 if i >= 14 else 0 for i in range(len(types))]
 
 
+def test_cep_fused_with_sum_in_multi_stream(spark, stream_dirs):
+    """Numeric aggregation + CEP pattern matching in ONE window-shared
+    stateful operator: sliding_agg_stream_multi with monoids (sum, dfa)
+    over distinct lifted inputs — rolling text length and the tool-loop
+    automaton state over the same event-time window, one Exchange, one
+    state roundtrip. The dfa member answers from the ordered timestamp
+    spine, i.e. pattern state is evaluated in EVENT-TIME order."""
+    from test_streaming import _read_stream, _write_chunk
+
+    from sliding_window_aggregators_spark.sources import transcripts_pandas
+    from sliding_window_aggregators_spark.streaming import (
+        sliding_agg_stream_multi,
+        write_stream_exactly_once,
+    )
+
+    pdf = transcripts_pandas(500, 15).reset_index(drop=True)
+    conv = pdf["conv_id"].iloc[0]
+    pdf.loc[pdf.index[pdf["conv_id"] == conv][:5], "role"] = "tool"
+    src, out, ckpt = stream_dirs
+    _write_chunk(spark, src, pdf.iloc[:250], "c0")
+    _write_chunk(spark, src, pdf.iloc[250:], "c1")
+
+    sym_expr = (
+        "case role when 'user' then 0 when 'assistant' then 1 "
+        "when 'tool' then 2 else 3 end"
+    )
+    stream = sliding_agg_stream_multi(
+        _read_stream(spark, src),
+        monoids=("sum", "dfa"),
+        durations=("3 minutes",),
+        value_exprs=("length(text)", sym_expr),
+        int_values=True,
+    )
+    q, sink = write_stream_exactly_once(stream, out, ckpt)
+    q.awaitTermination(120)
+    phys = q._jsq.explainInternal(False)
+    assert phys.count("Exchange") == 1, phys
+
+    got = (
+        sink.read_committed(spark)
+        .select("conv_id", "ts", "wsum_0", "wdfa_0")
+        .toPandas()
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    m = get_monoid("dfa")
+    sym_map = {"user": 0, "assistant": 1, "tool": 2}
+    dur = 180_000_000
+    exp_rows = []
+    for conv_id, g in pdf.groupby("conv_id"):
+        g = g.sort_values("ts")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        lens = g["text"].str.len().to_numpy()
+        syms = np.array([sym_map.get(r, 3) for r in g["role"]])
+        for i in range(len(g)):
+            mask = ts[: i + 1] >= ts[i] - dur
+            exp_rows.append(
+                (
+                    conv_id,
+                    g["ts"].iloc[i],
+                    int(lens[: i + 1][mask].sum()),
+                    _replay(m.dfa, syms[: i + 1][mask])[-1],
+                )
+            )
+    exp = (
+        pd.DataFrame(exp_rows, columns=["conv_id", "ts", "wsum_0", "wdfa_0"])
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert got["wsum_0"].astype(int).tolist() == exp["wsum_0"].tolist()
+    assert got["wdfa_0"].astype(int).tolist() == exp["wdfa_0"].tolist()
+    assert (got["wdfa_0"] == 3).any()  # the planted loop was detected
+
+
 def test_cep_stream_tool_loop_matches_brute(spark, stream_dirs):
     """Streaming CEP: ≥3 consecutive tool turns within the last 8 turns of
     a conversation, via sliding_count_stream + the dfa monoid; must equal
