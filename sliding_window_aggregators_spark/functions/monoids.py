@@ -1074,6 +1074,83 @@ class DecayedSum(Monoid):
 
 
 # ---------------------------------------------------------------------------
+# TopK — sliding order statistic (k-th largest over the window)
+# ---------------------------------------------------------------------------
+
+
+class TopK(Monoid):
+    """The k LARGEST values in the window as an associative aggregate —
+    the order-statistic member of the §2.A contract (any associative
+    operator slots into every window algorithm, the same extension
+    pattern as ArgMax/Collect, cpp/src/AggregationFunctions.hpp:297).
+
+    Partial = ``{"top": (…, k) int64}``, lanes sorted ASCENDING, missing
+    slots padded with the INT64_MIN sentinel (the MinCount n=−1
+    discipline). ``combine`` is a rowwise 2k-merge: lane-concat, sort,
+    keep the upper k — the top-k of a multiset union depends only on the
+    union, so the operator is associative AND commutative; it is NOT
+    idempotent (``combine(a, a)`` duplicates survivors — faithful
+    multiset semantics) and NOT invertible, so it exercises the
+    Two-Stacks/DABA family on a vector domain like bloom/hll.
+
+    ``lower`` = lane 0 = the k-th largest value in the window, emitting
+    the sentinel while the window holds fewer than k values — exactly
+    reproducible in SQL (``coalesce(sorted_list[k], sentinel)``), which
+    keeps the DuckDB oracle hash-exact. ``accumulate`` has no numpy
+    ufunc, so the prefix scan is a Hillis–Steele doubling scan:
+    ``ceil(log2 n)`` shifted combines, each a vectorized 2k-sort — the
+    same log-combine economics as the engine's small-window fold path.
+    """
+
+    name = "top3"
+    commutative = True
+    invertible = False
+    SENTINEL = np.int64(np.iinfo(np.int64).min)
+
+    def __init__(self, k: int = 3, dtype=np.float64):
+        self.k = int(k)
+        self.name = f"top{self.k}"
+
+    def lift(self, values):
+        v = np.asarray(values).astype(np.int64)
+        top = np.full((len(v), self.k), self.SENTINEL, dtype=np.int64)
+        top[:, -1] = v
+        return {"top": top}
+
+    def identity(self, n=1):
+        return {"top": np.full((n, self.k), self.SENTINEL, dtype=np.int64)}
+
+    def combine(self, a, b):
+        cat = np.concatenate([a["top"], b["top"]], axis=-1)
+        cat.sort(axis=-1)
+        return {"top": np.ascontiguousarray(cat[..., -self.k:])}
+
+    def lower(self, p):
+        return p["top"][..., 0]
+
+    def _shifted(self, arr: np.ndarray, axis: int, shift: int) -> np.ndarray:
+        """arr shifted forward by ``shift`` along ``axis``, identity fill."""
+        out = np.full_like(arr, self.SENTINEL)
+        src = [slice(None)] * arr.ndim
+        dst = [slice(None)] * arr.ndim
+        src[axis] = slice(0, arr.shape[axis] - shift)
+        dst[axis] = slice(shift, None)
+        out[tuple(dst)] = arr[tuple(src)]
+        return out
+
+    def accumulate(self, p, axis=0):
+        out = p["top"]
+        n = out.shape[axis]
+        shift = 1
+        while shift < n:
+            out = self.combine(
+                {"top": self._shifted(out, axis, shift)}, {"top": out}
+            )["top"]
+            shift <<= 1
+        return {"top": out}
+
+
+# ---------------------------------------------------------------------------
 # CEP pattern matching as a monoid: DFA transition composition
 # ---------------------------------------------------------------------------
 
@@ -1319,6 +1396,8 @@ def registry(dtype=np.float64) -> dict[str, Monoid]:
         "dfa_funnel": DfaTransform(dfa_contains([4, 0, 3], 5)),
         # timestamped family: half-life-decayed sum over packed (t, v)
         "decayed": DecayedSum(),
+        # order-statistic family: 3rd-largest value in the window
+        "top3": TopK(3),
     }
 
 

@@ -53,6 +53,7 @@ _OUT_SPARK_TYPE = {
     "dfa": "bigint",
     "dfa_funnel": "bigint",
     "decayed": "double",
+    "top3": "bigint",
 }
 
 

@@ -514,10 +514,14 @@ def q_kernel_sketch(spark, sf_dir):
     - ``err_burst``: ≥3 CONSECUTIVE errors in the last 8 events
       (dfa_run retry-storm automaton);
     - ``funnel_hit``: contiguous signup→click→purchase in the last 16
-      (dfa_contains KMP automaton).
+      (dfa_contains KMP automaton);
+    - ``wtop3_cents``: the 3rd-largest cents value in the window — the
+      order-statistic monoid (functions/monoids.py TopK: (…, 3) int64
+      lane partials, combine = rowwise 2k-merge), INT64_MIN sentinel
+      while the window holds fewer than 3 rows.
 
-    All five kernels run in ONE fused partitioned pass (different value
-    columns AND window sizes, same key/sort): one shuffle + sort, five
+    All six kernels run in ONE fused partitioned pass (different value
+    columns AND window sizes, same key/sort): one shuffle + sort, six
     kernels sharing the Arrow stream — see
     :func:`~..operators.batch.sliding_rows_kernel_partitioned_multi`.
     (q_cep_pattern keeps the standalone two-detector form with its own
@@ -543,6 +547,7 @@ def q_kernel_sketch(spark, sf_dir):
             ("cms_v", "cms", W, "wcms_q1", True),
             ("sym", "dfa", 8, "err_state", True),
             ("sym", "dfa_funnel", 16, "funnel_state", True),
+            ("cents", "top3", W, "wtop3_cents", True),
         ],
         id_cols=["user_id", "event_id"],
     )
@@ -551,6 +556,7 @@ def q_kernel_sketch(spark, sf_dir):
         "user_id", "event_id", "whll", "wp99_cents", "wcms_q1",
         (F.col("err_state") == 3).cast("int").alias("err_burst"),
         (F.col("funnel_state") == 3).cast("int").alias("funnel_hit"),
+        "wtop3_cents",
     )
 
 
@@ -793,14 +799,36 @@ from frames
 """
 
 
+def _top3_oracle() -> str:
+    # 3rd-largest value in the frame: ordered list, 1-based index 3,
+    # INT64_MIN sentinel when the frame holds fewer than 3 rows — the
+    # TopK monoid's lower() contract (functions/monoids.py TopK)
+    sentinel = "(-9223372036854775807 - 1)"
+    return f"""
+with e0 as (
+  select user_id, event_id, {_CENTS} as cents,
+         row_number() over (partition by user_id order by ts, event_id) as rn
+  from events
+)
+select a.user_id, a.event_id,
+       cast(coalesce((list(b.cents order by b.cents desc))[3],
+                     {sentinel}) as bigint) as wtop3_cents
+from e0 a join e0 b
+  on a.user_id = b.user_id and b.rn between a.rn - {W - 1} and a.rn
+group by 1, 2
+"""
+
+
 # the sketch oracles reconstruct frames with an O(n·w) band self-join
-# (oracle-only); the merged query equi-joins the three pipelines
+# (oracle-only); the merged query equi-joins the per-column pipelines
 ORACLE_KERNEL_SKETCH = f"""
-select user_id, event_id, whll, wp99_cents, wcms_q1, err_burst, funnel_hit
+select user_id, event_id, whll, wp99_cents, wcms_q1, err_burst, funnel_hit,
+       wtop3_cents
 from ({_hll_oracle()}) h
 join ({_histq_oracle()}) p using (user_id, event_id)
 join ({_cms_oracle()}) c using (user_id, event_id)
 join ({ORACLE_CEP_PATTERN}) d using (user_id, event_id)
+join ({_top3_oracle()}) t using (user_id, event_id)
 """
 
 
