@@ -1406,3 +1406,55 @@ def test_discover_hot_keys(spark):
         "conv_id string, turn_idx long",
     )
     assert discover_hot_keys(uniform, min_share=0.2) == []
+
+
+def test_sliding_count_stream_top3(spark, tmp_path):
+    """The order-statistic monoid through the streaming count window:
+    3rd-longest turn text in the last 10 turns per conversation, replayed
+    as two micro-batches, equal to a brute per-conversation fold
+    (functions/monoids.py TopK — INT64_MIN sentinel while <3 turns)."""
+    from sliding_window_aggregators_spark.functions import get_monoid
+    from sliding_window_aggregators_spark.streaming import (
+        sliding_count_stream,
+        write_stream_exactly_once,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    pdf = transcripts_pandas(400, 12).reset_index(drop=True)
+    _write_chunk(spark, str(src), pdf.iloc[:200], "c0")
+    _write_chunk(spark, str(src), pdf.iloc[200:], "c1")
+
+    W = 10
+    stream = sliding_count_stream(
+        _read_stream(spark, str(src)), monoid_name="top3",
+        value_expr="length(text)", w=W, out_col="len3",
+    )
+    q, sink = write_stream_exactly_once(stream, out, ckpt)
+    q.awaitTermination(120)
+
+    got = (
+        sink.read_committed(spark)
+        .select("conv_id", "ts", "len3")
+        .toPandas()
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    m = get_monoid("top3")
+    exp_rows = []
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        v = g["text"].str.len().to_numpy().astype(np.int64)
+        for i in range(len(g)):
+            win = v[max(0, i - W + 1) : i + 1]
+            exp_rows.append((conv, g["ts"].iloc[i], int(m.lower1(m.lift_reduce(win)))))
+    exp = (
+        pd.DataFrame(exp_rows, columns=["conv_id", "ts", "len3"])
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert got["len3"].astype("int64").tolist() == exp["len3"].tolist()
+    # the sentinel really appears (first two turns of every conversation)
+    assert (exp["len3"] == np.iinfo(np.int64).min).sum() == 2 * pdf["conv_id"].nunique()
