@@ -96,7 +96,9 @@ def test_argmax_kernels_tie_earlier_wins():
             assert got2 == exp, (strat, w)
 
 
-@pytest.mark.parametrize("name", ["sum", "max", "mincount", "geomean", "argmax"])
+@pytest.mark.parametrize(
+    "name", ["sum", "max", "mincount", "geomean", "argmax", "top3"]
+)
 def test_time_window_interval_fold(name):
     """Event-time windows (≡ timestamped wrappers + the data_benchmark
     admit/evict loop, cpp/src/benchmark_core.h:577-591; test.cc:650-715)."""
