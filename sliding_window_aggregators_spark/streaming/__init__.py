@@ -13,6 +13,8 @@ from .engine import (  # noqa: F401
     tumbling_stream_salted,
 )
 from .join import (  # noqa: F401
+    reply_latency_batch,
+    reply_latency_stream,
     user_assistant_join,
     user_assistant_join_batch,
     user_next_reply,

@@ -118,3 +118,92 @@ def user_next_reply(
 def user_next_reply_batch(turns: DataFrame, horizon: str = "60 seconds") -> DataFrame:
     """Batch twin of :func:`user_next_reply`."""
     return _first_reply(_interval_join(turns, horizon, None))
+
+
+# ---------------------------------------------------------------------------
+# Reply-latency rollup: the north_rule's full pipeline composed end-to-end —
+# stream-stream interval join → first-reply min-by → tumbling windowed
+# aggregate — THREE chained stateful operators in ONE streaming query
+# (Spark 3.5+ multi-stateful-operator watermark propagation).
+
+
+def _latency_rows(first_reply: DataFrame) -> DataFrame:
+    """Per answered user turn: its event time and reply latency in exact
+    integer microseconds (unix_micros keeps the arithmetic in int64 — the
+    module-wide determinism discipline, no float timestamps)."""
+    return first_reply.select(
+        "u_ts",
+        (F.unix_micros("r_ts") - F.unix_micros("u_ts")).alias("lat_us"),
+    )
+
+
+def reply_latency_stream(
+    turns: DataFrame,
+    *,
+    horizon: str = "60 seconds",
+    watermark: str = "2 minutes",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Per tumbling ``window``: count / sum / max of user→first-reply
+    latency, computed as ONE streaming query chaining three stateful
+    operators (interval join, first-reply min-by, windowed agg). Output
+    columns ``(win_start, answered, sum_lat_us, max_lat_us)``; windows
+    finalize in append mode when the watermark passes their end."""
+    lat = _latency_rows(user_next_reply(turns, horizon=horizon, watermark=watermark))
+    return (
+        lat.groupBy(F.window("u_ts", window))
+        .agg(
+            F.count("*").alias("answered"),
+            F.sum("lat_us").alias("sum_lat_us"),
+            F.max("lat_us").alias("max_lat_us"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "answered",
+            "sum_lat_us",
+            "max_lat_us",
+        )
+    )
+
+
+def reply_latency_batch(
+    turns: DataFrame, horizon: str = "60 seconds", window: str = "1 hour"
+) -> DataFrame:
+    """Batch twin of :func:`reply_latency_stream`, plus exact discrete
+    p50/p90 latencies. The percentile is the order statistic at 1-based
+    index ``(n-1)*q div 1/q`` computed in INTEGER arithmetic
+    (``(n-1) div 2`` / ``(n-1)*9 div 10``) so DuckDB reproduces the same
+    element with no IEEE754 quantile-interpolation ambiguity."""
+    from pyspark.sql import Window as W
+
+    lat = _latency_rows(user_next_reply_batch(turns, horizon)).select(
+        F.window("u_ts", window).getField("start").alias("win_start"), "lat_us"
+    )
+    ranked = lat.select(
+        "win_start",
+        "lat_us",
+        F.row_number()
+        .over(W.partitionBy("win_start").orderBy("lat_us"))
+        .alias("rn"),
+        F.count("*").over(W.partitionBy("win_start")).alias("n"),
+    )
+    return (
+        ranked.groupBy("win_start")
+        .agg(
+            F.count("*").alias("answered"),
+            F.sum("lat_us").alias("sum_lat_us"),
+            F.max("lat_us").alias("max_lat_us"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n - 1) div 2") + F.lit(1),
+                    F.col("lat_us"),
+                )
+            ).alias("p50_lat_us"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("((n - 1) * 9) div 10") + F.lit(1),
+                    F.col("lat_us"),
+                )
+            ).alias("p90_lat_us"),
+        )
+    )
