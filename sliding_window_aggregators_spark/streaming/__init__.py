@@ -2,6 +2,7 @@ from .engine import (  # noqa: F401
     conversation_timeout_stream,
     dedup_stream,
     discover_hot_keys,
+    hot_keys_stream,
     hll_distinct_stream,
     salted_repartition,
     session_stream,

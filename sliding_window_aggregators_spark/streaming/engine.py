@@ -119,6 +119,55 @@ def discover_hot_keys(
     return [r[key] for r in top]
 
 
+def hot_keys_stream(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    top_n: int = 40,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming twin of :func:`discover_hot_keys`: per tumbling
+    ``window``, the ``top_n`` most-active keys — the live feed an
+    operator watches to decide when a re-plan with ``hot_keys`` /
+    ``chunk_span`` (chunk-halo decomposition) is warranted.
+
+    Two chained stateful aggregations in one streaming query (Spark
+    3.5+ multi-stateful-operator watermark propagation): per-(window,
+    key) counts, then a bounded per-window top-k (sort_array over a
+    collect_list of at most |distinct keys in window| structs — the
+    second agg's state is per-key COUNTS, not rows, so it is bounded by
+    key cardinality per window, the same bound discover_hot_keys'
+    shuffle carries). Output per closed window: ``(win_start, hot_keys
+    array<key>, hot_counts array<bigint>)``, hottest first, ties broken
+    on the key value for determinism (same rule as discover_hot_keys).
+
+    Append mode: a window's row emits once, when the watermark passes
+    its end — exactly the point where a re-plan decision is safe."""
+    per_key = (
+        df.select(key, ts_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # sort hottest-first with deterministic key tie-break: sort_array is
+    # ascending over (n, key) struct ordering, so sort on (-n, key)
+    ranked = per_key.groupBy("window").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct((-F.col("n")).alias("neg_n"), F.col(key)))
+            ),
+            1,
+            top_n,
+        ).alias("top")
+    )
+    return ranked.select(
+        F.col("window.start").alias("win_start"),
+        F.col(f"top.{key}").alias("hot_keys"),
+        F.transform("top", lambda s: -s.neg_n).alias("hot_counts"),
+    )
+
+
 def _ooo_sliding_step(
     st: OrderedAggState,
     pdfs,

@@ -1458,3 +1458,70 @@ def test_sliding_count_stream_top3(spark, tmp_path):
     assert got["len3"].astype("int64").tolist() == exp["len3"].tolist()
     # the sentinel really appears (first two turns of every conversation)
     assert (exp["len3"] == np.iinfo(np.int64).min).sum() == 2 * pdf["conv_id"].nunique()
+
+
+def test_hot_keys_stream_matches_batch(spark, stream_dirs):
+    """Streaming twin of discover_hot_keys: per tumbling window, the
+    top-k most-active conversations (two chained stateful aggregations),
+    replayed as two chunks plus a watermark sentinel, equal to a pandas
+    recompute with the same (-count, key) tie-break."""
+    from sliding_window_aggregators_spark.streaming import hot_keys_stream
+
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(600, 20)
+    far = pdf["ts"].max() + pd.Timedelta(days=1)
+    sentinel = pd.DataFrame(
+        {
+            "conv_id": ["zz_sentinel"],
+            "turn_idx": pd.array([0], dtype="int32"),
+            "role": ["user"],
+            "text": ["x"],
+            "tool": pd.array([None], dtype="string"),
+            "ts": [far],
+        }
+    )
+    _write_chunk(spark, src, pdf.iloc[:300], "c0")
+    _write_chunk(spark, src, pdf.iloc[300:], "c1")
+    _write_chunk(spark, src, sentinel, "c2")
+
+    K = 5
+    stream = hot_keys_stream(
+        _read_stream(spark, src), window="2 minutes", top_n=K,
+        watermark="2 minutes",
+    )
+    q, sink = write_stream_exactly_once(stream, out, ckpt)
+    q.awaitTermination(120)
+    got = (
+        sink.read_committed(spark)
+        .toPandas()
+        .sort_values("win_start")
+        .reset_index(drop=True)
+    )
+
+    win_us = 120_000_000
+    ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+    buckets = (ts_us // win_us) * win_us
+    exp_rows = []
+    for b, g in pdf.assign(_b=buckets).groupby("_b"):
+        cnt = g.groupby("conv_id").size().reset_index(name="n")
+        cnt = cnt.sort_values(["n", "conv_id"], ascending=[False, True])
+        exp_rows.append(
+            (
+                pd.Timestamp(b, unit="us"),
+                cnt["conv_id"].head(K).tolist(),
+                cnt["n"].head(K).astype("int64").tolist(),
+            )
+        )
+    exp = (
+        pd.DataFrame(exp_rows, columns=["win_start", "hot_keys", "hot_counts"])
+        .sort_values("win_start")
+        .reset_index(drop=True)
+    )
+    # every real window closes under the sentinel; the sentinel's own
+    # far-future window stays open and must NOT appear
+    assert got["win_start"].tolist() == exp["win_start"].tolist()
+    assert [list(x) for x in got["hot_keys"]] == exp["hot_keys"].tolist()
+    assert [list(map(int, x)) for x in got["hot_counts"]] == exp["hot_counts"].tolist()
+    # the detector feeds chunk-halo directly: its hottest key per window
+    # is a real Zipf head (strictly more rows than the k-th entry somewhere)
+    assert any(c[0] > c[-1] for c in exp["hot_counts"])
