@@ -182,6 +182,7 @@ def _ooo_sliding_step(
     dur_us: int,
     int_values: bool,
     emit_col: str | None = None,
+    drop_counter=None,
 ):
     """One micro-batch of the OOO sliding kernel against a key's
     OrderedAggState — shared by the applyInPandasWithState path
@@ -220,6 +221,12 @@ def _ooo_sliding_step(
         youngest = st.youngest()
         if youngest is not None:
             keep = ts >= (int(youngest) - dur_us)
+            dropped = int(len(ts) - keep.sum())
+            if dropped and drop_counter is not None:
+                # operational metric, not data: accumulators are
+                # at-least-once under task retries, so this is a
+                # monitoring signal (exact in a healthy run)
+                drop_counter.add(dropped)
             pdf, ts, vals = pdf[keep], ts[keep], vals[keep]
         if len(ts) == 0:
             continue
@@ -335,8 +342,18 @@ def sliding_agg_stream(
     min_state_partitions: int | None = STATE_PARTITION_FLOOR,
     hot_keys: Sequence | None = None,
     chunk_span: str | None = None,
+    dropped_late_counter=None,
 ) -> DataFrame:
     """Per-turn sliding event-time aggregate over a streaming DataFrame.
+
+    ``dropped_late_counter``: optional ``sc.accumulator(0)`` — the
+    kernel adds every row the per-key admission rule rejects (older
+    than the key's youngest − duration, benchmark_core.h:577), the
+    late-data metric an operator alerts on. Spark's own
+    ``numRowsDroppedByWatermark`` only counts rows behind the GLOBAL
+    watermark; this counts the engine's stricter per-key drops.
+    Accumulators are at-least-once under task retries: a monitoring
+    signal (exact in a healthy run), never data.
 
     Emits one row per turn: (key, ts, *id_cols, agg of the key's rows
     with ts ∈ [ts − duration, ts] seen so far, in event-time order within
@@ -389,6 +406,7 @@ def sliding_agg_stream(
             key_val=key_tuple[0], ts_col=ts_col, id_cols=id_cols,
             out_col=out_col, dur_us=dur_us, int_values=int_values,
             emit_col="_halo" if chunked else None,
+            drop_counter=dropped_late_counter,
         )
         state.update((bytearray(st.dumps()),))
         if chunked:

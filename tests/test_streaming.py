@@ -1525,3 +1525,51 @@ def test_hot_keys_stream_matches_batch(spark, stream_dirs):
     # the detector feeds chunk-halo directly: its hottest key per window
     # is a real Zipf head (strictly more rows than the k-th entry somewhere)
     assert any(c[0] > c[-1] for c in exp["hot_counts"])
+
+
+def test_dropped_late_counter(spark, stream_dirs):
+    """The per-key admission rule's drops are observable: an accumulator
+    passed as dropped_late_counter counts exactly the rows rejected as
+    older than youngest − duration, and those rows emit no output."""
+    src, out, ckpt = stream_dirs
+    base = pd.Timestamp("2024-01-01")
+
+    def mk(rows, start_idx=0):
+        return pd.DataFrame(
+            {
+                "conv_id": ["c"] * len(rows),
+                "turn_idx": np.arange(
+                    start_idx, start_idx + len(rows), dtype=np.int32
+                ),
+                "role": ["user"] * len(rows),
+                "text": ["x" * v for _, v in rows],
+                "tool": ["t"] * len(rows),
+                "ts": [base + pd.Timedelta(seconds=s) for s, _ in rows],
+            }
+        )
+
+    # batch 1 ends at 200s; duration 60s → admission horizon 140s.
+    # batch 2: one admissible late row (150s) and TWO too-late rows
+    # (100s, 30s) that must be dropped and counted.
+    _write_chunk(spark, src, mk([(0, 1), (100, 2), (200, 4)]), "c0")
+    acc = spark.sparkContext.accumulator(0)
+
+    def run():
+        stream = sliding_agg_stream(
+            _read_stream(spark, src), monoid_name="sum",
+            value_expr="length(text)", duration="1 minute", out_col="wsum",
+            id_cols=("turn_idx",), dropped_late_counter=acc,
+        )
+        q, sink = write_stream_exactly_once(stream, out, ckpt)
+        q.awaitTermination(90)
+        return sink
+
+    run()
+    assert acc.value == 0  # in-order batch drops nothing
+    _write_chunk(spark, src, mk([(150, 8), (100, 16), (30, 32)], 3), "c1")
+    sink = run()
+    assert acc.value == 2  # exactly the two inadmissible rows
+    got = sink.read_committed(spark).toPandas()
+    # 3 rows from batch 1 + only the admissible late row from batch 2
+    assert len(got) == 4
+    assert sorted(got["turn_idx"].tolist()) == [0, 1, 2, 3]
