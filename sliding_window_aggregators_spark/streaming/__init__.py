@@ -21,4 +21,8 @@ from .join import (  # noqa: F401
     user_next_reply,
     user_next_reply_batch,
 )
-from .sink import ExactlyOnceParquetSink, write_stream_exactly_once  # noqa: F401
+from .sink import (  # noqa: F401
+    ExactlyOnceParquetSink,
+    audit_sink,
+    write_stream_exactly_once,
+)

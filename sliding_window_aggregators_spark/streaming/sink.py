@@ -112,6 +112,66 @@ def _footer_row_count(path: str) -> int:
     return sum(_footer_row_counts(path).values())
 
 
+def audit_sink(out_dir: str) -> dict:
+    """Lineage audit over an :class:`ExactlyOnceParquetSink` output dir —
+    the consumer of the per-partition lineage + metrics the sink writes.
+
+    Checks, from the filesystem alone (no Spark session):
+
+    - committed batch ids are contiguous from 0 (a gap means a batch's
+      marker vanished after later batches committed — corruption, not
+      a normal resume);
+    - every committed batch has a metrics file, and the metrics row
+      counts equal the parquet footers' actual row counts, file by file
+      (the lineage a replayed/compacted batch must preserve);
+    - no orphan batch dirs (data written but never committed — expected
+      transiently mid-write, a leak if the query is stopped).
+
+    Returns ``{"ok": bool, "batches": n, "rows": total,
+    "problems": [...]}`` — raise or alert on ``problems`` in production.
+    """
+    commit_dir = os.path.join(out_dir, "_commits")
+    metrics_dir = os.path.join(out_dir, "_metrics")
+    problems: list[str] = []
+    ids = sorted(
+        int(f.rsplit("_", 1)[1])
+        for f in os.listdir(commit_dir)
+        if f.startswith("_COMMIT_") and not f.endswith(".tmp")
+    ) if os.path.isdir(commit_dir) else []
+    if ids and ids != list(range(ids[0], ids[-1] + 1)):
+        problems.append(f"non-contiguous committed batch ids: {ids}")
+    if ids and ids[0] != 0:
+        problems.append(f"first committed batch is {ids[0]}, not 0")
+    total = 0
+    for b in ids:
+        mpath = os.path.join(metrics_dir, f"batch_{b}.json")
+        bpath = os.path.join(out_dir, f"batch_id={b}")
+        if not os.path.exists(mpath):
+            problems.append(f"batch {b}: committed but no metrics file")
+            continue
+        with open(mpath) as fh:
+            m = json.load(fh)
+        actual = _footer_row_counts(bpath) if os.path.isdir(bpath) else {}
+        if m.get("rows_per_file") != actual:
+            problems.append(
+                f"batch {b}: metrics rows_per_file != parquet footers "
+                f"({m.get('rows_per_file')} vs {actual})"
+            )
+        total += sum(actual.values())
+    committed = set(ids)
+    for name in sorted(os.listdir(out_dir)) if os.path.isdir(out_dir) else []:
+        if name.startswith("batch_id="):
+            b = int(name.split("=", 1)[1])
+            if b not in committed:
+                problems.append(f"orphan uncommitted batch dir: {name}")
+    return {
+        "ok": not problems,
+        "batches": len(ids),
+        "rows": total,
+        "problems": problems,
+    }
+
+
 def write_stream_exactly_once(
     df: DataFrame, out_dir: str, checkpoint_dir: str, available_now: bool = True
 ):

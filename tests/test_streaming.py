@@ -1573,3 +1573,60 @@ def test_dropped_late_counter(spark, stream_dirs):
     # 3 rows from batch 1 + only the admissible late row from batch 2
     assert len(got) == 4
     assert sorted(got["turn_idx"].tolist()) == [0, 1, 2, 3]
+
+
+def test_audit_sink(spark, stream_dirs):
+    """Lineage audit: a healthy checkpoint-resumed sink audits clean;
+    planted corruptions (missing metrics, doctored per-file row counts,
+    orphan uncommitted batch dir) are each detected."""
+    import json
+    import shutil
+
+    from sliding_window_aggregators_spark.streaming import audit_sink
+
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(400, 12)
+    _write_chunk(spark, src, pdf.iloc[:200], "c0")
+
+    def run():
+        stream = sliding_agg_stream(
+            _read_stream(spark, src), monoid_name="sum",
+            value_expr="length(text)", duration="2 minutes", out_col="wsum",
+        )
+        q, sink = write_stream_exactly_once(stream, out, ckpt)
+        q.awaitTermination(90)
+        return sink
+
+    run()
+    _write_chunk(spark, src, pdf.iloc[200:], "c1")
+    sink = run()
+    rep = audit_sink(out)
+    assert rep["ok"], rep
+    assert rep["rows"] == sink.read_committed(spark).count() == len(pdf)
+    assert rep["batches"] >= 2  # the resume really added batches
+
+    # planted corruption 1: doctor a metrics file's per-file row count
+    b0 = os.path.join(out, "_metrics", "batch_0.json")
+    m = json.load(open(b0))
+    key = next(iter(m["rows_per_file"]))
+    m["rows_per_file"][key] += 1
+    json.dump(m, open(b0, "w"))
+    rep = audit_sink(out)
+    assert not rep["ok"] and any("batch 0" in p for p in rep["problems"])
+    m["rows_per_file"][key] -= 1
+    json.dump(m, open(b0, "w"))
+
+    # planted corruption 2: orphan uncommitted batch dir
+    shutil.copytree(
+        os.path.join(out, "batch_id=0"), os.path.join(out, "batch_id=999")
+    )
+    rep = audit_sink(out)
+    assert not rep["ok"] and any("orphan" in p for p in rep["problems"])
+    shutil.rmtree(os.path.join(out, "batch_id=999"))
+
+    # planted corruption 3: missing metrics file
+    os.rename(b0, b0 + ".bak")
+    rep = audit_sink(out)
+    assert not rep["ok"] and any("no metrics" in p for p in rep["problems"])
+    os.rename(b0 + ".bak", b0)
+    assert audit_sink(out)["ok"]
