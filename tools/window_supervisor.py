@@ -78,6 +78,10 @@ def main() -> None:
     ap.add_argument("--batch-min-bw16", type=float, default=8000.0)
     ap.add_argument("--stream-min-bw8", type=float, default=2000.0)
     ap.add_argument("--stream-min-ratio", type=float, default=2.0)
+    # a collapsed 2-proc stream (bw2 → ~0.4 GB/s) makes ratio_8v2 spike
+    # spuriously — such windows starve the pair's level-2 leg instead of
+    # evidencing a real grant; require a healthy bw2 floor too
+    ap.add_argument("--stream-min-bw2", type=float, default=0.0)
     ap.add_argument("--stream-cluster", action="store_true",
                     help="fire the stream pair in local-cluster mode "
                          "(N isolated executor JVMs per level)")
@@ -181,6 +185,7 @@ def main() -> None:
             matches.append(("batch", fire_batch))
         if not done["stream"] and runs["stream"] < args.max_runs_per_gate \
                 and p["bw8"] >= args.stream_min_bw8 \
+                and p["bw2"] >= args.stream_min_bw2 \
                 and p["ratio_8v2"] >= args.stream_min_ratio:
             matches.append(("stream", fire_stream))
         if not matches:
