@@ -64,6 +64,10 @@ def main() -> None:
                          "protocol job")
     ap.add_argument("--multi-durations",
                     default="2 minutes,10 minutes,60 minutes")
+    ap.add_argument("--audit", action="store_true",
+                    help="after the drain, run the lineage audit over the "
+                         "sink (commit-log contiguity, metrics vs parquet "
+                         "footers, orphan batch dirs) and print the report")
     ap.add_argument("--available-now", action="store_true",
                     help="drain available input then stop (batch-mode run)")
     ap.add_argument("--pin-executors", action="store_true",
@@ -175,6 +179,9 @@ def main() -> None:
             chunk_span=args.chunk_span if hot_keys else None,
         )
     else:
+        # operational late-data metric: rows the per-key admission rule
+        # rejected (stricter than Spark's global numRowsDroppedByWatermark)
+        drop_acc = spark.sparkContext.accumulator(0)
         agg = sliding_agg_stream(
             stream,
             monoid_name=args.monoid,
@@ -184,6 +191,7 @@ def main() -> None:
             out_col="wagg",
             hot_keys=hot_keys,
             chunk_span=args.chunk_span if hot_keys else None,
+            dropped_late_counter=drop_acc,
         )
     import time
 
@@ -227,6 +235,17 @@ def main() -> None:
     # streaming efficiency pair
     print(f"drain seconds: {time.perf_counter() - t0:.3f}", file=sys.stderr)
     print(f"committed batches: {sink.committed_batches()}", file=sys.stderr)
+    if not args.tumbling and not args.multi_monoids:
+        print(f"dropped late rows: {drop_acc.value}", file=sys.stderr)
+    if args.audit:
+        import json as _json
+
+        from sliding_window_aggregators_spark.streaming import audit_sink
+
+        report = audit_sink(args.out)
+        print("lineage audit: " + _json.dumps(report), file=sys.stderr)
+        if not report["ok"]:
+            sys.exit(3)
     # per-batch duration breakdown (planning vs execution vs offset/WAL
     # commits vs state-store commit) so a scaling study can tell engine
     # work from fixed micro-batch machinery — one compact JSON line
