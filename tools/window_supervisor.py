@@ -82,6 +82,14 @@ def main() -> None:
     # spuriously — such windows starve the pair's level-2 leg instead of
     # evidencing a real grant; require a healthy bw2 floor too
     ap.add_argument("--stream-min-bw2", type=float, default=0.0)
+    # twelve gated pairs showed the remaining failure mode is DECAY: an
+    # instantaneous probe satisfies the gate but the grant doesn't hold
+    # across the ~4-minute pair. Require the gate to hold across N
+    # consecutive probes spaced --sustain-gap-s apart before firing —
+    # only a window that has already held ~the pair's level-2 leg
+    # duration gets to spend a run attempt
+    ap.add_argument("--stream-sustain", type=int, default=1)
+    ap.add_argument("--sustain-gap-s", type=float, default=60.0)
     ap.add_argument("--stream-cluster", action="store_true",
                     help="fire the stream pair in local-cluster mode "
                          "(N isolated executor JVMs per level)")
@@ -183,11 +191,29 @@ def main() -> None:
         if not done["batch"] and runs["batch"] < args.max_runs_per_gate \
                 and p["bw2"] >= args.batch_min_bw2 and p["bw16"] >= args.batch_min_bw16:
             matches.append(("batch", fire_batch))
+        def _stream_ok(pr):
+            return (pr["bw8"] >= args.stream_min_bw8
+                    and pr["bw2"] >= args.stream_min_bw2
+                    and pr["ratio_8v2"] >= args.stream_min_ratio)
+
         if not done["stream"] and runs["stream"] < args.max_runs_per_gate \
-                and p["bw8"] >= args.stream_min_bw8 \
-                and p["bw2"] >= args.stream_min_bw2 \
-                and p["ratio_8v2"] >= args.stream_min_ratio:
-            matches.append(("stream", fire_stream))
+                and _stream_ok(p):
+            held = True
+            confirms = [p]
+            for _ in range(args.stream_sustain - 1):
+                time.sleep(args.sustain_gap_s)
+                pc = probe()
+                confirms.append(pc)
+                if not _stream_ok(pc):
+                    held = False
+                    break
+            if held:
+                p = {"confirms": confirms, **confirms[-1]}
+                matches.append(("stream", fire_stream))
+            else:
+                log({"gate": "stream-sustain-fail", "confirms": confirms})
+                time.sleep(args.interval)
+                continue
         if not matches:
             log({"gate": None, "probe": p})
             time.sleep(args.interval)
