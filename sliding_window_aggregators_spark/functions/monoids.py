@@ -1365,6 +1365,174 @@ class DfaTransform(Monoid):
 
 
 # ---------------------------------------------------------------------------
+# MinHash signature — rolling content fingerprint over the window
+# ---------------------------------------------------------------------------
+
+# 8 pinned lane salts (arbitrary odd 32-bit constants, literal in both the
+# NumPy mixer and the DuckDB HUGEINT oracle — the _BLOOM_SALTS discipline)
+_MINHASH_SALTS = np.array(
+    [
+        2654435769,
+        40503,
+        2246822519,
+        3266489917,
+        668265263,
+        374761393,
+        3069313229,
+        591751049,
+    ],
+    dtype=np.uint64,
+)
+
+
+class MinHashSig(Monoid):
+    """Windowed MinHash signature: L=8 lanes, lane l = min over the window
+    of ``mix(mix(101, v), salt_l)`` — the same uint64 mixer family as the
+    reference's BloomFilter (cpp/src/AggregationFunctions.hpp:361-366), so
+    the SQL oracle reuses the verified HUGEINT rendering. Extends the
+    sketch family (bloom = membership, hll = cardinality, histq =
+    quantile, cms = frequency) with SET-SIMILARITY: two windows'
+    signatures estimate Jaccard overlap by lane agreement, which is the
+    streaming twin of the batch MinHash-LSH dedup pipeline
+    (plans/text_queries.py) — a per-conversation ROLLING content
+    fingerprint for near-dup / drift detection on the transcript stream.
+
+    Partial = ``{"sig": (…, 8) uint64}``; combine = elementwise min —
+    idempotent, commutative, NOT invertible (Two-Stacks/DABA territory,
+    and eligible for overlapping sparse-table range folds like max/hll).
+    ``lower`` = lane 0 reinterpreted as int64 (two's complement, exactly
+    what ``cast(hugeint_min - 2^64*(…≥2^63) as bigint)`` yields in SQL);
+    the identity (empty window) lowers to −1 = all-ones uint64."""
+
+    name = "minhash"
+    idempotent = True
+    L = 8
+
+    def lift(self, values):
+        v = np.asarray(values)
+        v64 = v.astype(np.int64).astype(np.uint64)
+        hv = _bloom_mix(np.full(len(v64), 101, dtype=np.uint64), v64)
+        sig = np.empty((len(v64), self.L), dtype=np.uint64)
+        for i, salt in enumerate(_MINHASH_SALTS):
+            sig[:, i] = _bloom_mix(hv, salt)
+        return {"sig": sig}
+
+    def identity(self, n=1):
+        return {"sig": np.full((n, self.L), np.uint64(2**64 - 1), dtype=np.uint64)}
+
+    def combine(self, a, b):
+        return {"sig": np.minimum(a["sig"], b["sig"])}
+
+    def lower(self, p):
+        return np.ascontiguousarray(p["sig"][..., 0]).view(np.int64)
+
+    def accumulate(self, p, axis=0):
+        # same contiguous-scan trick as BloomFilter.accumulate
+        t = np.ascontiguousarray(np.moveaxis(p["sig"], axis, -1))
+        np.minimum.accumulate(t, axis=-1, out=t)
+        return {"sig": np.ascontiguousarray(np.moveaxis(t, -1, axis))}
+
+    def jaccard(self, a: Partial, b: Partial) -> np.ndarray:
+        """Estimated Jaccard similarity between two windows = fraction of
+        agreeing lanes (the consumer-side API; not part of the fold)."""
+        return (a["sig"] == b["sig"]).mean(axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# AdjacentSum — lag-1 product sum (autocovariance numerator)
+# ---------------------------------------------------------------------------
+
+
+class AdjacentSum(Monoid):
+    """Sum of ADJACENT-pair products over the window:
+    ``Σ_{i=2..n} v_{i-1}·v_i`` — the lag-1 autocovariance/autocorrelation
+    numerator (volatility clustering, signal smoothness) as an associative
+    aggregate. The classic segment-concatenation monoid: partial =
+    ``(first, last, adj, n)``; ``combine(a, b)`` keeps ``a.first`` /
+    ``b.last`` and bridges the seam with ``a.last · b.first``:
+
+        adj' = a.adj + b.adj + [a.n>0][b.n>0]·a.last·b.first
+
+    Associative but NOT commutative (order of concatenation matters) and
+    NOT invertible — it rides Two-Stacks/DABA/FlatFIT like dfa/collect
+    do, exercising the non-commutative contract on a numeric domain.
+    Exact int64 throughout (cents ≤ ~1e7 → pair product ≤ 1e14, window
+    sum ≤ 1e16 ≪ 2^63), so the SQL oracle
+    (``sum(cents·lag(cents)) over (rows 98 preceding)``) is hash-exact.
+    ``lower`` = adj. Scans are Hillis–Steele doubling (no ufunc for the
+    seam term), the DfaTransform/TopK discipline."""
+
+    name = "adjsum"
+    commutative = False
+    invertible = False
+
+    def lift(self, values):
+        v = np.asarray(values).astype(np.int64)
+        return {
+            "f": v.copy(),
+            "l": v.copy(),
+            "s": np.zeros_like(v),
+            "n": np.ones_like(v),
+        }
+
+    def identity(self, n=1):
+        z = np.zeros(n, dtype=np.int64)
+        return {"f": z, "l": z.copy(), "s": z.copy(), "n": z.copy()}
+
+    def combine(self, a, b):
+        an, bn = np.broadcast_arrays(a["n"], b["n"])
+        af, bf = np.broadcast_arrays(a["f"], b["f"])
+        al, bl = np.broadcast_arrays(a["l"], b["l"])
+        as_, bs = np.broadcast_arrays(a["s"], b["s"])
+        both = (an > 0) & (bn > 0)
+        return {
+            "f": np.where(an > 0, af, bf),
+            "l": np.where(bn > 0, bl, al),
+            "s": as_ + bs + np.where(both, al * bf, 0),
+            "n": an + bn,
+        }
+
+    def lower(self, p):
+        return p["s"]
+
+    def _scan(self, p, axis, suffix: bool):
+        out = {k: np.array(v, copy=True) for k, v in p.items()}
+        n = out["s"].shape[axis]
+        d = 1
+        while d < n:
+            shifted = {
+                k: _shift_prev_by(v, axis, -d if suffix else d, self.identity(1)[k][0])
+                for k, v in out.items()
+            }
+            out = self.combine(out, shifted) if suffix else self.combine(shifted, out)
+            d <<= 1
+        return out
+
+    def accumulate(self, p, axis=0):
+        return self._scan(p, axis, suffix=False)
+
+    def raccumulate(self, p, axis=0):
+        return self._scan(p, axis, suffix=True)
+
+
+def _shift_prev_by(arr: np.ndarray, axis: int, shift: int, fill) -> np.ndarray:
+    """``arr`` shifted by ``shift`` along ``axis`` (positive = forward),
+    vacated slots identity-filled — the doubling-scan shim."""
+    out = np.full_like(arr, fill)
+    n = arr.shape[axis]
+    src = [slice(None)] * arr.ndim
+    dst = [slice(None)] * arr.ndim
+    if shift >= 0:
+        src[axis] = slice(0, n - shift)
+        dst[axis] = slice(shift, None)
+    else:
+        src[axis] = slice(-shift, None)
+        dst[axis] = slice(0, n + shift)
+    out[tuple(dst)] = arr[tuple(src)]
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1398,6 +1566,11 @@ def registry(dtype=np.float64) -> dict[str, Monoid]:
         "decayed": DecayedSum(),
         # order-statistic family: 3rd-largest value in the window
         "top3": TopK(3),
+        # set-similarity family: 8-lane rolling MinHash signature
+        "minhash": MinHashSig(),
+        # sequence family: lag-1 adjacent-product sum (autocovariance
+        # numerator) — non-commutative on a numeric domain
+        "adjsum": AdjacentSum(),
     }
 
 

@@ -54,6 +54,8 @@ _OUT_SPARK_TYPE = {
     "dfa_funnel": "bigint",
     "decayed": "double",
     "top3": "bigint",
+    "minhash": "bigint",
+    "adjsum": "bigint",
 }
 
 

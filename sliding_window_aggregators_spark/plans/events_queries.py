@@ -194,14 +194,19 @@ def q_kernel_stats(spark, sf_dir):
       (cpp/src/AggregationFunctions.hpp:554-617);
     - SampleStdDev — the reference's exact naive formula
       (cpp/src/AggregationFunctions.hpp:229) over exact integer cents,
-      bit-identical to the same formula in SQL.
+      bit-identical to the same formula in SQL;
+    - AdjacentSum (round-5 addition) — the lag-1 adjacent-product sum
+      Σ v_{i-1}·v_i over the window (autocovariance numerator;
+      functions/monoids.py AdjacentSum): the segment-concatenation
+      monoid — associative, NON-commutative, non-invertible — exact
+      int64, oracle = sum(cents·lag(cents)) over a 98-preceding frame.
 
-    All three run in ONE fused partitioned pass
+    All four run in ONE fused partitioned pass
     (:func:`~..operators.batch.sliding_rows_kernel_partitioned_multi`):
-    one shuffle, one sort, one Arrow stream, three kernels each with its
+    one shuffle, one sort, one Arrow stream, four kernels each with its
     own cross-batch carry — the window-sharing idea applied across
-    aggregates, and the plan a 100 TB run wants (three separate passes
-    would shuffle the fact table three times and then join)."""
+    aggregates, and the plan a 100 TB run wants (four separate passes
+    would shuffle the fact table four times and then join)."""
     from ..operators.batch import sliding_rows_kernel_partitioned_multi
 
     df = _events(spark, sf_dir)
@@ -211,6 +216,7 @@ def q_kernel_stats(spark, sf_dir):
             ("cents", "mincount", W, "wmincount", True),
             ("cents", "relvar", W, "wrelvar", True),
             ("cents", "stddev", W, "wstddev_cents", True),
+            ("cents", "adjsum", W, "wadjsum", True),
         ],
         id_cols=["user_id", "event_id"],
     )
@@ -271,9 +277,24 @@ wf as (
                 / (count(*) over w - 1))
          end as wstddev_cents
   from {_EV} {_WIN}
+),
+pp as (
+  select user_id, event_id, ts, cents,
+         cents * lag(cents) over (partition by user_id
+                                  order by ts, event_id) as p
+  from {_EV}
+),
+aj as (
+  select user_id, event_id,
+         cast(coalesce(sum(p) over (partition by user_id
+                order by ts, event_id
+                rows between {W - 2} preceding and current row), 0)
+              as bigint) as wadjsum
+  from pp
 )
-select user_id, event_id, wmincount, wrelvar, wstddev_cents
+select user_id, event_id, wmincount, wrelvar, wstddev_cents, wadjsum
 from mc join wf using (user_id, event_id)
+join aj using (user_id, event_id)
 """
 
 ORACLE_KERNEL_ARGMAX = ORACLE_SLIDING_ARGMAX
@@ -518,9 +539,14 @@ def q_kernel_sketch(spark, sf_dir):
     - ``wtop3_cents``: the 3rd-largest cents value in the window — the
       order-statistic monoid (functions/monoids.py TopK: (…, 3) int64
       lane partials, combine = rowwise 2k-merge), INT64_MIN sentinel
-      while the window holds fewer than 3 rows.
+      while the window holds fewer than 3 rows;
+    - ``wminhash_l0``: lane 0 of the 8-lane rolling MinHash signature
+      (functions/monoids.py MinHashSig — elementwise-min over the
+      reference's uint64 mixer family, the streaming twin of the batch
+      MinHash-LSH dedup pipeline), reinterpreted int64 so the DuckDB
+      HUGEINT oracle is hash-exact.
 
-    All six kernels run in ONE fused partitioned pass (different value
+    All seven kernels run in ONE fused partitioned pass (different value
     columns AND window sizes, same key/sort): one shuffle + sort, six
     kernels sharing the Arrow stream — see
     :func:`~..operators.batch.sliding_rows_kernel_partitioned_multi`.
@@ -548,6 +574,7 @@ def q_kernel_sketch(spark, sf_dir):
             ("sym", "dfa", 8, "err_state", True),
             ("sym", "dfa_funnel", 16, "funnel_state", True),
             ("cents", "top3", W, "wtop3_cents", True),
+            ("cents", "minhash", W, "wminhash_l0", True),
         ],
         id_cols=["user_id", "event_id"],
     )
@@ -557,6 +584,7 @@ def q_kernel_sketch(spark, sf_dir):
         (F.col("err_state") == 3).cast("int").alias("err_burst"),
         (F.col("funnel_state") == 3).cast("int").alias("funnel_hit"),
         "wtop3_cents",
+        "wminhash_l0",
     )
 
 
@@ -819,16 +847,40 @@ group by 1, 2
 """
 
 
+def _minhash_oracle() -> str:
+    # lane 0 of the MinHash signature: per-row hash h0 via the verified
+    # HUGEINT mixer (same hv as the Bloom oracle, lane salt 0 pinned in
+    # functions/monoids.py _MINHASH_SALTS), windowed MIN, then the uint64
+    # two's-complement reinterpretation the monoid's lower() performs
+    from ..functions.monoids import _MINHASH_SALTS
+
+    salt0 = int(_MINHASH_SALTS[0])
+    h0 = _bloom_mix_sql("hv", f"{salt0}::HUGEINT")
+    return f"""
+with h as (
+  select *, {h0} as h0
+  from (select *, {_BLOOM_HV} as hv from {_EV})
+),
+m as (select user_id, event_id, min(h0) over w as mh from h {_WIN})
+select user_id, event_id,
+       cast(case when mh >= 9223372036854775808::HUGEINT
+                 then mh - 18446744073709551616::HUGEINT
+                 else mh end as bigint) as wminhash_l0
+from m
+"""
+
+
 # the sketch oracles reconstruct frames with an O(n·w) band self-join
 # (oracle-only); the merged query equi-joins the per-column pipelines
 ORACLE_KERNEL_SKETCH = f"""
 select user_id, event_id, whll, wp99_cents, wcms_q1, err_burst, funnel_hit,
-       wtop3_cents
+       wtop3_cents, wminhash_l0
 from ({_hll_oracle()}) h
 join ({_histq_oracle()}) p using (user_id, event_id)
 join ({_cms_oracle()}) c using (user_id, event_id)
 join ({ORACLE_CEP_PATTERN}) d using (user_id, event_id)
 join ({_top3_oracle()}) t using (user_id, event_id)
+join ({_minhash_oracle()}) mh using (user_id, event_id)
 """
 
 
