@@ -842,6 +842,73 @@ def test_sliding_agg_stream_multi_heterogeneous_exprs(spark, stream_dirs):
         assert got[c].astype(int).tolist() == exp[c].tolist(), c
 
 
+def test_sliding_agg_stream_multi_minhash_adjsum(spark, stream_dirs):
+    """The round-5 monoids through the streaming shell: a per-conversation
+    ROLLING MinHash fingerprint (wminhash_0 — the streaming twin of the
+    batch MinHash-LSH dedup path) and the lag-1 adjacent-product sum
+    (wadjsum_0 — non-commutative, so the ordered state's fold ORDER is
+    load-bearing), fused in one stateful operator across a micro-batch
+    boundary. Expected values are an INDEPENDENT numpy recompute (the
+    raw mixer for minhash, the literal Σ v_{i-1}·v_i for adjsum), not
+    the monoid code."""
+    from sliding_window_aggregators_spark.functions.monoids import (
+        _MINHASH_SALTS,
+        _bloom_mix,
+    )
+    from sliding_window_aggregators_spark.streaming import (
+        sliding_agg_stream_multi,
+    )
+
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(600, 20)
+    _write_chunk(spark, src, pdf.iloc[:300], "c0")
+    _write_chunk(spark, src, pdf.iloc[300:], "c1")
+
+    stream = sliding_agg_stream_multi(
+        _read_stream(spark, src),
+        monoids=("minhash", "adjsum"),
+        durations=("3 minutes",),
+        value_exprs=("length(text)", "length(text)"),
+        int_values=True,
+    )
+    q, sink = write_stream_exactly_once(stream, out, ckpt)
+    q.awaitTermination(120)
+
+    got = (
+        sink.read_committed(spark)
+        .select("conv_id", "ts", "wminhash_0", "wadjsum_0")
+        .toPandas()
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    dur = 180_000_000
+    exp_rows = []
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values("ts")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = g["text"].str.len().to_numpy().astype(np.int64)
+        h0 = _bloom_mix(
+            _bloom_mix(np.full(len(v), 101, dtype=np.uint64), v.astype(np.uint64)),
+            _MINHASH_SALTS[0],
+        )
+        for i in range(len(g)):
+            lo = int(np.searchsorted(ts[: i + 1], ts[i] - dur, side="left"))
+            seg = v[lo : i + 1]
+            mh = int(h0[lo : i + 1].min().astype(np.uint64).view(np.int64))
+            aj = int((seg[:-1] * seg[1:]).sum()) if len(seg) > 1 else 0
+            exp_rows.append((conv, g["ts"].iloc[i], mh, aj))
+    exp = (
+        pd.DataFrame(
+            exp_rows, columns=["conv_id", "ts", "wminhash_0", "wadjsum_0"]
+        )
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert got["wminhash_0"].astype(int).tolist() == exp["wminhash_0"].tolist()
+    assert got["wadjsum_0"].astype(int).tolist() == exp["wadjsum_0"].tolist()
+
+
 def test_session_stream_ooo_merge_across_microbatches(spark, stream_dirs):
     """SURVEY M4's named hard part: a late (in-watermark) row arriving in a
     LATER micro-batch must merge previously-separate sessions. Chunk c0
