@@ -141,7 +141,8 @@ def sketch_throughput(scale: int = 1) -> dict:
     vals = (1 + (np.arange(n) % 10007)).astype(np.int64)  # int inputs (hash/cents)
     out = {}
     sink = 0.0
-    for op in ("hll", "histq", "cms", "dfa", "top3"):
+    for op in ("hll", "histq", "cms", "dfa", "top3", "minhash", "adjsum",
+               "trend", "toolset"):
         for w in (2**6, 2**14):
             m = get_monoid(op)
             k = SlidingCountWindow(m, w)

@@ -1533,6 +1533,137 @@ def _shift_prev_by(arr: np.ndarray, axis: int, shift: int, fill) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Trend — rolling OLS slope numerator (position-weighted sum monoid)
+# ---------------------------------------------------------------------------
+
+
+class Trend(Monoid):
+    """Rolling OLS trend numerator: for the window ``v_0..v_{n-1}`` (in
+    arrival order, 0-based positions) lower to
+
+        n·Σ i·v_i − (Σi)·(Σv)  =  n²·cov(i, v)
+
+    — the exact-integer numerator of the least-squares slope (its sign is
+    the direction of the trend; divide by the position-only denominator
+    ``n·Σi² − (Σi)²`` downstream for the slope itself). Positions are
+    IMPLICIT: ``lift`` is single-column (n=1, s=v, w=0) and the
+    position-weighted sum ``w = Σ local_i·v_i`` emerges from the combine's
+    shift term
+
+        w' = a.w + b.w + a.n·b.s
+
+    (concatenating ``b`` after ``a`` shifts b's local indices by a.n) —
+    the same segment-concatenation idea as AdjacentSum, but INVERTIBLE:
+    prefix removal is closed-form (``inverse_combine(c, a)`` solves
+    ``c = a⊕b`` for ``b``), so Trend is the engine's first invertible
+    NON-commutative monoid — it rides SubtractOnEvict
+    (cpp/src/SubtractOnEvict.hpp:20-64) on a partial whose group inverse
+    is position-dependent, a case the sum/mean/stddev family never
+    exercises. Exact int64 throughout (cents ≤ 1e7, w = 100 → |lower| ≤
+    n²·w·v ≈ 1e13 ≪ 2^63), so the SQL oracle is hash-exact.
+
+    Both scans are closed-form single-pass cumsums (no doubling needed):
+    prefix ``W_k = Σ_{j≤k} (w_j + N_{j-1}·s_j)`` and suffix
+    ``W'_j = Σ_{i≥j} (w_i + n_i·(S'_i − s_i))`` with ``N``/``S'`` the
+    running count/value sums."""
+
+    name = "trend"
+    invertible = True
+    commutative = False
+
+    def lift(self, values):
+        v = np.asarray(values).astype(np.int64)
+        return {"n": np.ones_like(v), "s": v.copy(), "w": np.zeros_like(v)}
+
+    def identity(self, n=1):
+        z = np.zeros(n, dtype=np.int64)
+        return {"n": z, "s": z.copy(), "w": z.copy()}
+
+    def combine(self, a, b):
+        return {
+            "n": a["n"] + b["n"],
+            "s": a["s"] + b["s"],
+            "w": a["w"] + b["w"] + a["n"] * b["s"],
+        }
+
+    def inverse_combine(self, c, a):
+        # remove the time-order PREFIX a from c (the SubtractOnEvict /
+        # prefix-diff contract): b with c = a⊕b
+        bs = c["s"] - a["s"]
+        return {
+            "n": c["n"] - a["n"],
+            "s": bs,
+            "w": c["w"] - a["w"] - a["n"] * bs,
+        }
+
+    def lower(self, p):
+        n, s, w = p["n"], p["s"], p["w"]
+        return n * w - (n * (n - 1) // 2) * s
+
+    def accumulate(self, p, axis=0):
+        n = np.cumsum(p["n"], axis=axis)
+        s = np.cumsum(p["s"], axis=axis)
+        # N_{j-1} = count of elements before j = cumsum(n) - n
+        w = np.cumsum(p["w"] + (n - p["n"]) * p["s"], axis=axis)
+        return {"n": n, "s": s, "w": w}
+
+    def raccumulate(self, p, axis=0):
+        def rcs(a):
+            return np.flip(np.cumsum(np.flip(a, axis), axis=axis), axis)
+
+        n = rcs(p["n"])
+        s = rcs(p["s"])
+        # W'_j = w_j + n_j·S'_{j+1} + W'_{j+1}  with  S'_{j+1} = S'_j − s_j
+        w = rcs(p["w"] + p["n"] * (s - p["s"]))
+        return {"n": n, "s": s, "w": w}
+
+
+# ---------------------------------------------------------------------------
+# ToolSet — exact small-domain windowed distinct count (bitset-OR)
+# ---------------------------------------------------------------------------
+
+# 8-bit popcount lookup (numpy < 2.0 has no bitwise_count ufunc)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+class ToolSet(Monoid):
+    """Exact distinct count over a SMALL categorical domain: lift maps the
+    value to a single-bit uint64 mask (``1 << (v mod 63)`` — bits 0..62
+    only, so the int64 reinterpretation stays non-negative and the SQL
+    oracle's BIGINT ``bit_or`` never touches the sign bit), combine is
+    bitwise OR, lower is the popcount = the exact number of distinct
+    categories seen in the window. The transcript-schema use is "distinct
+    tools invoked in the last w turns" (input_hint's ``tool`` column;
+    domain ≤ 63 → exact, the complement of HyperLogLog's approximate
+    unbounded-domain count). Idempotent + commutative and NOT invertible
+    (Two-Stacks/DABA territory, eligible for overlapping sparse-table
+    range folds like max/bloom/hll/minhash). Oracle:
+    ``bit_count(bit_or(1 << (v % 63)) over w)`` — DuckDB mirrors the
+    monoid operation exactly."""
+
+    name = "toolset"
+    idempotent = True
+
+    def lift(self, values):
+        v = np.asarray(values).astype(np.int64).astype(np.uint64)
+        return {"bits": np.uint64(1) << (v % np.uint64(63))}
+
+    def identity(self, n=1):
+        return {"bits": np.zeros(n, dtype=np.uint64)}
+
+    def combine(self, a, b):
+        return {"bits": a["bits"] | b["bits"]}
+
+    def lower(self, p):
+        b = np.ascontiguousarray(p["bits"])
+        cnt = _POP8[b.view(np.uint8)].reshape(b.shape + (8,)).sum(axis=-1)
+        return cnt.astype(np.int64)
+
+    def accumulate(self, p, axis=0):
+        return {"bits": np.bitwise_or.accumulate(p["bits"], axis=axis)}
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1571,6 +1702,11 @@ def registry(dtype=np.float64) -> dict[str, Monoid]:
         # sequence family: lag-1 adjacent-product sum (autocovariance
         # numerator) — non-commutative on a numeric domain
         "adjsum": AdjacentSum(),
+        # regression family: OLS slope numerator — the first invertible
+        # NON-commutative monoid (SubtractOnEvict on a positional partial)
+        "trend": Trend(),
+        # exact small-domain distinct (bitset-OR): distinct tools/window
+        "toolset": ToolSet(),
     }
 
 

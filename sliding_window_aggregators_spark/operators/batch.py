@@ -56,6 +56,8 @@ _OUT_SPARK_TYPE = {
     "top3": "bigint",
     "minhash": "bigint",
     "adjsum": "bigint",
+    "trend": "bigint",
+    "toolset": "bigint",
 }
 
 

@@ -199,14 +199,21 @@ def q_kernel_stats(spark, sf_dir):
       Σ v_{i-1}·v_i over the window (autocovariance numerator;
       functions/monoids.py AdjacentSum): the segment-concatenation
       monoid — associative, NON-commutative, non-invertible — exact
-      int64, oracle = sum(cents·lag(cents)) over a 98-preceding frame.
+      int64, oracle = sum(cents·lag(cents)) over a 98-preceding frame;
+    - Trend (round-5 addition) — the OLS slope NUMERATOR
+      n·Σi·v − (Σi)(Σv) over 0-based in-window positions
+      (functions/monoids.py Trend): the engine's first invertible
+      NON-commutative monoid (positions are implicit in the combine's
+      shift term), riding SubtractOnEvict with a position-dependent
+      group inverse — exact int64, oracle = row_number() local-position
+      reconstruction over the same frame.
 
-    All four run in ONE fused partitioned pass
+    All five run in ONE fused partitioned pass
     (:func:`~..operators.batch.sliding_rows_kernel_partitioned_multi`):
-    one shuffle, one sort, one Arrow stream, four kernels each with its
+    one shuffle, one sort, one Arrow stream, five kernels each with its
     own cross-batch carry — the window-sharing idea applied across
-    aggregates, and the plan a 100 TB run wants (four separate passes
-    would shuffle the fact table four times and then join)."""
+    aggregates, and the plan a 100 TB run wants (five separate passes
+    would shuffle the fact table five times and then join)."""
     from ..operators.batch import sliding_rows_kernel_partitioned_multi
 
     df = _events(spark, sf_dir)
@@ -217,6 +224,7 @@ def q_kernel_stats(spark, sf_dir):
             ("cents", "relvar", W, "wrelvar", True),
             ("cents", "stddev", W, "wstddev_cents", True),
             ("cents", "adjsum", W, "wadjsum", True),
+            ("cents", "trend", W, "wtrend", True),
         ],
         id_cols=["user_id", "event_id"],
     )
@@ -252,7 +260,7 @@ ORACLE_KERNEL_MAX = ORACLE_SLIDING_MAX
 
 ORACLE_KERNEL_STATS = f"""
 with t as (
-  select user_id, event_id, cents,
+  select user_id, event_id, ts, cents,
          row_number() over (partition by user_id order by ts, event_id) as rn
   from {_EV}
 ),
@@ -292,9 +300,25 @@ aj as (
               as bigint) as wadjsum
   from pp
 )
-select user_id, event_id, wmincount, wrelvar, wstddev_cents, wadjsum
+,
+tw as (
+  select user_id, event_id,
+         count(*) over w as tn,
+         sum(cents) over w as tsv,
+         sum(rn * cents) over w as tsrv,
+         min(rn) over w as trn0
+  from t {_WIN}
+),
+tr as (
+  select user_id, event_id,
+         cast(tn * (tsrv - trn0 * tsv)
+              - ((tn * (tn - 1)) // 2) * tsv as bigint) as wtrend
+  from tw
+)
+select user_id, event_id, wmincount, wrelvar, wstddev_cents, wadjsum, wtrend
 from mc join wf using (user_id, event_id)
 join aj using (user_id, event_id)
+join tr using (user_id, event_id)
 """
 
 ORACLE_KERNEL_ARGMAX = ORACLE_SLIDING_ARGMAX
@@ -544,10 +568,16 @@ def q_kernel_sketch(spark, sf_dir):
       (functions/monoids.py MinHashSig — elementwise-min over the
       reference's uint64 mixer family, the streaming twin of the batch
       MinHash-LSH dedup pipeline), reinterpreted int64 so the DuckDB
-      HUGEINT oracle is hash-exact.
+      HUGEINT oracle is hash-exact;
+    - ``wtool_distinct``: EXACT distinct event types in the window —
+      the bitset-OR monoid (functions/monoids.py ToolSet: single-bit
+      uint64 lift, combine = OR, lower = popcount), the exact
+      small-domain complement of HyperLogLog and the transcript
+      schema's "distinct tools in the last w turns"; oracle =
+      bit_count(bit_or(1 << sym) over w).
 
-    All seven kernels run in ONE fused partitioned pass (different value
-    columns AND window sizes, same key/sort): one shuffle + sort, six
+    All eight kernels run in ONE fused partitioned pass (different value
+    columns AND window sizes, same key/sort): one shuffle + sort, eight
     kernels sharing the Arrow stream — see
     :func:`~..operators.batch.sliding_rows_kernel_partitioned_multi`.
     (q_cep_pattern keeps the standalone two-detector form with its own
@@ -575,6 +605,7 @@ def q_kernel_sketch(spark, sf_dir):
             ("sym", "dfa_funnel", 16, "funnel_state", True),
             ("cents", "top3", W, "wtop3_cents", True),
             ("cents", "minhash", W, "wminhash_l0", True),
+            ("sym", "toolset", W, "wtool_distinct", True),
         ],
         id_cols=["user_id", "event_id"],
     )
@@ -585,6 +616,7 @@ def q_kernel_sketch(spark, sf_dir):
         (F.col("funnel_state") == 3).cast("int").alias("funnel_hit"),
         "wtop3_cents",
         "wminhash_l0",
+        "wtool_distinct",
     )
 
 
@@ -870,17 +902,38 @@ from m
 """
 
 
+def _toolset_oracle() -> str:
+    # exact distinct event types in the window: the same single-bit mask
+    # the monoid lifts (sym ∈ 0..4 → bits 0..4, far from the sign bit),
+    # OR-folded by the window frame, popcounted — DuckDB's bit_or /
+    # bit_count mirror ToolSet.combine / ToolSet.lower operation-for-
+    # operation
+    return f"""
+select user_id, event_id,
+       cast(bit_count(bit_or(1::BIGINT << (sym % 63)) over w) as bigint)
+         as wtool_distinct
+from (
+  select user_id, event_id, ts,
+         case event_type when 'click' then 0 when 'view' then 1
+              when 'error' then 2 when 'purchase' then 3
+              else 4 end as sym
+  from events
+) {_WIN}
+"""
+
+
 # the sketch oracles reconstruct frames with an O(n·w) band self-join
 # (oracle-only); the merged query equi-joins the per-column pipelines
 ORACLE_KERNEL_SKETCH = f"""
 select user_id, event_id, whll, wp99_cents, wcms_q1, err_burst, funnel_hit,
-       wtop3_cents, wminhash_l0
+       wtop3_cents, wminhash_l0, wtool_distinct
 from ({_hll_oracle()}) h
 join ({_histq_oracle()}) p using (user_id, event_id)
 join ({_cms_oracle()}) c using (user_id, event_id)
 join ({ORACLE_CEP_PATTERN}) d using (user_id, event_id)
 join ({_top3_oracle()}) t using (user_id, event_id)
 join ({_minhash_oracle()}) mh using (user_id, event_id)
+join ({_toolset_oracle()}) ts using (user_id, event_id)
 """
 
 

@@ -9,8 +9,8 @@ from sliding_window_aggregators_spark.functions import get_monoid
 from sliding_window_aggregators_spark.operators.stepwise import ALGORITHMS, make
 from conftest import approx_eq
 
-INVERTIBLE = ["sum", "mean", "stddev", "collect"]
-NON_INVERTIBLE = ["mincount", "argmax", "max", "geomean", "dfa", "top3", "minhash", "adjsum"]
+INVERTIBLE = ["sum", "mean", "stddev", "collect", "trend"]
+NON_INVERTIBLE = ["mincount", "argmax", "max", "geomean", "dfa", "top3", "minhash", "adjsum", "toolset"]
 ALGS = [
     "two_stacks",
     "two_stacks_lite",

@@ -909,6 +909,76 @@ def test_sliding_agg_stream_multi_minhash_adjsum(spark, stream_dirs):
     assert got["wadjsum_0"].astype(int).tolist() == exp["wadjsum_0"].tolist()
 
 
+def test_sliding_agg_stream_multi_trend_toolset(spark, stream_dirs):
+    """The round-5 regression + exact-distinct monoids through the
+    streaming shell: the rolling OLS slope numerator over text length
+    (wtrend_0 — invertible AND non-commutative, so the ordered state's
+    positional fold is load-bearing) and the exact distinct-tools count
+    (wtoolset_0 — the input_hint's ``tool`` column as a bitset), fused
+    in one stateful operator across a micro-batch boundary. Expected
+    values are an INDEPENDENT pandas recompute (the literal
+    n·Σi·v − (Σi)(Σv) / len(set(...)), not the monoid code)."""
+    from sliding_window_aggregators_spark.sources.transcripts import TOOLS
+    from sliding_window_aggregators_spark.streaming import (
+        sliding_agg_stream_multi,
+    )
+
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(600, 20)
+    _write_chunk(spark, src, pdf.iloc[:300], "c0")
+    _write_chunk(spark, src, pdf.iloc[300:], "c1")
+
+    tools_sql = ", ".join(f"'{t}'" for t in TOOLS)
+    stream = sliding_agg_stream_multi(
+        _read_stream(spark, src),
+        monoids=("trend", "toolset"),
+        durations=("3 minutes",),
+        value_exprs=(
+            "length(text)",
+            f"coalesce(array_position(array({tools_sql}), tool), 0)",
+        ),
+        int_values=True,
+    )
+    q, sink = write_stream_exactly_once(stream, out, ckpt)
+    q.awaitTermination(120)
+
+    got = (
+        sink.read_committed(spark)
+        .select("conv_id", "ts", "wtrend_0", "wtoolset_0")
+        .toPandas()
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    dur = 180_000_000
+    exp_rows = []
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values("ts")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = g["text"].str.len().to_numpy().astype(np.int64)
+        tid = np.array(
+            [TOOLS.index(t) + 1 if t is not None else 0 for t in g["tool"]],
+            dtype=np.int64,
+        )
+        for i in range(len(g)):
+            lo = int(np.searchsorted(ts[: i + 1], ts[i] - dur, side="left"))
+            seg = v[lo : i + 1]
+            n = len(seg)
+            pos = np.arange(n, dtype=np.int64)
+            tr = int(n * (pos * seg).sum() - pos.sum() * seg.sum())
+            td = len(set(tid[lo : i + 1].tolist()))
+            exp_rows.append((conv, g["ts"].iloc[i], tr, td))
+    exp = (
+        pd.DataFrame(
+            exp_rows, columns=["conv_id", "ts", "wtrend_0", "wtoolset_0"]
+        )
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert got["wtrend_0"].astype(int).tolist() == exp["wtrend_0"].tolist()
+    assert got["wtoolset_0"].astype(int).tolist() == exp["wtoolset_0"].tolist()
+
+
 def test_session_stream_ooo_merge_across_microbatches(spark, stream_dirs):
     """SURVEY M4's named hard part: a late (in-watermark) row arriving in a
     LATER micro-batch must merge previously-separate sessions. Chunk c0
