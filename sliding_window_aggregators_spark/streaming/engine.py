@@ -343,8 +343,25 @@ def sliding_agg_stream(
     hot_keys: Sequence | None = None,
     chunk_span: str | None = None,
     dropped_late_counter=None,
+    emit_filter: str | None = None,
 ) -> DataFrame:
     """Per-turn sliding event-time aggregate over a streaming DataFrame.
+
+    ``emit_filter``: optional SQL boolean over the SOURCE columns (plus
+    ``input_file_name()`` for file sources) — rows where it is false (or
+    null) are STATE-ONLY: they warm the per-key ordered state like any
+    row but never emit an output row (the halo-replica mechanism made
+    caller-addressable). This is the zero-duplicate RE-PLAN recipe: a
+    chunk-halo re-plan changes the state grouping key, so the old
+    checkpoint is unusable by design — instead, start the new plan with
+    a FRESH checkpoint over the full source and
+    ``emit_filter = "rows the old run has NOT already emitted"`` (e.g.
+    ``input_file_name() like '%/c2/%'`` after the old run drained c0/c1,
+    or ``ts >= timestamp'...'`` for time-partitioned sources). The
+    replayed rows rebuild window state across the cutover; only new rows
+    emit, so old-sink ∪ new-sink equals the uninterrupted run exactly.
+    Bound the replay by also filtering the source to
+    ``ts >= cutover − duration`` (plain pushed-down scan filter).
 
     ``dropped_late_counter``: optional ``sc.accumulator(0)`` — the
     kernel adds every row the per-key admission rule rejects (older
@@ -372,6 +389,8 @@ def sliding_agg_stream(
     dur_us = _interval_us(duration)
     monoid = get_monoid(monoid_name, np.int64 if int_values else np.float64)
     chunked = bool(hot_keys) and chunk_span is not None
+    muted = emit_filter is not None
+    suppress = chunked or muted
     span_us = _interval_us(chunk_span) if chunk_span is not None else None
     if chunked and span_us < dur_us:
         raise ValueError(
@@ -405,7 +424,7 @@ def sliding_agg_stream(
             st, pdfs, monoid=monoid, vcol="__v", key_name=key,
             key_val=key_tuple[0], ts_col=ts_col, id_cols=id_cols,
             out_col=out_col, dur_us=dur_us, int_values=int_values,
-            emit_col="_halo" if chunked else None,
+            emit_col="_halo" if suppress else None,
             drop_counter=dropped_late_counter,
         )
         state.update((bytearray(st.dumps()),))
@@ -421,13 +440,27 @@ def sliding_agg_stream(
     # transcripts stream) rides the hash exchange AND the Arrow bridge,
     # turning a kernel-bound operator into a bandwidth-bound one (measured
     # ~6x less stream bytes on the 16M-turn scaling job)
-    prepared = df.withColumn("__v", F.expr(value_expr)).select(
-        key, ts_col, *id_cols, "__v"
+    prepared = df.withColumn("__v", F.expr(value_expr))
+    if muted:
+        # evaluate on the SOURCE row (input_file_name()/payload columns
+        # are gone after the prune); null-safe: null → state-only
+        prepared = prepared.withColumn(
+            "_mute", ~F.coalesce(F.expr(emit_filter), F.lit(False))
+        )
+    prepared = prepared.select(
+        key, ts_col, *id_cols, "__v", *(["_mute"] if muted else [])
     )
     if chunked:
         prepared = _with_time_chunk_halo(
             prepared, key, ts_col, hot_keys, span_us, dur_us
         )
+    if muted:
+        if chunked:
+            prepared = prepared.withColumn(
+                "_halo", F.col("_halo") | F.col("_mute")
+            ).drop("_mute")
+        else:
+            prepared = prepared.withColumnRenamed("_mute", "_halo")
     prepared = prepared.withWatermark(ts_col, watermark)
     group_cols = [key, "_ck"] if chunked else [key]
     return (
@@ -454,6 +487,7 @@ def sliding_agg_stream_multi(
     value_exprs: Sequence[str] | None = None,
     hot_keys: Sequence | None = None,
     chunk_span: str | None = None,
+    emit_filter: str | None = None,
 ) -> DataFrame:
     """WINDOW-SHARED multi-aggregate per-turn sliding stream — the
     reference's shared-window mode (cpp/src/benchmark_core.h:472-562:
@@ -483,6 +517,11 @@ def sliding_agg_stream_multi(
     LONGEST duration, so every window's range stays complete within its
     chunk, and expired chunk state is dropped by event-time timeout.
 
+    ``emit_filter``: state-only row predicate for zero-duplicate
+    re-plans — see :func:`sliding_agg_stream`'s docstring for the
+    recipe (fresh checkpoint + bounded replay + suppression of rows the
+    old run already emitted).
+
     ``value_exprs`` (one SQL expression per monoid) lifts a DIFFERENT
     input per aggregate — e.g. ``sum(length(text))`` + ``max(turn_idx)``
     + ``mincount(length(tool))`` fused in the one stateful operator, the
@@ -495,6 +534,8 @@ def sliding_agg_stream_multi(
     dur_us = [_interval_us(d) for d in durations]
     max_dur = max(dur_us)
     chunked = bool(hot_keys) and chunk_span is not None
+    muted = emit_filter is not None
+    suppress = chunked or muted
     span_us = _interval_us(chunk_span) if chunk_span is not None else None
     if chunked and span_us < max_dur:
         raise ValueError(
@@ -573,7 +614,7 @@ def sliding_agg_stream_multi(
                 slot_vals.append(v.astype(np.int64) if int_values else v)
             own = (
                 ~pdf["_halo"].to_numpy()
-                if chunked
+                if suppress
                 else np.ones(len(pdf), dtype=bool)
             )
             cols = {key: key_tuple[0], ts_col: pdf[ts_col].to_numpy()[own]}
@@ -608,13 +649,27 @@ def sliding_agg_stream_multi(
     prepared = df
     for expr, s in slot_of_expr.items():
         prepared = prepared.withColumn(f"__v{s}", F.expr(expr))
+    if muted:
+        # see sliding_agg_stream's emit_filter note: evaluated on the
+        # SOURCE row, null-safe, state-only when false
+        prepared = prepared.withColumn(
+            "_mute", ~F.coalesce(F.expr(emit_filter), F.lit(False))
+        )
     prepared = prepared.select(
-        key, ts_col, *[f"__v{s}" for s in range(len(slot_of_expr))]
+        key, ts_col, *[f"__v{s}" for s in range(len(slot_of_expr))],
+        *(["_mute"] if muted else []),
     )
     if chunked:
         prepared = _with_time_chunk_halo(
             prepared, key, ts_col, hot_keys, span_us, max_dur
         )
+    if muted:
+        if chunked:
+            prepared = prepared.withColumn(
+                "_halo", F.col("_halo") | F.col("_mute")
+            ).drop("_mute")
+        else:
+            prepared = prepared.withColumnRenamed("_mute", "_halo")
     prepared = prepared.withWatermark(ts_col, watermark)
     group_cols = [key, "_ck"] if chunked else [key]
     return prepared.groupBy(*group_cols).applyInPandasWithState(

@@ -979,6 +979,150 @@ def test_sliding_agg_stream_multi_trend_toolset(spark, stream_dirs):
     assert got["wtoolset_0"].astype(int).tolist() == exp["wtoolset_0"].tolist()
 
 
+def test_replan_emit_filter_zero_duplicates(spark, stream_dirs):
+    """Zero-duplicate RE-PLAN: a chunk-halo re-plan changes the state
+    grouping key, so the old checkpoint is unusable by design — the
+    recipe is a FRESH checkpoint over the full source with
+    ``emit_filter`` suppressing rows the old run already emitted
+    (replayed rows warm state only). Phase 1 drains c0+c1 through the
+    plain plan; phase 2 re-plans with hot_keys + chunk_span over
+    c0+c1+c2 and ``emit_filter = input_file_name() like '%/c2/%'``.
+    Old-sink ∪ new-sink must equal the uninterrupted batch recompute
+    over all three chunks EXACTLY — no duplicates (suppression works),
+    no gaps, and windows spanning the c1/c2 boundary correct (the
+    replay rebuilt cross-cutover state)."""
+    import os
+
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(900, 12)
+    _write_chunk(spark, src, pdf.iloc[:300], "c0")
+    _write_chunk(spark, src, pdf.iloc[300:600], "c1")
+
+    kwargs = dict(
+        monoid_name="sum", value_expr="length(text)",
+        duration="3 minutes", out_col="wsum", int_values=True,
+    )
+    stream1 = sliding_agg_stream(_read_stream(spark, src), **kwargs)
+    q1, sink1 = write_stream_exactly_once(stream1, out, ckpt)
+    q1.awaitTermination(120)
+
+    # new data arrives; re-plan the hottest conversation with chunk-halo
+    _write_chunk(spark, src, pdf.iloc[600:], "c2")
+    hot = pdf["conv_id"].value_counts().idxmax()
+    out2, ckpt2 = out + "_replan", ckpt + "_replan"
+    stream2 = sliding_agg_stream(
+        _read_stream(spark, src),
+        hot_keys=[hot],
+        chunk_span="5 minutes",
+        emit_filter="input_file_name() like '%/c2/%'",
+        **kwargs,
+    )
+    q2, sink2 = write_stream_exactly_once(stream2, out2, ckpt2)
+    q2.awaitTermination(120)
+
+    got = (
+        pd.concat(
+            [
+                sink1.read_committed(spark)
+                .select("conv_id", "ts", "wsum")
+                .toPandas(),
+                sink2.read_committed(spark)
+                .select("conv_id", "ts", "wsum")
+                .toPandas(),
+            ]
+        )
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert not got.duplicated(["conv_id", "ts"]).any()
+
+    exp_rows = []
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values("ts")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        lens = g["text"].str.len().to_numpy().astype(np.int64)
+        for i in range(len(g)):
+            mask = ts[: i + 1] >= ts[i] - 180_000_000
+            exp_rows.append((conv, g["ts"].iloc[i], int(lens[: i + 1][mask].sum())))
+    exp = (
+        pd.DataFrame(exp_rows, columns=["conv_id", "ts", "wsum"])
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert got["wsum"].astype(int).tolist() == exp["wsum"].tolist()
+
+
+def test_replan_emit_filter_multi_unchunked(spark, stream_dirs):
+    """emit_filter on the fused multi-aggregate stream WITHOUT chunk-halo
+    (the suppression column stands alone): phase 1 drains c0, phase 2
+    re-reads c0+c1 under a fresh checkpoint emitting only c1 rows; the
+    union equals the batch recompute — the cross-phase windows prove the
+    muted replay warmed the shared ordered state."""
+    from sliding_window_aggregators_spark.streaming import (
+        sliding_agg_stream_multi,
+    )
+
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(400, 10)
+    _write_chunk(spark, src, pdf.iloc[:200], "c0")
+
+    def mk(emit_filter=None):
+        return sliding_agg_stream_multi(
+            _read_stream(spark, src),
+            monoids=("sum", "max"),
+            durations=("3 minutes",),
+            value_exprs=("length(text)", "turn_idx"),
+            int_values=True,
+            emit_filter=emit_filter,
+        )
+
+    q1, sink1 = write_stream_exactly_once(mk(), out, ckpt)
+    q1.awaitTermination(120)
+
+    _write_chunk(spark, src, pdf.iloc[200:], "c1")
+    q2, sink2 = write_stream_exactly_once(
+        mk(emit_filter="input_file_name() like '%/c1/%'"),
+        out + "_replan", ckpt + "_replan",
+    )
+    q2.awaitTermination(120)
+
+    cols = ["conv_id", "ts", "wsum_0", "wmax_0"]
+    got = (
+        pd.concat(
+            [
+                sink1.read_committed(spark).select(*cols).toPandas(),
+                sink2.read_committed(spark).select(*cols).toPandas(),
+            ]
+        )
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert not got.duplicated(["conv_id", "ts"]).any()
+
+    exp_rows = []
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values("ts")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        lens = g["text"].str.len().to_numpy().astype(np.int64)
+        tix = g["turn_idx"].to_numpy().astype(np.int64)
+        for i in range(len(g)):
+            mask = ts[: i + 1] >= ts[i] - 180_000_000
+            exp_rows.append(
+                (conv, g["ts"].iloc[i],
+                 int(lens[: i + 1][mask].sum()),
+                 int(tix[: i + 1][mask].max()))
+            )
+    exp = (
+        pd.DataFrame(exp_rows, columns=cols)
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert got["wsum_0"].astype(int).tolist() == exp["wsum_0"].tolist()
+    assert got["wmax_0"].astype(int).tolist() == exp["wmax_0"].tolist()
+
+
 def test_session_stream_ooo_merge_across_microbatches(spark, stream_dirs):
     """SURVEY M4's named hard part: a late (in-watermark) row arriving in a
     LATER micro-batch must merge previously-separate sessions. Chunk c0
