@@ -85,6 +85,17 @@ def main() -> None:
     ap.add_argument("--chunk-span", default="96 hours",
                     help="event-time span of one hot-key chunk; must be "
                          ">= the longest window duration")
+    ap.add_argument("--emit-filter", default=None, metavar="SQL_EXPR",
+                    help="state-only row predicate for zero-duplicate "
+                         "RE-PLANS (sliding modes): rows where the "
+                         "expression is false/null warm window state but "
+                         "never emit. Recipe: after draining the old plan, "
+                         "relaunch with a FRESH --checkpoint/--out over "
+                         "the full source and --emit-filter matching only "
+                         "not-yet-emitted rows (e.g. "
+                         "\"input_file_name() like '%/new_chunk/%'\"); "
+                         "old-sink UNION new-sink equals the uninterrupted "
+                         "run (streaming/engine.py emit_filter)")
     ap.add_argument("--combine-sink", action="store_true",
                     help="fold each micro-batch's per-turn results to one "
                          "row (count + per-column sums) before the "
@@ -177,6 +188,7 @@ def main() -> None:
             int_values=True,
             hot_keys=hot_keys,
             chunk_span=args.chunk_span if hot_keys else None,
+            emit_filter=args.emit_filter,
         )
     else:
         # operational late-data metric: rows the per-key admission rule
@@ -192,6 +204,7 @@ def main() -> None:
             hot_keys=hot_keys,
             chunk_span=args.chunk_span if hot_keys else None,
             dropped_late_counter=drop_acc,
+            emit_filter=args.emit_filter,
         )
     import time
 
