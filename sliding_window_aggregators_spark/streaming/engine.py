@@ -863,6 +863,7 @@ def sliding_agg_stream_tws(
     min_state_partitions: int | None = STATE_PARTITION_FLOOR,
     hot_keys: Sequence | None = None,
     chunk_span: str | None = None,
+    emit_filter: str | None = None,
 ) -> DataFrame:
     """:func:`sliding_agg_stream` on Spark 4's
     ``transformWithStateInPandas`` — the OOO ordered-aggregate state
@@ -883,7 +884,11 @@ def sliding_agg_stream_tws(
     ``rename=True`` mangles leading underscores), and expired chunks are
     dropped through the production TIMER protocol (``registerTimer`` at
     chunk-end + 2·duration, state cleared in ``handleExpiredTimer``)
-    instead of applyInPandasWithState's GroupStateTimeout."""
+    instead of applyInPandasWithState's GroupStateTimeout.
+
+    ``emit_filter``: state-only row predicate for zero-duplicate
+    re-plans — see :func:`sliding_agg_stream` (column named
+    ``swag_halo`` on this path)."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -892,6 +897,8 @@ def sliding_agg_stream_tws(
     dur_us = _interval_us(duration)
     monoid = get_monoid(monoid_name, np.int64 if int_values else np.float64)
     chunked = bool(hot_keys) and chunk_span is not None
+    muted = emit_filter is not None
+    suppress = chunked or muted
     span_us = _interval_us(chunk_span) if chunk_span is not None else None
     if chunked and span_us < dur_us:
         raise ValueError(
@@ -923,7 +930,7 @@ def sliding_agg_stream_tws(
                 st, rows, monoid=monoid, vcol="swag_v", key_name=key,
                 key_val=key_tuple[0], ts_col=ts_col, id_cols=id_cols,
                 out_col=out_col, dur_us=dur_us, int_values=int_values,
-                emit_col="swag_halo" if chunked else None,
+                emit_col="swag_halo" if suppress else None,
             )
             self._state.update((bytearray(st.dumps()),))
             if chunked and key_tuple[1] is not None and int(key_tuple[1]) >= 0:
@@ -950,14 +957,29 @@ def sliding_agg_stream_tws(
     # prune before the stateful shuffle (see sliding_agg_stream); the
     # lifted column must not start with an underscore on the TWS path
     # (namedtuple rename=True mangles leading-underscore names to _N)
-    prepared = df.withColumn("swag_v", F.expr(value_expr)).select(
-        key, ts_col, *id_cols, "swag_v"
+    prepared = df.withColumn("swag_v", F.expr(value_expr))
+    if muted:
+        # see sliding_agg_stream's emit_filter note (source-row scope,
+        # null-safe); no leading underscore on the TWS path
+        prepared = prepared.withColumn(
+            "swag_mute", ~F.coalesce(F.expr(emit_filter), F.lit(False))
+        )
+    prepared = prepared.select(
+        key, ts_col, *id_cols, "swag_v",
+        *(["swag_mute"] if muted else []),
     )
     if chunked:
         prepared = _with_time_chunk_halo(
             prepared, key, ts_col, hot_keys, span_us, dur_us,
             ck_col="swag_ck", halo_col="swag_halo",
         )
+    if muted:
+        if chunked:
+            prepared = prepared.withColumn(
+                "swag_halo", F.col("swag_halo") | F.col("swag_mute")
+            ).drop("swag_mute")
+        else:
+            prepared = prepared.withColumnRenamed("swag_mute", "swag_halo")
     prepared = prepared.withWatermark(ts_col, watermark)
     group_cols = [key, "swag_ck"] if chunked else [key]
     return prepared.groupBy(*group_cols).transformWithStateInPandas(

@@ -1662,6 +1662,87 @@ def test_sliding_agg_stream_tws_chunk_halo_matches_plain(spark, stream_dirs):
     pd.testing.assert_frame_equal(got_tws, got_plain)
 
 
+@pytest.mark.skipif(
+    not _tws_protocol_available(),
+    reason="google.protobuf unavailable (no wheel, vendor failed)",
+)
+def test_replan_emit_filter_tws(spark, stream_dirs):
+    """The zero-duplicate re-plan under the PRODUCTION arbitrary-state
+    API: phase 1 drains c0 through the plain TWS plan; phase 2 re-plans
+    with hot_keys + chunk_span + emit_filter over c0+c1 (the swag_mute
+    column merging into swag_halo). Union equals the uninterrupted batch
+    recompute."""
+    from sliding_window_aggregators_spark.streaming import (
+        sliding_agg_stream_tws,
+    )
+
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(400, 8)
+    hot = pdf["conv_id"].value_counts().idxmax()
+    _write_chunk(spark, src, pdf.iloc[:200], "c0")
+
+    kwargs = dict(
+        monoid_name="sum", value_expr="length(text)",
+        duration="3 minutes", out_col="wsum", int_values=True,
+    )
+
+    def run(out_dir, ckpt_dir, **extra):
+        stream = sliding_agg_stream_tws(
+            _read_stream(spark, src), **kwargs, **extra
+        )
+        q, sink = write_stream_exactly_once(stream, out_dir, ckpt_dir)
+        q.awaitTermination(180)
+        return (
+            sink.read_committed(spark)
+            .select("conv_id", "ts", "wsum")
+            .toPandas()
+        )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        p1 = run(out, ckpt)
+        _write_chunk(spark, src, pdf.iloc[200:], "c1")
+        p2 = run(
+            out + "_replan", ckpt + "_replan",
+            hot_keys=[hot], chunk_span="5 minutes",
+            emit_filter="input_file_name() like '%/c1/%'",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+    got = (
+        pd.concat([p1, p2])
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert not got.duplicated(["conv_id", "ts"]).any()
+    exp_rows = []
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values("ts")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        lens = g["text"].str.len().to_numpy().astype(np.int64)
+        for i in range(len(g)):
+            mask = ts[: i + 1] >= ts[i] - 180_000_000
+            exp_rows.append((conv, g["ts"].iloc[i], int(lens[: i + 1][mask].sum())))
+    exp = (
+        pd.DataFrame(exp_rows, columns=["conv_id", "ts", "wsum"])
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert got["wsum"].astype(int).tolist() == exp["wsum"].tolist()
+
+
 def test_discover_hot_keys(spark):
     from sliding_window_aggregators_spark.streaming import discover_hot_keys
 
