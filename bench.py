@@ -509,6 +509,12 @@ def main() -> None:
                 if drain is not None
                 else "  [event-time-timer CEP stream]"
             )
+        elif name == "kernel_sketch_w100":
+            # fused-kernel count grew across rounds (r4: 6, r5: 8 —
+            # +minhash, +toolset); label so cross-round walls compare fair
+            note = "  [8 fused kernels this round (r4 ran 6)]"
+        elif name == "kernel_stats_w100":
+            note = "  [5 fused kernels this round (r4 ran 4)]"
         else:
             note = ""
         print(f"# {name}: {dt:.3f}s ({n} rows){note}", file=sys.stderr)
