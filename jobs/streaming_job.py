@@ -278,6 +278,16 @@ def main() -> None:
                 rec["stateCommitMs"] = sum(
                     o.get("commitTimeMs", 0) for o in ops
                 )
+                # state-size observability: rows/memory per stateful
+                # operator — the signal that bounds checkpoint growth
+                # (per-key state is O(rows in 2x duration); a monotonic
+                # climb here means expired chunks/keys are not clearing)
+                rec["stateRows"] = sum(
+                    o.get("numRowsTotal", 0) for o in ops
+                )
+                rec["stateMemoryBytes"] = sum(
+                    o.get("memoryUsedBytes", 0) for o in ops
+                )
             batches.append(rec)
         print("batch progress: " + _json.dumps(batches), file=sys.stderr)
     except Exception as exc:  # diagnostics must never fail the job
