@@ -1565,7 +1565,14 @@ class Trend(Monoid):
     Both scans are closed-form single-pass cumsums (no doubling needed):
     prefix ``W_k = Σ_{j≤k} (w_j + N_{j-1}·s_j)`` and suffix
     ``W'_j = Σ_{i≥j} (w_i + n_i·(S'_i − s_i))`` with ``N``/``S'`` the
-    running count/value sums."""
+    running count/value sums.
+
+    Interval-fold routing note: the prefix-diff fold would be CORRECT
+    for Trend (``inverse_combine`` is exactly prefix removal), but a
+    whole-segment prefix's ``w`` term grows QUADRATICALLY
+    (``≈ B²·v/2``), wrapping int64 near ~30k rows/key at max cents —
+    so interval_fold deliberately keeps Trend on the disjoint sparse
+    table, whose combines never leave the (bounded) queried windows."""
 
     name = "trend"
     invertible = True
