@@ -1671,6 +1671,156 @@ class ToolSet(Monoid):
 
 
 # ---------------------------------------------------------------------------
+# MaxRun / MaxGap — the prefix/suffix/best segment monoids
+# ---------------------------------------------------------------------------
+
+
+class _DoublingScanMixin:
+    """Hillis–Steele doubling scans for segment-concatenation monoids whose
+    ``combine`` has no single-field ufunc (the AdjacentSum/TopK discipline):
+    ceil(log2 n) shifted whole-array combines, identity-filled vacated
+    slots, (older, newer) combine order preserved for non-commutativity."""
+
+    def _scan(self, p, axis, suffix: bool):
+        out = {k: np.array(v, copy=True) for k, v in p.items()}
+        n = p_len(out) if axis == 0 else next(iter(out.values())).shape[axis]
+        d = 1
+        ident = self.identity(1)
+        while d < n:
+            shifted = {
+                k: _shift_prev_by(v, axis, -d if suffix else d, ident[k][0])
+                for k, v in out.items()
+            }
+            out = self.combine(out, shifted) if suffix else self.combine(shifted, out)
+            d <<= 1
+        return out
+
+    def accumulate(self, p, axis=0):
+        return self._scan(p, axis, suffix=False)
+
+    def raccumulate(self, p, axis=0):
+        return self._scan(p, axis, suffix=True)
+
+
+class MaxRun(_DoublingScanMixin, Monoid):
+    """Longest CONSECUTIVE run of predicate hits in the window — streak
+    detection (``≥k``-long retry storms, uninterrupted tool-call chains,
+    error bursts) as an associative aggregate. The classic
+    prefix/suffix/best segment monoid (the textbook "maximum consecutive
+    ones" divide-and-conquer, e.g. Blelloch's prefix-sums formulation):
+    partial = ``(p, s, b, n)`` = (hit-run touching the segment's LEFT
+    edge, hit-run touching its RIGHT edge, best run anywhere inside,
+    segment length); ``combine`` bridges the seam:
+
+        p' = a.p == a.n ? a.n + b.p : a.p        (a all-hits ⇒ prefix
+                                                  extends into b)
+        s' = b.s == b.n ? b.n + a.s : b.s
+        b' = max(a.b, b.b, a.s + b.p)            (the seam run)
+        n' = a.n + b.n
+
+    Associative but NOT commutative (concatenation order) and NOT
+    invertible — Two-Stacks/DABA territory. Unlike DfaTransform's
+    ``dfa_run`` (which answers "does a run ≥ k exist" for a FIXED k
+    compiled into the automaton), MaxRun returns the exact LENGTH of the
+    longest run, for free, for every threshold at once. ``lift``
+    totalizes arbitrary integer input as parity (``v mod 2`` — the
+    DfaTransform mod-alphabet discipline, so the generic lockstep/kernel
+    grids exercise it unmodified); semantic callers lift the predicate
+    to a 0/1 column, a fixed point of the parity map. Exact int64; the
+    SQL oracle reconstructs each frame (band self-join), string_aggs the
+    bits in window order and takes the longest '1'-split segment —
+    hash-exact. ``lower`` = b."""
+
+    name = "maxrun"
+    commutative = False
+    invertible = False
+
+    def lift(self, values):
+        bit = (np.asarray(values).astype(np.int64)) % 2
+        return {"p": bit.copy(), "s": bit.copy(), "b": bit.copy(),
+                "n": np.ones_like(bit)}
+
+    def identity(self, n=1):
+        z = np.zeros(n, dtype=np.int64)
+        return {"p": z, "s": z.copy(), "b": z.copy(), "n": z.copy()}
+
+    def combine(self, a, b):
+        ap, bp = np.broadcast_arrays(a["p"], b["p"])
+        as_, bs = np.broadcast_arrays(a["s"], b["s"])
+        ab, bb = np.broadcast_arrays(a["b"], b["b"])
+        an, bn = np.broadcast_arrays(a["n"], b["n"])
+        return {
+            "p": np.where(ap == an, an + bp, ap),
+            "s": np.where(bs == bn, bn + as_, bs),
+            "b": np.maximum(np.maximum(ab, bb), as_ + bp),
+            "n": an + bn,
+        }
+
+    def lower(self, p):
+        return p["b"]
+
+
+# empty-segment sentinel: −∞ for the max over adjacent gaps (the MinCount
+# n=−1 identity-sentinel discipline, AggregationFunctions.hpp:503)
+_GAP_NONE = np.int64(np.iinfo(np.int64).min)
+
+
+class MaxGap(_DoublingScanMixin, Monoid):
+    """Maximum ADJACENT event-time gap inside the window — stall/silence
+    detection over transcripts ("longest pause between consecutive turns
+    in the last w turns", the input_hint ``ts`` column). Segment
+    concatenation like AdjacentSum, but the seam reduces under max
+    instead of sum: partial = ``(f, l, g, n)`` = (first value, last
+    value, max adjacent gap, length);
+
+        g' = max(a.g, b.g, b.f − a.l)        (the seam gap)
+
+    with ``g = −∞`` (int64 min sentinel) for segments holding < 2
+    elements. Associative for ARBITRARY integer inputs (the pair set of
+    a concatenation is split-invariant), so the generic grids feed it
+    random ints unmodified; on event-time-ordered input every gap is
+    ≥ 0. NOT commutative, NOT invertible. ``lower`` = g where n ≥ 2
+    else 0 (the SQL oracle's ``coalesce(max(ts − lag(ts)), 0)`` —
+    hash-exact in integer time units). Scans are Hillis–Steele doubling
+    via the shared mixin."""
+
+    name = "maxgap"
+    commutative = False
+    invertible = False
+
+    def lift(self, values):
+        v = np.asarray(values).astype(np.int64)
+        return {
+            "f": v.copy(),
+            "l": v.copy(),
+            "g": np.full_like(v, _GAP_NONE),
+            "n": np.ones_like(v),
+        }
+
+    def identity(self, n=1):
+        z = np.zeros(n, dtype=np.int64)
+        return {"f": z, "l": z.copy(),
+                "g": np.full(n, _GAP_NONE, dtype=np.int64), "n": z.copy()}
+
+    def combine(self, a, b):
+        af, bf = np.broadcast_arrays(a["f"], b["f"])
+        al, bl = np.broadcast_arrays(a["l"], b["l"])
+        ag, bg = np.broadcast_arrays(a["g"], b["g"])
+        an, bn = np.broadcast_arrays(a["n"], b["n"])
+        both = (an > 0) & (bn > 0)
+        seam = np.where(both, bf - al, _GAP_NONE)
+        return {
+            "f": np.where(an > 0, af, bf),
+            "l": np.where(bn > 0, bl, al),
+            "g": np.maximum(np.maximum(ag, bg), seam),
+            "n": an + bn,
+        }
+
+    def lower(self, p):
+        return np.where(p["n"] >= 2, p["g"], 0).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1714,6 +1864,11 @@ def registry(dtype=np.float64) -> dict[str, Monoid]:
         "trend": Trend(),
         # exact small-domain distinct (bitset-OR): distinct tools/window
         "toolset": ToolSet(),
+        # segment family: longest consecutive predicate streak
+        # (prefix/suffix/best) — exact run LENGTH, every threshold at once
+        "maxrun": MaxRun(),
+        # segment family: max adjacent event-time gap — stall detection
+        "maxgap": MaxGap(),
     }
 
 

@@ -58,6 +58,8 @@ _OUT_SPARK_TYPE = {
     "adjsum": "bigint",
     "trend": "bigint",
     "toolset": "bigint",
+    "maxrun": "bigint",
+    "maxgap": "bigint",
 }
 
 

@@ -33,7 +33,7 @@ def ac(a, b):
     return np.allclose(a, b, rtol=1e-9, equal_nan=True)
 
 
-MONOIDS = ["sum", "max", "min", "mean", "geomean", "stddev", "mincount", "relvar", "count", "bloom", "hll", "histq", "cms", "dfa", "decayed", "top3", "minhash", "adjsum", "trend", "toolset"]
+MONOIDS = ["sum", "max", "min", "mean", "geomean", "stddev", "mincount", "relvar", "count", "bloom", "hll", "histq", "cms", "dfa", "decayed", "top3", "minhash", "adjsum", "trend", "toolset", "maxrun", "maxgap"]
 # 2..32 exercises the log-doubling small-window fast path (odd widths pin
 # the power-of-2 span composition; 32/33 straddle its threshold), 100+ the
 # block-scan decomposition
@@ -44,7 +44,7 @@ WINDOWS = [1, 2, 4, 13, 32, 33, 100, 519, 3000, 5000]
 def test_one_shot_sliding_reduce(name):
     m = get_monoid(name)
     data = RVALS if name in ("mincount", "relvar") else VALS
-    if name in ("bloom", "hll", "histq", "cms", "dfa", "top3", "minhash", "adjsum", "trend", "toolset"):
+    if name in ("bloom", "hll", "histq", "cms", "dfa", "top3", "minhash", "adjsum", "trend", "toolset", "maxrun", "maxgap"):
         data = data.astype(int)
     for w in WINDOWS:
         assert ac(sliding_reduce(m, data, w).tolist(), brute(m, data, w)), w
@@ -54,7 +54,7 @@ def test_one_shot_sliding_reduce(name):
 def test_batched_strategies(name):
     m = get_monoid(name)
     data = RVALS if name in ("mincount", "relvar") else VALS
-    if name in ("bloom", "hll", "histq", "cms", "dfa", "top3", "minhash", "adjsum", "trend", "toolset"):
+    if name in ("bloom", "hll", "histq", "cms", "dfa", "top3", "minhash", "adjsum", "trend", "toolset", "maxrun", "maxgap"):
         data = data.astype(int)
     strategies = (["soe"] if m.invertible else []) + ["block", "twostacks"]
     for w in [1, 4, 100, 519, 5000]:
@@ -190,7 +190,8 @@ def test_disjoint_sparse_fold_matches_tree_fold_all_monoids():
     rng = np.random.default_rng(7)
     for name in ["mincount", "stddev", "mean", "geomean", "sum", "relvar",
                  "max", "argmax", "bloom", "hll", "histq", "cms", "count",
-                 "dfa", "top3", "minhash", "adjsum", "trend", "toolset"]:
+                 "dfa", "top3", "minhash", "adjsum", "trend", "toolset",
+                 "maxrun", "maxgap"]:
         for n in (1, 2, 3, 7, 64, 500):
             m = get_monoid(name, np.int64)
             vals = rng.integers(1, 50, n).astype(np.int64)

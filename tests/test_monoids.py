@@ -37,7 +37,7 @@ def brute_suffix(m, p, n):
 def lifted(name, m, vals=VALS):
     if name == "argmax":
         return m.lift((np.arange(len(vals)), vals))
-    if name in ("bloom", "hll", "histq", "cms", "dfa", "dfa_funnel", "minhash", "adjsum", "trend", "toolset"):
+    if name in ("bloom", "hll", "histq", "cms", "dfa", "dfa_funnel", "minhash", "adjsum", "trend", "toolset", "maxrun", "maxgap"):
         return m.lift(vals.astype(int))
     return m.lift(vals)
 

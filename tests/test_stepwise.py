@@ -10,7 +10,7 @@ from sliding_window_aggregators_spark.operators.stepwise import ALGORITHMS, make
 from conftest import approx_eq
 
 INVERTIBLE = ["sum", "mean", "stddev", "collect", "trend"]
-NON_INVERTIBLE = ["mincount", "argmax", "max", "geomean", "dfa", "top3", "minhash", "adjsum", "toolset"]
+NON_INVERTIBLE = ["mincount", "argmax", "max", "geomean", "dfa", "top3", "minhash", "adjsum", "toolset", "maxrun", "maxgap"]
 ALGS = [
     "two_stacks",
     "two_stacks_lite",
