@@ -514,7 +514,7 @@ def main() -> None:
             # +minhash, +toolset); label so cross-round walls compare fair
             note = "  [8 fused kernels this round (r4 ran 6)]"
         elif name == "kernel_stats_w100":
-            note = "  [5 fused kernels this round (r4 ran 4)]"
+            note = "  [7 fused kernels this round (r4 ran 3)]"
         else:
             note = ""
         print(f"# {name}: {dt:.3f}s ({n} rows){note}", file=sys.stderr)

@@ -206,17 +206,30 @@ def q_kernel_stats(spark, sf_dir):
       NON-commutative monoid (positions are implicit in the combine's
       shift term), riding SubtractOnEvict with a position-dependent
       group inverse — exact int64, oracle = row_number() local-position
-      reconstruction over the same frame.
+      reconstruction over the same frame;
+    - MaxRun (round-5 addition) — longest consecutive run of odd-cents
+      rows in the window (functions/monoids.py MaxRun, the
+      prefix/suffix/best segment monoid): exact streak LENGTH, oracle =
+      band-join frame reconstruction + longest '1'-segment of the
+      ordered parity string;
+    - MaxGap (round-5 addition) — max adjacent event-time gap (µs) in
+      the window (functions/monoids.py MaxGap): stall detection, oracle
+      = windowed max of the per-row lag diff (epoch_us), coalesce 0.
 
-    All five run in ONE fused partitioned pass
+    All seven run in ONE fused partitioned pass
     (:func:`~..operators.batch.sliding_rows_kernel_partitioned_multi`):
-    one shuffle, one sort, one Arrow stream, five kernels each with its
+    one shuffle, one sort, one Arrow stream, seven kernels each with its
     own cross-batch carry — the window-sharing idea applied across
-    aggregates, and the plan a 100 TB run wants (five separate passes
-    would shuffle the fact table five times and then join)."""
+    aggregates, and the plan a 100 TB run wants (seven separate passes
+    would shuffle the fact table seven times and then join)."""
     from ..operators.batch import sliding_rows_kernel_partitioned_multi
 
-    df = _events(spark, sf_dir)
+    # ts is TIMESTAMP_NTZ (unix_micros rejects it); µs since the naive
+    # epoch matches DuckDB's epoch_us() on its naive TIMESTAMP exactly
+    df = _events(spark, sf_dir).withColumn(
+        "tsu",
+        F.expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"),
+    )
     return sliding_rows_kernel_partitioned_multi(
         df, "user_id", ["ts", "event_id"],
         [
@@ -225,6 +238,8 @@ def q_kernel_stats(spark, sf_dir):
             ("cents", "stddev", W, "wstddev_cents", True),
             ("cents", "adjsum", W, "wadjsum", True),
             ("cents", "trend", W, "wtrend", True),
+            ("cents", "maxrun", W, "wmaxrun", True),
+            ("tsu", "maxgap", W, "wmaxgap", True),
         ],
         id_cols=["user_id", "event_id"],
     )
@@ -265,7 +280,8 @@ with t as (
   from {_EV}
 ),
 j as (
-  select a.user_id as user_id, a.event_id as event_id, b.cents as bc
+  select a.user_id as user_id, a.event_id as event_id,
+         b.cents as bc, b.rn as brn
   from t a join t b
     on a.user_id = b.user_id and b.rn between a.rn - 99 and a.rn
 ),
@@ -314,11 +330,37 @@ tr as (
          cast(tn * (tsrv - trn0 * tsv)
               - ((tn * (tn - 1)) // 2) * tsv as bigint) as wtrend
   from tw
+),
+mr as (
+  select user_id, event_id,
+         cast(coalesce(list_max(list_transform(
+                string_split(string_agg(
+                    case when bc % 2 = 1 then '1' else '0' end,
+                    '' order by brn), '0'),
+                x -> length(x))), 0) as bigint) as wmaxrun
+  from j group by user_id, event_id
+),
+gd as (
+  select user_id, event_id, ts,
+         epoch_us(ts) - lag(epoch_us(ts)) over (partition by user_id
+                                                order by ts, event_id) as d
+  from {_EV}
+),
+gp as (
+  select user_id, event_id,
+         cast(coalesce(max(d) over (partition by user_id
+                order by ts, event_id
+                rows between {W - 2} preceding and current row), 0)
+              as bigint) as wmaxgap
+  from gd
 )
-select user_id, event_id, wmincount, wrelvar, wstddev_cents, wadjsum, wtrend
+select user_id, event_id, wmincount, wrelvar, wstddev_cents, wadjsum, wtrend,
+       wmaxrun, wmaxgap
 from mc join wf using (user_id, event_id)
 join aj using (user_id, event_id)
 join tr using (user_id, event_id)
+join mr using (user_id, event_id)
+join gp using (user_id, event_id)
 """
 
 ORACLE_KERNEL_ARGMAX = ORACLE_SLIDING_ARGMAX
