@@ -142,7 +142,7 @@ def sketch_throughput(scale: int = 1) -> dict:
     out = {}
     sink = 0.0
     for op in ("hll", "histq", "cms", "dfa", "top3", "minhash", "adjsum",
-               "trend", "toolset"):
+               "trend", "toolset", "maxrun", "maxgap"):
         for w in (2**6, 2**14):
             m = get_monoid(op)
             k = SlidingCountWindow(m, w)

@@ -979,6 +979,71 @@ def test_sliding_agg_stream_multi_trend_toolset(spark, stream_dirs):
     assert got["wtoolset_0"].astype(int).tolist() == exp["wtoolset_0"].tolist()
 
 
+def test_sliding_agg_stream_multi_maxrun_maxgap(spark, stream_dirs):
+    """The round-5 segment monoids through the streaming shell: the
+    longest consecutive tool-call streak (wmaxrun_0 — prefix/suffix/best
+    concatenation, non-commutative) and the max adjacent turn gap in µs
+    (wmaxgap_0 — stall detection; gap diffs are timezone-shift-invariant
+    so the cast-based µs lift is exact), fused in one stateful operator
+    across a micro-batch boundary. Expected values are an INDEPENDENT
+    pandas recompute (literal run-length loop / literal adjacent diffs),
+    not the monoid code."""
+    from sliding_window_aggregators_spark.streaming import (
+        sliding_agg_stream_multi,
+    )
+
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(600, 20)
+    _write_chunk(spark, src, pdf.iloc[:300], "c0")
+    _write_chunk(spark, src, pdf.iloc[300:], "c1")
+
+    stream = sliding_agg_stream_multi(
+        _read_stream(spark, src),
+        monoids=("maxrun", "maxgap"),
+        durations=("3 minutes",),
+        value_exprs=(
+            "cast(role = 'tool' as bigint)",
+            "unix_micros(cast(ts as timestamp))",
+        ),
+        int_values=True,
+    )
+    q, sink = write_stream_exactly_once(stream, out, ckpt)
+    q.awaitTermination(120)
+
+    got = (
+        sink.read_committed(spark)
+        .select("conv_id", "ts", "wmaxrun_0", "wmaxgap_0")
+        .toPandas()
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    dur = 180_000_000
+    exp_rows = []
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values("ts")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        bits = (g["role"].to_numpy() == "tool").astype(np.int64)
+        for i in range(len(g)):
+            lo = int(np.searchsorted(ts[: i + 1], ts[i] - dur, side="left"))
+            best = cur = 0
+            for b in bits[lo : i + 1]:
+                cur = cur + 1 if b else 0
+                best = max(best, cur)
+            seg_ts = ts[lo : i + 1]
+            gap = int(np.diff(seg_ts).max()) if len(seg_ts) > 1 else 0
+            exp_rows.append((conv, g["ts"].iloc[i], best, gap))
+    exp = (
+        pd.DataFrame(
+            exp_rows, columns=["conv_id", "ts", "wmaxrun_0", "wmaxgap_0"]
+        )
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert got["wmaxrun_0"].astype(int).tolist() == exp["wmaxrun_0"].tolist()
+    assert got["wmaxgap_0"].astype(int).tolist() == exp["wmaxgap_0"].tolist()
+
+
 def test_replan_emit_filter_zero_duplicates(spark, stream_dirs):
     """Zero-duplicate RE-PLAN: a chunk-halo re-plan changes the state
     grouping key, so the old checkpoint is unusable by design — the
