@@ -161,3 +161,91 @@ def test_positional_segmented_kernel_property(data, period, cut):
         for i in range(len(v)):
             exp.append(int(v[i - (i % period) : i + 1].sum()))
     assert np.array_equal(got, np.array(exp, dtype=np.int64))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: the integer-domain monoid families + universal laws
+# ---------------------------------------------------------------------------
+
+_INT_MONOIDS = ["bloom", "dfa", "dfa_funnel", "top3", "minhash", "adjsum",
+                "trend", "toolset", "maxrun", "maxgap"]
+
+
+@settings(max_examples=40, deadline=None)
+@given(values=streams, w=st.integers(1, 64), mname=st.sampled_from(_INT_MONOIDS))
+def test_sliding_reduce_equals_brute_int_monoids(values, w, mname):
+    """The integer-domain twin of test_sliding_reduce_equals_brute: the
+    CEP/order-statistic/segment families are exact int64, so the
+    comparison is equality, not allclose."""
+    m = get_monoid(mname)
+    vals = np.asarray(values, dtype=np.int64)
+    got = sliding_reduce(m, vals, w)
+    exp = [
+        m.lower1(m.lift_reduce(vals[max(0, i - w + 1): i + 1]))
+        for i in range(len(vals))
+    ]
+    assert np.asarray(got).tolist() == [int(e) for e in exp]
+
+
+_LAW_MONOIDS = [n for n in
+                ["sum", "count", "max", "min", "mean", "geomean", "stddev",
+                 "mincount", "relvar", "bloom", "hll", "histq", "cms",
+                 "collect", "dfa", "dfa_funnel", "decayed", "top3", "minhash",
+                 "adjsum", "trend", "toolset", "maxrun", "maxgap"]]
+
+
+def _lift_for(m, name, vals):
+    if name == "argmax":
+        return m.lift((np.arange(len(vals)), vals))
+    return m.lift(vals)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    values=st.lists(st.integers(min_value=1, max_value=1000),
+                    min_size=2, max_size=120),
+    cut=st.integers(1, 119),
+    mname=st.sampled_from(_LAW_MONOIDS + ["argmax"]),
+)
+def test_split_combine_law_all_monoids(values, cut, mname):
+    """THE monoid contract, fuzzed over the whole registry: reducing any
+    prefix/suffix split and combining equals reducing the whole — the
+    property every kernel, scan, fold, and state tree in the engine
+    relies on (cpp/src/AggregationFunctions.hpp's associativity
+    requirement)."""
+    m = get_monoid(mname)
+    vals = np.asarray(values, dtype=np.int64)
+    k = min(cut, len(vals) - 1)
+    whole = m.reduce(_lift_for(m, mname, vals))
+    split = m.combine(
+        m.reduce(_lift_for(m, mname, vals[:k]) if mname != "argmax"
+                 else m.lift((np.arange(k), vals[:k]))),
+        m.reduce(_lift_for(m, mname, vals[k:]) if mname != "argmax"
+                 else m.lift((np.arange(k, len(vals)), vals[k:]))),
+    )
+    for key in whole:
+        a, b = np.asarray(whole[key]), np.asarray(split[key])
+        if a.dtype.kind == "f":
+            assert np.allclose(a, b, rtol=1e-9, equal_nan=True), (mname, key)
+        else:
+            assert (a == b).all(), (mname, key)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    values=st.lists(st.integers(min_value=1, max_value=1000),
+                    min_size=1, max_size=120),
+    mname=st.sampled_from(_LAW_MONOIDS),
+)
+def test_identity_law_all_monoids(values, mname):
+    """e ⊕ x = x ⊕ e = x for every registry monoid on its partial domain."""
+    m = get_monoid(mname)
+    x = m.reduce(m.lift(np.asarray(values, dtype=np.int64)))
+    e = m.identity(1)
+    for l, r in ((m.combine(e, x), x), (m.combine(x, e), x)):
+        for key in r:
+            a, b = np.asarray(l[key]), np.asarray(r[key])
+            if a.dtype.kind == "f":
+                assert np.allclose(a, b, rtol=1e-12, equal_nan=True), (mname, key)
+            else:
+                assert (a == b).all(), (mname, key)
