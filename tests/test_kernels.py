@@ -97,7 +97,8 @@ def test_argmax_kernels_tie_earlier_wins():
 
 
 @pytest.mark.parametrize(
-    "name", ["sum", "max", "mincount", "geomean", "argmax", "top3"]
+    "name", ["sum", "max", "mincount", "geomean", "argmax", "top3",
+             "maxrun", "maxgap"]
 )
 def test_time_window_interval_fold(name):
     """Event-time windows (≡ timestamped wrappers + the data_benchmark

@@ -288,3 +288,57 @@ def test_deep_duplicate_groups_vectorized_collapse_preserves_order():
         np.array([2, 2, 2, 3, 4]), s.lift(np.array([21, 22, 23, 31, 40]))
     )
     assert st2.query() == 197
+
+
+def test_random_scatter_maxgap_ooo_stall_detection():
+    """The stall monoid under OUT-OF-ORDER arrival: maxgap lifts the
+    event time itself, so after scattered inserts the ordered state's
+    event-time fold reports the true max adjacent gap — the property
+    that makes OOO stall detection correct (a late row can SPLIT a
+    detected stall). Eviction re-exposes the next-largest gap."""
+    m = get_monoid("maxgap")
+    st = OrderedAggState(m)
+    ts = set()
+    for i in range(300):
+        t = int(RNG.integers(0, 10_000))
+        while t in ts:
+            t += 1
+        ts.add(t)
+        st.insert(t, m.lift1(t))
+    order = sorted(ts)
+    brute = max(b - a for a, b in zip(order, order[1:]))
+    assert int(st.query()) == brute
+    # a late in-the-middle arrival splits the widest stall
+    a, b = max(zip(order, order[1:]), key=lambda p: p[1] - p[0])
+    mid = (a + b) // 2
+    assert mid not in ts
+    st.insert(mid, m.lift1(mid))
+    ts.add(mid)
+    order = sorted(ts)
+    assert int(st.query()) == max(y - x for x, y in zip(order, order[1:]))
+    # evicting the oldest half re-exposes gaps among survivors only
+    cutoff = order[len(order) // 2]
+    st.bulk_evict(cutoff - 1)  # survivors: t >= cutoff
+    surv = [t for t in order if t >= cutoff]
+    assert int(st.query()) == max(y - x for x, y in zip(surv, surv[1:]))
+
+
+def test_random_scatter_maxrun_ooo_streak():
+    """The streak monoid under OOO arrival: bits delivered out of order
+    still fold in event-time order, so the longest consecutive run is
+    computed over the TRUE timeline."""
+    m = get_monoid("maxrun")
+    st = OrderedAggState(m)
+    bits = {}
+    for i in range(400):
+        t = int(RNG.integers(0, 5_000))
+        while t in bits:
+            t += 1
+        bits[t] = int(RNG.integers(0, 2))
+        st.insert(t, m.lift1(bits[t]))
+    seq = [bits[t] for t in sorted(bits)]
+    best = cur = 0
+    for b in seq:
+        cur = cur + 1 if b else 0
+        best = max(best, cur)
+    assert int(st.query()) == best
