@@ -64,6 +64,15 @@ def main() -> None:
                          "protocol job")
     ap.add_argument("--multi-durations",
                     default="2 minutes,10 minutes,60 minutes")
+    ap.add_argument("--multi-value-exprs", default=None,
+                    metavar="EXPR1;EXPR2;...",
+                    help="per-monoid SQL value lifts for --multi-monoids "
+                         "(semicolon-separated, one per listed monoid — "
+                         "e.g. \"length(text);cast(role='tool' as bigint);"
+                         "unix_micros(cast(ts as timestamp))\" for "
+                         "sum+maxrun+maxgap); identical expressions dedupe "
+                         "to one shuffled column; default = one shared "
+                         "'length(text) + 1' for every monoid")
     ap.add_argument("--audit", action="store_true",
                     help="after the drain, run the lineage audit over the "
                          "sink (commit-log contiguity, metrics vs parquet "
@@ -183,7 +192,12 @@ def main() -> None:
             ),
             # +1 keeps geomean's log-lift off zero-length turns; one shared
             # value column for every monoid x window (window sharing)
+            # unless --multi-value-exprs supplies per-monoid lifts
             value_expr="length(text) + 1",
+            value_exprs=(
+                tuple(e.strip() for e in args.multi_value_exprs.split(";"))
+                if args.multi_value_exprs else None
+            ),
             watermark=args.watermark,
             int_values=True,
             hot_keys=hot_keys,

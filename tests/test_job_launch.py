@@ -54,3 +54,72 @@ def test_streaming_job_resumes_from_checkpoint(spark, tmp_path):
 
     total = spark.read.parquet(*glob.glob(out + "/batch_id=*")).count()
     assert total == 300
+
+
+@pytest.mark.slow
+def test_streaming_job_multi_heterogeneous_value_exprs(spark, tmp_path):
+    """The window-shared multi-aggregate mode through the LAUNCH ARTIFACT
+    with per-monoid lifts (--multi-value-exprs): longest tool-call streak
+    + max µs turn gap in ONE stateful operator, verified against an
+    independent pandas recompute of the drained sink."""
+    import numpy as np
+    import pandas as pd
+
+    from sliding_window_aggregators_spark.sources import transcripts_pandas
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    pdf = transcripts_pandas(300, 10)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src, "c0")
+    )
+
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(ROOT, "jobs", "streaming_job.py"),
+            "--source", src, "--out", out, "--checkpoint", ckpt,
+            "--available-now",
+            "--multi-monoids", "maxrun,maxgap",
+            "--multi-durations", "3 minutes",
+            "--multi-value-exprs",
+            "cast(role = 'tool' as bigint);"
+            "unix_micros(cast(ts as timestamp))",
+        ],
+        capture_output=True, text=True, cwd=ROOT, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    got = (
+        spark.read.parquet(out)
+        .select("conv_id", "ts", "wmaxrun_0", "wmaxgap_0")
+        .toPandas()
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    dur = 180_000_000
+    exp_rows = []
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values("ts")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        bits = (g["role"].to_numpy() == "tool").astype(np.int64)
+        for i in range(len(g)):
+            lo = int(np.searchsorted(ts[: i + 1], ts[i] - dur, side="left"))
+            best = cur = 0
+            for b in bits[lo: i + 1]:
+                cur = cur + 1 if b else 0
+                best = max(best, cur)
+            seg = ts[lo: i + 1]
+            gap = int(np.diff(seg).max()) if len(seg) > 1 else 0
+            exp_rows.append((conv, g["ts"].iloc[i], best, gap))
+    exp = (
+        pd.DataFrame(exp_rows,
+                     columns=["conv_id", "ts", "wmaxrun_0", "wmaxgap_0"])
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert got["wmaxrun_0"].astype(int).tolist() == exp["wmaxrun_0"].tolist()
+    assert got["wmaxgap_0"].astype(int).tolist() == exp["wmaxgap_0"].tolist()
