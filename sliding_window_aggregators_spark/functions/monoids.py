@@ -1759,6 +1759,36 @@ class MaxRun(_DoublingScanMixin, Monoid):
     def lower(self, p):
         return p["b"]
 
+    # --- closed-form scans over ELEMENT partials (the hot path: the
+    # block kernels scan freshly-lifted rows) ------------------------
+    # prefix: first-zero-so-far gives the left-edge run, last-zero-so-far
+    # gives the run ending at i, cummax of that gives the best — three
+    # ufunc accumulates instead of ceil(log2 n) 4-field combine passes.
+    def accumulate(self, p, axis=0):
+        if not bool((p["n"] == 1).all()):
+            return super().accumulate(p, axis)
+        bit = np.moveaxis(p["b"], axis, 0)
+        N = bit.shape[0]
+        idx = np.arange(N, dtype=np.int64).reshape((N,) + (1,) * (bit.ndim - 1))
+        lz = np.maximum.accumulate(np.where(bit == 0, idx, -1), axis=0)
+        s = idx - lz
+        b = np.maximum.accumulate(s, axis=0)
+        fz = np.minimum.accumulate(np.where(bit == 0, idx, N), axis=0)
+        pfx = np.minimum(idx + 1, fz)
+        n = np.broadcast_to(idx + 1, bit.shape)
+        mv = lambda a: np.ascontiguousarray(np.moveaxis(a, 0, axis))
+        return {"p": mv(pfx), "s": mv(s), "b": mv(b), "n": mv(np.array(n))}
+
+    def raccumulate(self, p, axis=0):
+        if not bool((p["n"] == 1).all()):
+            return super().raccumulate(p, axis)
+        # suffix of [i..N-1] = prefix of the reversed bits with the
+        # edge runs swapped (best and length are reversal-invariant)
+        rev = p_reverse(p, axis=axis)
+        acc = self.accumulate(rev, axis=axis)
+        out = p_reverse(acc, axis=axis)
+        return {"p": out["s"], "s": out["p"], "b": out["b"], "n": out["n"]}
+
 
 # empty-segment sentinel: −∞ for the max over adjacent gaps (the MinCount
 # n=−1 identity-sentinel discipline, AggregationFunctions.hpp:503)
@@ -1818,6 +1848,48 @@ class MaxGap(_DoublingScanMixin, Monoid):
 
     def lower(self, p):
         return np.where(p["n"] >= 2, p["g"], 0).astype(np.int64)
+
+    # --- closed-form scans over ELEMENT partials: the running max-gap is
+    # one diff + one ufunc cummax (vs log2 n 4-field combine passes) ---
+    def accumulate(self, p, axis=0):
+        if not bool((p["n"] == 1).all()):
+            return super().accumulate(p, axis)
+        v = np.moveaxis(p["f"], axis, 0)
+        N = v.shape[0]
+        d = np.full_like(v, _GAP_NONE)
+        if N > 1:
+            d[1:] = v[1:] - v[:-1]
+        g = np.maximum.accumulate(d, axis=0)
+        n = np.broadcast_to(
+            np.arange(1, N + 1, dtype=np.int64).reshape(
+                (N,) + (1,) * (v.ndim - 1)
+            ),
+            v.shape,
+        )
+        f = np.broadcast_to(v[:1], v.shape)
+        mv = lambda a: np.ascontiguousarray(np.moveaxis(a, 0, axis))
+        return {"f": mv(np.array(f)), "l": mv(v.copy()),
+                "g": mv(g), "n": mv(np.array(n))}
+
+    def raccumulate(self, p, axis=0):
+        if not bool((p["n"] == 1).all()):
+            return super().raccumulate(p, axis)
+        v = np.moveaxis(p["f"], axis, 0)
+        N = v.shape[0]
+        d = np.full_like(v, _GAP_NONE)
+        if N > 1:
+            d[:-1] = v[1:] - v[:-1]
+        g = np.flip(np.maximum.accumulate(np.flip(d, 0), axis=0), 0)
+        n = np.broadcast_to(
+            np.arange(N, 0, -1, dtype=np.int64).reshape(
+                (N,) + (1,) * (v.ndim - 1)
+            ),
+            v.shape,
+        )
+        l = np.broadcast_to(v[-1:], v.shape)
+        mv = lambda a: np.ascontiguousarray(np.moveaxis(a, 0, axis))
+        return {"f": mv(v.copy()), "l": mv(np.array(l)),
+                "g": mv(g), "n": mv(np.array(n))}
 
 
 # ---------------------------------------------------------------------------

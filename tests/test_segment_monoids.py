@@ -103,3 +103,38 @@ def test_associativity_fuzz(name):
         r = m.combine(ra, m.combine(rb, rc))
         for k in l:
             assert (l[k] == r[k]).all(), (name, k)
+
+
+@pytest.mark.parametrize("name", ["maxrun", "maxgap"])
+def test_closed_form_scans_equal_doubling(name):
+    """The element-partial closed-form scans (ufunc accumulates; maxgap
+    ×12, maxrun ×1.7 over the doubling path on the 2-D block shape) must
+    equal the generic doubling scans on 1-D, on the block kernel's 2-D
+    axis=1 shape, and fall back for combined (n>1) partials."""
+    from sliding_window_aggregators_spark.functions.monoids import (
+        _DoublingScanMixin,
+        p_take,
+    )
+
+    m = get_monoid(name)
+    gen = (lambda n: RNG.integers(0, 6, n)) if name == "maxrun" else (
+        lambda n: np.cumsum(RNG.integers(-3, 50, n)))
+    for n in (1, 2, 3, 7, 33, 200):
+        p = m.lift(gen(n).astype(np.int64))
+        for fast, suffix in ((m.accumulate(p), False), (m.raccumulate(p), True)):
+            slow = _DoublingScanMixin._scan(m, p, 0, suffix)
+            for k in fast:
+                assert (np.asarray(fast[k]) == np.asarray(slow[k])).all(), (n, suffix, k)
+        if n >= 4:
+            p2 = m.lift(gen(4 * (n // 4)).astype(np.int64).reshape(4, -1))
+            for fast, suffix in ((m.accumulate(p2, axis=1), False),
+                                 (m.raccumulate(p2, axis=1), True)):
+                slow = _DoublingScanMixin._scan(m, p2, 1, suffix)
+                for k in fast:
+                    assert (np.asarray(fast[k]) == np.asarray(slow[k])).all()
+        comb = m.combine(p_take(p, slice(0, max(1, n - 1))),
+                         p_take(p, slice(1, None)))
+        fast = m.accumulate(comb)
+        slow = _DoublingScanMixin._scan(m, comb, 0, False)
+        for k in fast:
+            assert (np.asarray(fast[k]) == np.asarray(slow[k])).all()
