@@ -1044,6 +1044,71 @@ def test_sliding_agg_stream_multi_maxrun_maxgap(spark, stream_dirs):
     assert got["wmaxgap_0"].astype(int).tolist() == exp["wmaxgap_0"].tolist()
 
 
+def test_sliding_agg_stream_multi_heterogeneous_times_durations(
+    spark, stream_dirs
+):
+    """Heterogeneous lifts × MULTIPLE durations in one stateful operator —
+    the full window-sharing × aggregate-fusion matrix cell (previous
+    tests covered each axis separately): sum(length) + maxrun(tool-bit)
+    each over BOTH a 2-minute and a 6-minute window, one shuffle, four
+    output columns, vs an independent pandas recompute."""
+    from sliding_window_aggregators_spark.streaming import (
+        sliding_agg_stream_multi,
+    )
+
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(500, 15)
+    _write_chunk(spark, src, pdf.iloc[:250], "c0")
+    _write_chunk(spark, src, pdf.iloc[250:], "c1")
+
+    stream = sliding_agg_stream_multi(
+        _read_stream(spark, src),
+        monoids=("sum", "maxrun"),
+        durations=("2 minutes", "6 minutes"),
+        value_exprs=("length(text)", "cast(role = 'tool' as bigint)"),
+        int_values=True,
+    )
+    q, sink = write_stream_exactly_once(stream, out, ckpt)
+    q.awaitTermination(120)
+
+    cols = ["wsum_0", "wsum_1", "wmaxrun_0", "wmaxrun_1"]
+    got = (
+        sink.read_committed(spark)
+        .select("conv_id", "ts", *cols)
+        .toPandas()
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    durs = [120_000_000, 360_000_000]
+    exp_rows = []
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values("ts")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = g["text"].str.len().to_numpy().astype(np.int64)
+        bits = (g["role"].to_numpy() == "tool").astype(np.int64)
+        for i in range(len(g)):
+            row = [conv, g["ts"].iloc[i]]
+            for d in durs:
+                lo = int(np.searchsorted(ts[: i + 1], ts[i] - d, side="left"))
+                row.append(int(v[lo: i + 1].sum()))
+            for d in durs:
+                lo = int(np.searchsorted(ts[: i + 1], ts[i] - d, side="left"))
+                best = cur = 0
+                for b in bits[lo: i + 1]:
+                    cur = cur + 1 if b else 0
+                    best = max(best, cur)
+                row.append(best)
+            exp_rows.append(tuple(row))
+    exp = (
+        pd.DataFrame(exp_rows, columns=["conv_id", "ts"] + cols)
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for c in cols:
+        assert got[c].astype(int).tolist() == exp[c].tolist(), c
+
+
 def test_replan_emit_filter_zero_duplicates(spark, stream_dirs):
     """Zero-duplicate RE-PLAN: a chunk-halo re-plan changes the state
     grouping key, so the old checkpoint is unusable by design — the
