@@ -1396,7 +1396,19 @@ def test_session_stream_scrambled_replay_matches_batch(spark, stream_dirs):
     reason="no google.protobuf wheel and the vendored mini-runtime failed "
     "to import",
 )
-def test_sliding_agg_stream_tws_matches_apply_path(spark, stream_dirs):
+@pytest.mark.parametrize(
+    "monoid_name,value_expr",
+    [
+        ("sum", "length(text)"),
+        # maxgap is order-SENSITIVE (segment concatenation): under OOO
+        # arrival the ordered state must fold in event-time order for
+        # the gaps to be true — the sharpest parity case for the two APIs
+        ("maxgap", "unix_micros(cast(ts as timestamp))"),
+    ],
+)
+def test_sliding_agg_stream_tws_matches_apply_path(
+    spark, stream_dirs, monoid_name, value_expr
+):
     """The OOO ordered-aggregate state under the PRODUCTION arbitrary-
     state API (transformWithStateInPandas + RocksDB) must produce exactly
     what the applyInPandasWithState path produces — same per-turn answers
@@ -1418,10 +1430,11 @@ def test_sliding_agg_stream_tws_matches_apply_path(spark, stream_dirs):
             .option("pathGlobFilter", "*.parquet")
             .option("maxFilesPerTrigger", 1)
             .parquet(os.path.join(src, "*")),
-            monoid_name="sum",
-            value_expr="length(text)",
+            monoid_name=monoid_name,
+            value_expr=value_expr,
             duration="2 minutes",
             out_col="wsum",
+            int_values=True,
             **extra,
         )
         q, sink = write_stream_exactly_once(stream, out_dir, ckpt_dir)
