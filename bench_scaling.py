@@ -518,6 +518,20 @@ The reference's published protocol is single-threaded
 BENCH_r*.json `kernel_turns_per_sec` (windows 2^2..2^22): sum ≈ 30-35M
 turns/s, geomean ≈ 15-22M turns/s, bloom ≈ 0.1-0.4M turns/s (512-byte
 partials; the reference also runs bloom at 25-100× fewer iterations).
+
+The per-round bench subsamples that grid ×16 (6 of the 21 sizes) to fit
+the driver's time budget; the COMPLETE 21-point grid — every window size
+2^2..2^22, 5 samples/config, the reference's full benchmark_driver sweep
+— was run once in a healthy window (probe 3,515 MB/s before / 3,059
+after, cpu ~32 Mops both sides) and archived as
+`BENCH/bench_r5_full_window_grid.json` (tools/full_grid.py, same
+methodology as bench.py's kernel_turns_per_sec so the 6 shared points
+cross-check against every BENCH_r*.json). Full-grid medians: sum
+30.2–41.0M turns/s across 2^2..2^21 (monotone plateau, no size-shaped
+cliff between the subsampled points), geomean 21.9–50.8M, bloom
+0.11–0.84M with the expected cache-ladder shape (fastest at w≤64,
+trough at the 64–256K cache edge, recovering at ≥512K where the
+window exceeds the eviction stride).
 """
     # preserve hand-written history: everything from the first "##
     # Measurement variance" marker on survives a re-run (the generated

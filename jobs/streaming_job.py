@@ -114,6 +114,10 @@ def main() -> None:
                          "for scaling studies; production rollups keep the "
                          "full per-turn write")
     args = ap.parse_args()
+    if args.multi_value_exprs and not args.multi_monoids:
+        ap.error("--multi-value-exprs requires --multi-monoids (the "
+                 "single-monoid path takes --value-expr); refusing to "
+                 "silently ignore it")
 
     from pyspark.sql import SparkSession
 

@@ -1783,10 +1783,13 @@ class MaxRun(_DoublingScanMixin, Monoid):
         if not bool((p["n"] == 1).all()):
             return super().raccumulate(p, axis)
         # suffix of [i..N-1] = prefix of the reversed bits with the
-        # edge runs swapped (best and length are reversal-invariant)
+        # edge runs swapped (best and length are reversal-invariant);
+        # re-contiguify the flip views — downstream combines run ufuncs
+        # over these on the hot block path
         rev = p_reverse(p, axis=axis)
         acc = self.accumulate(rev, axis=axis)
-        out = p_reverse(acc, axis=axis)
+        out = {k: np.ascontiguousarray(np.flip(v, axis=axis))
+               for k, v in acc.items()}
         return {"p": out["s"], "s": out["p"], "b": out["b"], "n": out["n"]}
 
 

@@ -335,7 +335,11 @@ mr as (
   select user_id, event_id,
          cast(coalesce(list_max(list_transform(
                 string_split(string_agg(
-                    case when bc % 2 = 1 then '1' else '0' end,
+                    -- <> 0, not = 1: DuckDB's % follows the dividend's
+                    -- sign ((-3) % 2 = -1) while numpy's follows the
+                    -- divisor ((-3) % 2 = 1) — both are odd, and only
+                    -- <> 0 classifies negatives identically to the lift
+                    case when bc % 2 <> 0 then '1' else '0' end,
                     '' order by brn), '0'),
                 x -> length(x))), 0) as bigint) as wmaxrun
   from j group by user_id, event_id

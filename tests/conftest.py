@@ -54,3 +54,22 @@ def hll_reference(values):
     s = sum(1 << (HLL_RHO_CAP - m) for m in regs.values())
     s += (HLL_M - len(regs)) * (1 << HLL_RHO_CAP)
     return round(HLL_ALPHA_M2_SCALED / float(s), 4)
+
+
+def brute_streak(bits) -> int:
+    """Longest consecutive run of truthy values — the MaxRun oracle
+    (shared by the streaming / launch-artifact recomputes)."""
+    best = cur = 0
+    for b in bits:
+        cur = cur + 1 if b else 0
+        best = max(best, cur)
+    return best
+
+
+def brute_max_gap(ts) -> int:
+    """Max adjacent difference of an ordered sequence, 0 below two
+    elements — the MaxGap oracle."""
+    import numpy as np
+
+    ts = np.asarray(ts)
+    return int(np.diff(ts).max()) if len(ts) > 1 else 0

@@ -9,6 +9,8 @@ import sys
 
 import pytest
 
+from conftest import brute_max_gap, brute_streak
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -107,12 +109,8 @@ def test_streaming_job_multi_heterogeneous_value_exprs(spark, tmp_path):
         bits = (g["role"].to_numpy() == "tool").astype(np.int64)
         for i in range(len(g)):
             lo = int(np.searchsorted(ts[: i + 1], ts[i] - dur, side="left"))
-            best = cur = 0
-            for b in bits[lo: i + 1]:
-                cur = cur + 1 if b else 0
-                best = max(best, cur)
-            seg = ts[lo: i + 1]
-            gap = int(np.diff(seg).max()) if len(seg) > 1 else 0
+            best = brute_streak(bits[lo: i + 1])
+            gap = brute_max_gap(ts[lo: i + 1])
             exp_rows.append((conv, g["ts"].iloc[i], best, gap))
     exp = (
         pd.DataFrame(exp_rows,

@@ -187,11 +187,10 @@ def test_sliding_reduce_equals_brute_int_monoids(values, w, mname):
     assert np.asarray(got).tolist() == [int(e) for e in exp]
 
 
-_LAW_MONOIDS = [n for n in
-                ["sum", "count", "max", "min", "mean", "geomean", "stddev",
-                 "mincount", "relvar", "bloom", "hll", "histq", "cms",
-                 "collect", "dfa", "dfa_funnel", "decayed", "top3", "minhash",
-                 "adjsum", "trend", "toolset", "maxrun", "maxgap"]]
+_LAW_MONOIDS = ["sum", "count", "max", "min", "mean", "geomean", "stddev",
+                "mincount", "relvar", "bloom", "hll", "histq", "cms",
+                "collect", "dfa", "dfa_funnel", "decayed", "top3", "minhash",
+                "adjsum", "trend", "toolset", "maxrun", "maxgap"]
 
 
 def _lift_for(m, name, vals):

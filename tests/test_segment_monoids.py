@@ -58,9 +58,12 @@ def test_maxrun_parity_totalization_is_fixed_point_on_bits():
     m = get_monoid("maxrun")
     bits = RNG.integers(0, 2, 100)
     a = m.lift(bits)
-    b = m.lift(bits * 7 + bits)  # 8·b ≡ b (mod 2) only for b=0; craft odd/even
     # the contract: a 0/1 column passes through the parity map unchanged
     assert (a["b"] == bits).all() and (a["n"] == 1).all()
+    # and arbitrary ints totalize as parity, negatives included
+    # (numpy % follows the divisor's sign: (-3) % 2 == 1)
+    vals = np.array([2, 3, -3, -4, 1001, 0], dtype=np.int64)
+    assert m.lift(vals)["b"].tolist() == [0, 1, 1, 0, 1, 0]
 
 
 def test_maxgap_planted_stall():

@@ -11,6 +11,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import brute_max_gap, brute_streak
 from sliding_window_aggregators_spark.sources import transcripts_pandas
 from sliding_window_aggregators_spark.streaming import (
     ExactlyOnceParquetSink,
@@ -983,8 +984,9 @@ def test_sliding_agg_stream_multi_maxrun_maxgap(spark, stream_dirs):
     """The round-5 segment monoids through the streaming shell: the
     longest consecutive tool-call streak (wmaxrun_0 — prefix/suffix/best
     concatenation, non-commutative) and the max adjacent turn gap in µs
-    (wmaxgap_0 — stall detection; gap diffs are timezone-shift-invariant
-    so the cast-based µs lift is exact), fused in one stateful operator
+    (wmaxgap_0 — stall detection; gap diffs cancel any FIXED session-tz
+    offset — the repo session pins UTC — so the cast-based µs lift is
+    exact here), fused in one stateful operator
     across a micro-batch boundary. Expected values are an INDEPENDENT
     pandas recompute (literal run-length loop / literal adjacent diffs),
     not the monoid code."""
@@ -1025,12 +1027,8 @@ def test_sliding_agg_stream_multi_maxrun_maxgap(spark, stream_dirs):
         bits = (g["role"].to_numpy() == "tool").astype(np.int64)
         for i in range(len(g)):
             lo = int(np.searchsorted(ts[: i + 1], ts[i] - dur, side="left"))
-            best = cur = 0
-            for b in bits[lo : i + 1]:
-                cur = cur + 1 if b else 0
-                best = max(best, cur)
-            seg_ts = ts[lo : i + 1]
-            gap = int(np.diff(seg_ts).max()) if len(seg_ts) > 1 else 0
+            best = brute_streak(bits[lo : i + 1])
+            gap = brute_max_gap(ts[lo : i + 1])
             exp_rows.append((conv, g["ts"].iloc[i], best, gap))
     exp = (
         pd.DataFrame(
@@ -1093,11 +1091,7 @@ def test_sliding_agg_stream_multi_heterogeneous_times_durations(
                 row.append(int(v[lo: i + 1].sum()))
             for d in durs:
                 lo = int(np.searchsorted(ts[: i + 1], ts[i] - d, side="left"))
-                best = cur = 0
-                for b in bits[lo: i + 1]:
-                    cur = cur + 1 if b else 0
-                    best = max(best, cur)
-                row.append(best)
+                row.append(brute_streak(bits[lo: i + 1]))
             exp_rows.append(tuple(row))
     exp = (
         pd.DataFrame(exp_rows, columns=["conv_id", "ts"] + cols)
