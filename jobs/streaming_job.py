@@ -105,6 +105,16 @@ def main() -> None:
                          "\"input_file_name() like '%/new_chunk/%'\"); "
                          "old-sink UNION new-sink equals the uninterrupted "
                          "run (streaming/engine.py emit_filter)")
+    ap.add_argument("--fault-inject", default=None, metavar="MARKER_PATH",
+                    help="chaos drill: SIGKILL one Python worker mid-task, "
+                         "exactly once per marker file (created atomically "
+                         "at MARKER_PATH on the first task that reads "
+                         "data). Run under a master with task retries "
+                         "(e.g. local[4,2] or any real cluster) and the "
+                         "retried task must leave the sink exactly-once — "
+                         "the DR drill for the north rule's exactly-once "
+                         "claim. Refuses to run when spark.task.maxFailures "
+                         "is 1 (the injected kill would just fail the job)")
     ap.add_argument("--combine-sink", action="store_true",
                     help="fold each micro-batch's per-turn results to one "
                          "row (count + per-column sums) before the "
@@ -175,6 +185,49 @@ def main() -> None:
     stream = spark.readStream.schema(TRANSCRIPTS_SCHEMA).option(
         "pathGlobFilter", "*.parquet"
     ).parquet(os.path.join(args.source, "*"))
+    if args.fault_inject:
+        import re
+
+        # the kill only proves anything if the scheduler retries the task:
+        # plain local[N] has maxFailures=1 and the drill would merely crash
+        # the job, so refuse loudly (local[N,F] encodes F in the master
+        # string; every other master reads spark.task.maxFailures, def. 4)
+        master = spark.sparkContext.master
+        m = re.match(r"local\[([^\]]+)\]$", master)
+        if m:
+            parts = [p.strip() for p in m.group(1).split(",")]
+            retries = int(parts[1]) if len(parts) > 1 else 1
+        else:
+            retries = int(spark.conf.get("spark.task.maxFailures", "4"))
+        if retries <= 1:
+            print(
+                f"--fault-inject needs task retries; master {master!r} has "
+                "spark.task.maxFailures=1 (use e.g. local[4,2])",
+                file=sys.stderr,
+            )
+            sys.exit(4)
+        marker = args.fault_inject
+
+        def _crash_once(batches):
+            import os as _os
+            import signal as _signal
+
+            armed = True
+            for pdf in batches:
+                if armed:
+                    armed = False
+                    try:
+                        # atomic claim: exactly one task across the whole
+                        # job (including its own retry) wins the crash
+                        _os.close(_os.open(
+                            marker, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY
+                        ))
+                        _os.kill(_os.getpid(), _signal.SIGKILL)
+                    except FileExistsError:
+                        pass
+                yield pdf
+
+        stream = stream.mapInPandas(_crash_once, stream.schema)
     if args.tumbling:
         # distributive tumbling aggregate — the mode where salting is real
         if args.salt_buckets:

@@ -121,3 +121,68 @@ def test_streaming_job_multi_heterogeneous_value_exprs(spark, tmp_path):
     assert len(got) == len(exp)
     assert got["wmaxrun_0"].astype(int).tolist() == exp["wmaxrun_0"].tolist()
     assert got["wmaxgap_0"].astype(int).tolist() == exp["wmaxgap_0"].tolist()
+
+
+@pytest.mark.slow
+def test_streaming_job_exactly_once_survives_worker_crash(spark, tmp_path):
+    """Chaos drill for the north rule's exactly-once claim: the launch
+    artifact runs under a master WITH task retries (local[4,2]), and
+    --fault-inject SIGKILLs one Python worker mid-task (atomic one-shot
+    marker). The scheduler's retried task must leave the sink byte-equal
+    to a clean run of the identical job — zero lost rows, zero
+    duplicates. A third run under plain local[*] (maxFailures=1) checks
+    the drill refuses rather than sham-passing without retries."""
+    from sliding_window_aggregators_spark.sources import transcripts_pandas
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pdf = transcripts_pandas(400, 8)
+    spark.createDataFrame(pdf).coalesce(2).write.mode("overwrite").parquet(
+        os.path.join(src, "c0")
+    )
+    marker = str(tmp_path / "crash_marker")
+
+    def run(out, ckpt, fault, master):
+        env = dict(os.environ)
+        env["PYSPARK_SUBMIT_ARGS"] = f"--master {master} pyspark-shell"
+        cmd = [
+            sys.executable,
+            os.path.join(ROOT, "jobs", "streaming_job.py"),
+            "--source", src, "--out", str(tmp_path / out),
+            "--checkpoint", str(tmp_path / ckpt),
+            "--available-now", "--audit",
+        ]
+        if fault:
+            cmd += ["--fault-inject", marker]
+        return subprocess.run(cmd, capture_output=True, text=True,
+                              cwd=ROOT, timeout=420, env=env)
+
+    # refuses without retries: the kill would only prove the job can die
+    r0 = run("out0", "ckpt0", fault=True, master="local[4]")
+    assert r0.returncode == 4, (r0.returncode, r0.stderr[-2000:])
+    assert not os.path.exists(marker)
+
+    r1 = run("out1", "ckpt1", fault=True, master="local[4,2]")
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert os.path.exists(marker), "fault stage never fired"
+    # scheduler-level evidence the kill landed and was retried
+    assert "Lost task" in r1.stderr, r1.stderr[-2000:]
+    assert "committed batches: [0]" in r1.stderr
+    assert '"ok": true' in r1.stderr  # lineage audit over the sink
+
+    r2 = run("out2", "ckpt2", fault=False, master="local[4,2]")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+
+    cols = ["conv_id", "ts", "wagg"]
+    got = (
+        spark.read.parquet(str(tmp_path / "out1"))
+        .select(*cols).toPandas()
+        .sort_values(["conv_id", "ts"]).reset_index(drop=True)
+    )
+    clean = (
+        spark.read.parquet(str(tmp_path / "out2"))
+        .select(*cols).toPandas()
+        .sort_values(["conv_id", "ts"]).reset_index(drop=True)
+    )
+    assert len(got) == len(pdf)  # every turn exactly once
+    assert got.equals(clean)

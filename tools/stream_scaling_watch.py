@@ -39,6 +39,16 @@ def main() -> None:
     ap.add_argument("--turns", type=int, default=16_777_216)
     ap.add_argument("--convs", type=int, default=16_384)
     ap.add_argument("--multi", action="store_true")
+    ap.add_argument("--cluster", action="store_true",
+                    help="pass --cluster to the pair (N single-core "
+                         "executor JVMs per level)")
+    ap.add_argument("--halo", action="store_true",
+                    help="pass --halo to the pair (hot-key chunk-halo)")
+    ap.add_argument("--sustain", type=int, default=1,
+                    help="require N consecutive passing probes "
+                         "--interval seconds apart before firing (a "
+                         "window that has already held for a while is "
+                         "likelier to hold through the pair)")
     ap.add_argument("--interval", type=int, default=300)
     ap.add_argument("--min-bw1", type=float, default=2000.0)
     ap.add_argument("--min-bw8", type=float, default=0.0,
@@ -54,6 +64,7 @@ def main() -> None:
     args = ap.parse_args()
 
     runs = 0
+    streak = 0
     while runs < args.max_runs:
         p = probe()
         healthy = (
@@ -61,10 +72,13 @@ def main() -> None:
             and p["membw_8proc_MBps"] >= args.min_bw8
             and (p.get("bw_ratio_8v2") or 0) >= args.min_ratio
         )
-        print(f"probe {p} healthy={healthy}", flush=True)
-        if not healthy:
+        streak = streak + 1 if healthy else 0
+        print(f"probe {p} healthy={healthy} streak={streak}/{args.sustain}",
+              flush=True)
+        if streak < args.sustain:
             time.sleep(args.interval)
             continue
+        streak = 0
         runs += 1
         cmd = [
             sys.executable,
@@ -73,6 +87,10 @@ def main() -> None:
         ]
         if args.multi:
             cmd.append("--multi")
+        if args.cluster:
+            cmd.append("--cluster")
+        if args.halo:
+            cmd.append("--halo")
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=7200)
         if r.returncode != 0:
             print(f"run failed:\n{r.stderr[-2000:]}", flush=True)
