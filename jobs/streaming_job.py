@@ -115,6 +115,14 @@ def main() -> None:
                          "the DR drill for the north rule's exactly-once "
                          "claim. Refuses to run when spark.task.maxFailures "
                          "is 1 (the injected kill would just fail the job)")
+    ap.add_argument("--fault-inject-sink", default=None,
+                    metavar="MARKER_PATH",
+                    help="chaos drill: kill the DRIVER (os._exit) after a "
+                         "batch's parquet write but before its commit "
+                         "marker, once per marker file — the worst-case "
+                         "crash window. Relaunch with the same "
+                         "--checkpoint: the replayed batch must be "
+                         "rewritten idempotently (exactly-once, audit ok)")
     ap.add_argument("--combine-sink", action="store_true",
                     help="fold each micro-batch's per-turn results to one "
                          "row (count + per-column sums) before the "
@@ -311,7 +319,9 @@ def main() -> None:
         q = writer.start()
     else:
         q, sink = write_stream_exactly_once(
-            agg, args.out, args.checkpoint, available_now=args.available_now
+            agg, args.out, args.checkpoint,
+            available_now=args.available_now,
+            fault_after_write=args.fault_inject_sink,
         )
     q.awaitTermination()
     # drain wall time EXCLUDING session/JVM boot (measured from query

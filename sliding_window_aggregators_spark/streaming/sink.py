@@ -25,7 +25,15 @@ from pyspark.sql import functions as F
 
 
 class ExactlyOnceParquetSink:
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, fault_after_write: str | None = None):
+        # DR-drill hook (jobs/streaming_job.py --fault-inject-sink): kill
+        # the DRIVER at the worst-case point — after the batch's parquet
+        # write, before its commit marker — exactly once per marker path.
+        # A relaunch from the same checkpoint replays the batch, finds no
+        # _COMMIT_ marker, and must overwrite the orphan dir idempotently;
+        # that replay path is the sink's whole exactly-once argument, so
+        # it gets a kill switch to prove it under test.
+        self.fault_after_write = fault_after_write
         # the commit log and metrics use the DRIVER-LOCAL filesystem; that
         # is only exactly-once when the driver sees the same durable fs the
         # executors write to (local mode, NFS mount). A URI-schemed path
@@ -56,6 +64,18 @@ class ExactlyOnceParquetSink:
         )
         path = os.path.join(self.out_dir, f"batch_id={batch_id}")
         stamped.write.mode("overwrite").parquet(path)
+        if self.fault_after_write is not None:
+            try:
+                os.close(os.open(
+                    self.fault_after_write,
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                ))
+                # data written, marker NOT — the crash window the commit
+                # log exists for; os._exit skips every finally/atexit,
+                # the closest a test can get to a driver power cut
+                os._exit(70)
+            except FileExistsError:
+                pass
         # row count from the written files' parquet footers — zero extra
         # Spark jobs (a .count() here would re-execute the whole micro-batch
         # plan a second time, and for a nondeterministic upstream could even
@@ -173,10 +193,11 @@ def audit_sink(out_dir: str) -> dict:
 
 
 def write_stream_exactly_once(
-    df: DataFrame, out_dir: str, checkpoint_dir: str, available_now: bool = True
+    df: DataFrame, out_dir: str, checkpoint_dir: str,
+    available_now: bool = True, fault_after_write: str | None = None,
 ):
     """Start a streaming write through the exactly-once sink."""
-    sink = ExactlyOnceParquetSink(out_dir)
+    sink = ExactlyOnceParquetSink(out_dir, fault_after_write=fault_after_write)
     writer = (
         # append: every caller here emits finalized rows per micro-batch
         # (applyInPandasWithState outputs, watermark-closed aggregates)

@@ -186,3 +186,73 @@ def test_streaming_job_exactly_once_survives_worker_crash(spark, tmp_path):
     )
     assert len(got) == len(pdf)  # every turn exactly once
     assert got.equals(clean)
+
+
+@pytest.mark.slow
+def test_streaming_job_exactly_once_survives_driver_crash_before_commit(
+    spark, tmp_path
+):
+    """The other half of the chaos drill: kill the DRIVER in the sink's
+    worst-case window (batch parquet written, commit marker NOT).
+    The audit must call the half-written batch an orphan, and a relaunch
+    from the same checkpoint must rewrite it idempotently — values exact
+    vs a DuckDB range-window oracle, every turn exactly once."""
+    import duckdb
+
+    from sliding_window_aggregators_spark.sources import transcripts_pandas
+    from sliding_window_aggregators_spark.streaming import audit_sink
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    pdf = transcripts_pandas(400, 8)
+    spark.createDataFrame(pdf).coalesce(2).write.mode("overwrite").parquet(
+        os.path.join(src, "c0")
+    )
+    marker = str(tmp_path / "sink_crash_marker")
+
+    def run(fault):
+        cmd = [
+            sys.executable, os.path.join(ROOT, "jobs", "streaming_job.py"),
+            "--source", src, "--out", out, "--checkpoint", ckpt,
+            "--available-now", "--audit",
+        ]
+        if fault:
+            cmd += ["--fault-inject-sink", marker]
+        return subprocess.run(cmd, capture_output=True, text=True,
+                              cwd=ROOT, timeout=420)
+
+    r1 = run(fault=True)
+    assert r1.returncode == 70, (r1.returncode, r1.stderr[-2000:])
+    assert os.path.exists(marker)
+    # the crash window is real: data on disk, marker absent, audit flags it
+    assert glob.glob(os.path.join(out, "batch_id=0", "*.parquet"))
+    assert not os.path.exists(os.path.join(out, "_commits", "_COMMIT_0"))
+    crashed_audit = audit_sink(out)
+    assert not crashed_audit["ok"]
+    assert any("orphan" in p for p in crashed_audit["problems"])
+
+    r2 = run(fault=False)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "committed batches: [0]" in r2.stderr
+    assert '"ok": true' in r2.stderr
+
+    con = duckdb.connect()
+    n, distinct = con.execute(
+        f"select count(*), count(distinct (conv_id, ts)) "
+        f"from read_parquet('{out}/batch_id=*/*.parquet')"
+    ).fetchone()
+    assert (n, distinct) == (len(pdf), len(pdf))
+    (bad,) = con.execute(f"""
+        with exp as (
+          select conv_id, ts,
+                 sum(length(text)) over (partition by conv_id order by ts
+                   range between interval 10 minutes preceding
+                   and current row) as exp_w
+          from read_parquet('{src}/c0/*.parquet'))
+        select count(*)
+        from read_parquet('{out}/batch_id=*/*.parquet') got
+        join exp using (conv_id, ts) where got.wagg <> exp.exp_w
+    """).fetchone()
+    assert bad == 0
