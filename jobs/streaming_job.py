@@ -37,6 +37,62 @@ TRANSCRIPTS_SCHEMA = (
 )
 
 
+def _crash_stage(marker: str, kill_executor: bool):
+    """Pass-through mapInPandas stage that dies exactly once (atomic
+    marker claim) on the first task that sees data: SIGKILL its own
+    Python worker, or — ``kill_executor`` — the executor JVM found by
+    walking /proc ppid links to the CoarseGrainedExecutorBackend (never
+    any other JVM: under local[N] the chain ends at the driver and the
+    stage refuses to fire rather than kill the app)."""
+
+    def crash_once(batches):
+        import os as _os
+        import signal as _signal
+
+        def executor_jvm_pid():
+            pid = _os.getpid()
+            for _ in range(12):
+                try:
+                    with open(f"/proc/{pid}/stat") as fh:
+                        ppid = int(fh.read().rsplit(")", 1)[1].split()[1])
+                    if ppid <= 1:
+                        return None
+                    with open(f"/proc/{ppid}/cmdline", "rb") as fh:
+                        cmd = fh.read().replace(b"\0", b" ").decode(
+                            errors="replace")
+                except OSError:
+                    return None
+                if "CoarseGrainedExecutorBackend" in cmd:
+                    return ppid
+                pid = ppid
+            return None
+
+        armed = True
+        for pdf in batches:
+            if armed:
+                armed = False
+                target = _os.getpid()
+                if kill_executor:
+                    target = executor_jvm_pid()
+                if target is not None:
+                    try:
+                        # atomic claim: exactly one task across the whole
+                        # job (including its own retry) wins the crash
+                        _os.close(_os.open(
+                            marker, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY
+                        ))
+                        _os.kill(target, _signal.SIGKILL)
+                        if kill_executor:
+                            # the JVM is gone; don't let this orphaned
+                            # worker stream rows into a dead socket
+                            _os.kill(_os.getpid(), _signal.SIGKILL)
+                    except FileExistsError:
+                        pass
+            yield pdf
+
+    return crash_once
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--source", required=True, help="stream source directory")
@@ -115,6 +171,15 @@ def main() -> None:
                          "the DR drill for the north rule's exactly-once "
                          "claim. Refuses to run when spark.task.maxFailures "
                          "is 1 (the injected kill would just fail the job)")
+    ap.add_argument("--fault-inject-executor", default=None,
+                    metavar="MARKER_PATH",
+                    help="chaos drill: SIGKILL one ENTIRE executor JVM "
+                         "mid-task (node-loss emulation), exactly once "
+                         "per marker file. Needs separate executor JVMs "
+                         "(local-cluster[2,1,1024] or a real cluster); "
+                         "the scheduler must reschedule onto survivors, "
+                         "reload state from the checkpoint, and the sink "
+                         "must stay exactly-once")
     ap.add_argument("--fault-inject-sink", default=None,
                     metavar="MARKER_PATH",
                     help="chaos drill: kill the DRIVER (os._exit) after a "
@@ -193,6 +258,9 @@ def main() -> None:
     stream = spark.readStream.schema(TRANSCRIPTS_SCHEMA).option(
         "pathGlobFilter", "*.parquet"
     ).parquet(os.path.join(args.source, "*"))
+    if args.fault_inject and args.fault_inject_executor:
+        ap.error("--fault-inject and --fault-inject-executor are separate "
+                 "drills; run one at a time")
     if args.fault_inject:
         import re
 
@@ -214,28 +282,30 @@ def main() -> None:
                 file=sys.stderr,
             )
             sys.exit(4)
-        marker = args.fault_inject
-
-        def _crash_once(batches):
-            import os as _os
-            import signal as _signal
-
-            armed = True
-            for pdf in batches:
-                if armed:
-                    armed = False
-                    try:
-                        # atomic claim: exactly one task across the whole
-                        # job (including its own retry) wins the crash
-                        _os.close(_os.open(
-                            marker, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY
-                        ))
-                        _os.kill(_os.getpid(), _signal.SIGKILL)
-                    except FileExistsError:
-                        pass
-                yield pdf
-
-        stream = stream.mapInPandas(_crash_once, stream.schema)
+        stream = stream.mapInPandas(
+            _crash_stage(args.fault_inject, kill_executor=False),
+            stream.schema,
+        )
+    if args.fault_inject_executor:
+        # node-loss drill: needs REAL executor JVMs that are not the
+        # driver (killing the chain's JVM under local[N] would be the
+        # driver = the whole app) and >1 of them so the reschedule has
+        # somewhere to land while the standalone master replaces the dead
+        # one. The in-worker killer additionally refuses to signal any
+        # JVM that is not a CoarseGrainedExecutorBackend.
+        master = spark.sparkContext.master
+        if not (master.startswith("local-cluster")
+                or master.startswith("spark://")):
+            print(
+                "--fault-inject-executor needs separate executor JVMs "
+                f"(local-cluster[...] or spark://), not {master!r}",
+                file=sys.stderr,
+            )
+            sys.exit(4)
+        stream = stream.mapInPandas(
+            _crash_stage(args.fault_inject_executor, kill_executor=True),
+            stream.schema,
+        )
     if args.tumbling:
         # distributive tumbling aggregate — the mode where salting is real
         if args.salt_buckets:

@@ -256,3 +256,72 @@ def test_streaming_job_exactly_once_survives_driver_crash_before_commit(
         join exp using (conv_id, ts) where got.wagg <> exp.exp_w
     """).fetchone()
     assert bad == 0
+
+
+@pytest.mark.slow
+def test_streaming_job_exactly_once_survives_executor_jvm_loss(
+    spark, tmp_path
+):
+    """Node-loss drill: under local-cluster[2,1,1024] (two REAL executor
+    JVMs), --fault-inject-executor SIGKILLs one whole executor mid-task.
+    The scheduler must reschedule onto the survivor, state must reload
+    from the checkpoint, and the sink must stay exactly-once and
+    value-exact. Under local[4,2] (no separate executor JVMs) the drill
+    must refuse instead of killing the driver."""
+    import duckdb
+
+    from sliding_window_aggregators_spark.sources import transcripts_pandas
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    pdf = transcripts_pandas(400, 8)
+    spark.createDataFrame(pdf).coalesce(2).write.mode("overwrite").parquet(
+        os.path.join(src, "c0")
+    )
+    marker = str(tmp_path / "exec_crash_marker")
+
+    def run(out_d, ckpt_d, master):
+        env = dict(os.environ)
+        env["PYSPARK_SUBMIT_ARGS"] = f"--master {master} pyspark-shell"
+        return subprocess.run(
+            [
+                sys.executable,
+                os.path.join(ROOT, "jobs", "streaming_job.py"),
+                "--source", src, "--out", str(tmp_path / out_d),
+                "--checkpoint", str(tmp_path / ckpt_d),
+                "--available-now", "--audit",
+                "--fault-inject-executor", marker,
+            ],
+            capture_output=True, text=True, cwd=ROOT, timeout=420, env=env,
+        )
+
+    r0 = run("out0", "ckpt0", "local[4,2]")
+    assert r0.returncode == 4, (r0.returncode, r0.stderr[-2000:])
+    assert not os.path.exists(marker)
+
+    r1 = run("out", "ckpt", "local-cluster[2,1,1024]")
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert os.path.exists(marker), "executor-kill stage never fired"
+    assert "ExecutorLostFailure" in r1.stderr, r1.stderr[-2000:]
+    assert "committed batches: [0]" in r1.stderr
+    assert '"ok": true' in r1.stderr
+
+    con = duckdb.connect()
+    n, distinct = con.execute(
+        f"select count(*), count(distinct (conv_id, ts)) "
+        f"from read_parquet('{out}/batch_id=*/*.parquet')"
+    ).fetchone()
+    assert (n, distinct) == (len(pdf), len(pdf))
+    (bad,) = con.execute(f"""
+        with exp as (
+          select conv_id, ts,
+                 sum(length(text)) over (partition by conv_id order by ts
+                   range between interval 10 minutes preceding
+                   and current row) as exp_w
+          from read_parquet('{src}/c0/*.parquet'))
+        select count(*)
+        from read_parquet('{out}/batch_id=*/*.parquet') got
+        join exp using (conv_id, ts) where got.wagg <> exp.exp_w
+    """).fetchone()
+    assert bad == 0
