@@ -171,6 +171,21 @@ def main() -> None:
                          "the DR drill for the north rule's exactly-once "
                          "claim. Refuses to run when spark.task.maxFailures "
                          "is 1 (the injected kill would just fail the job)")
+    ap.add_argument("--tws", action="store_true",
+                    help="run the sliding aggregate through Spark 4's "
+                         "transformWithStateInPandas (production "
+                         "arbitrary-state API, RocksDB state store, "
+                         "timer-based chunk expiry) instead of "
+                         "applyInPandasWithState — identical semantics, "
+                         "the reference contract that the OOO state must "
+                         "execute under the production API")
+    ap.add_argument("--max-files-per-trigger", type=int, default=0,
+                    metavar="N",
+                    help="micro-batch rate limit (readStream "
+                         "maxFilesPerTrigger; 0 = Spark default). "
+                         "availableNow honors it, so a chunked source "
+                         "drains as many small batches — the soak/replay "
+                         "cadence — instead of one giant one")
     ap.add_argument("--fault-inject-executor", default=None,
                     metavar="MARKER_PATH",
                     help="chaos drill: SIGKILL one ENTIRE executor JVM "
@@ -197,6 +212,10 @@ def main() -> None:
                          "for scaling studies; production rollups keep the "
                          "full per-turn write")
     args = ap.parse_args()
+    if args.tws and (args.tumbling or args.multi_monoids):
+        ap.error("--tws runs the single-monoid sliding aggregate; it "
+                 "composes with --monoid/--duration/--hot-keys-top, not "
+                 "with --tumbling/--multi-monoids")
     if args.multi_value_exprs and not args.multi_monoids:
         ap.error("--multi-value-exprs requires --multi-monoids (the "
                  "single-monoid path takes --value-expr); refusing to "
@@ -255,9 +274,14 @@ def main() -> None:
 
     # glob one level so both flat files and per-arrival chunk directories
     # under the source root are picked up
-    stream = spark.readStream.schema(TRANSCRIPTS_SCHEMA).option(
+    reader = spark.readStream.schema(TRANSCRIPTS_SCHEMA).option(
         "pathGlobFilter", "*.parquet"
-    ).parquet(os.path.join(args.source, "*"))
+    )
+    if args.max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", args.max_files_per_trigger
+        )
+    stream = reader.parquet(os.path.join(args.source, "*"))
     if args.fault_inject and args.fault_inject_executor:
         ap.error("--fault-inject and --fault-inject-executor are separate "
                  "drills; run one at a time")
@@ -318,6 +342,29 @@ def main() -> None:
                 stream, size=args.tumbling, value_expr=args.value_expr,
                 watermark=args.watermark,
             )
+    elif args.tws:
+        from sliding_window_aggregators_spark.streaming import (
+            sliding_agg_stream_tws,
+        )
+
+        # the production arbitrary-state API wants the production state
+        # store; set it before the stream is planned
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        agg = sliding_agg_stream_tws(
+            stream,
+            monoid_name=args.monoid,
+            value_expr=args.value_expr,
+            duration=args.duration,
+            watermark=args.watermark,
+            out_col="wagg",
+            hot_keys=hot_keys,
+            chunk_span=args.chunk_span if hot_keys else None,
+            emit_filter=args.emit_filter,
+        )
     elif args.multi_monoids:
         agg = sliding_agg_stream_multi(
             stream,
@@ -399,7 +446,7 @@ def main() -> None:
     # streaming efficiency pair
     print(f"drain seconds: {time.perf_counter() - t0:.3f}", file=sys.stderr)
     print(f"committed batches: {sink.committed_batches()}", file=sys.stderr)
-    if not args.tumbling and not args.multi_monoids:
+    if not args.tumbling and not args.multi_monoids and not args.tws:
         print(f"dropped late rows: {drop_acc.value}", file=sys.stderr)
     if args.audit:
         import json as _json

@@ -325,3 +325,61 @@ def test_streaming_job_exactly_once_survives_executor_jvm_loss(
         join exp using (conv_id, ts) where got.wagg <> exp.exp_w
     """).fetchone()
     assert bad == 0
+
+
+@pytest.mark.slow
+def test_streaming_job_tws_mode_survives_executor_loss(spark, tmp_path):
+    """--tws runs the sliding aggregate under the PRODUCTION
+    arbitrary-state API (transformWithStateInPandas + RocksDB state
+    store, vendored-protobuf wire protocol) through the launch artifact,
+    composed with the node-loss drill: one executor JVM SIGKILLed
+    mid-stream under local-cluster, the RocksDB state must reload on the
+    survivor and the sink stay exactly-once and value-exact."""
+    import duckdb
+
+    from sliding_window_aggregators_spark.sources import transcripts_pandas
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    pdf = transcripts_pandas(400, 8)
+    spark.createDataFrame(pdf).coalesce(2).write.mode("overwrite").parquet(
+        os.path.join(src, "c0")
+    )
+    marker = str(tmp_path / "marker")
+    env = dict(os.environ)
+    env["PYSPARK_SUBMIT_ARGS"] = (
+        "--master local-cluster[2,1,1024] pyspark-shell"
+    )
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(ROOT, "jobs", "streaming_job.py"),
+            "--source", src, "--out", out, "--checkpoint",
+            str(tmp_path / "ckpt"), "--available-now", "--audit", "--tws",
+            "--fault-inject-executor", marker,
+        ],
+        capture_output=True, text=True, cwd=ROOT, timeout=420, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(marker)
+    assert "ExecutorLostFailure" in r.stderr, r.stderr[-2000:]
+    assert '"ok": true' in r.stderr
+
+    con = duckdb.connect()
+    n, distinct = con.execute(
+        f"select count(*), count(distinct (conv_id, ts)) "
+        f"from read_parquet('{out}/batch_id=*/*.parquet')"
+    ).fetchone()
+    assert (n, distinct) == (len(pdf), len(pdf))
+    (bad,) = con.execute(f"""
+        with exp as (
+          select conv_id, ts,
+                 sum(length(text)) over (partition by conv_id order by ts
+                   range between interval 10 minutes preceding
+                   and current row) as exp_w
+          from read_parquet('{src}/c0/*.parquet'))
+        select count(*)
+        from read_parquet('{out}/batch_id=*/*.parquet') got
+        join exp using (conv_id, ts) where got.wagg <> exp.exp_w
+    """).fetchone()
+    assert bad == 0

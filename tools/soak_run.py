@@ -1,0 +1,197 @@
+"""Long-horizon soak of the launch artifact: drain a chunked transcript
+source as MANY micro-batches (--max-files-per-trigger 1) and grade the
+two failure modes a 10^12-turn deployment actually dies of:
+
+- state leak: per-operator state rows / memory must plateau once the
+  watermark starts evicting (a monotonic climb means expired windows
+  are not clearing);
+- latency drift: addBatch time in the last half must not trend above
+  the first half (checkpoint or state-store degradation).
+
+Then the boring-but-mandatory part: the drained sink is value-checked
+row-for-row against a DuckDB range-window oracle over the same source
+(count, distinct, exact window sums).
+
+Writes one JSON artifact (--out) with per-batch series, the plateau /
+drift verdicts, oracle results, and membw probes so a throttled host
+window is visible in the record.
+
+Usage:
+    python tools/soak_run.py --turns 2097152 --chunks 64 \
+        --out BENCH/soak_r5.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+
+def build_source(turns: int, convs: int, chunks: int) -> str:
+    """Chunked parquet source (pyarrow, no Spark): contiguous ts slices
+    so event time advances chunk to chunk and the watermark evicts."""
+    path = os.path.join(
+        tempfile.gettempdir(), f"swag_soak_src_{turns}_{convs}_{chunks}"
+    )
+    done = os.path.join(path, "_DONE")
+    if os.path.exists(done):
+        return path
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sliding_window_aggregators_spark.sources import transcripts_pandas
+
+    pdf = transcripts_pandas(turns, convs)
+    os.makedirs(path, exist_ok=True)
+    per = turns // chunks
+    for c in range(chunks):
+        lo, hi = c * per, (c + 1) * per if c < chunks - 1 else turns
+        cdir = os.path.join(path, f"c{c:03d}")
+        os.makedirs(cdir, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(
+                pdf.iloc[lo:hi], preserve_index=False
+            ),
+            os.path.join(cdir, "part-0.parquet"),
+        )
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return path
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", type=int, default=2_097_152)
+    ap.add_argument("--convs", type=int, default=4096)
+    ap.add_argument("--chunks", type=int, default=64)
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--duration", default="10 minutes")
+    ap.add_argument("--out", default=os.path.join(HERE, "BENCH",
+                                                  "soak_r5.json"))
+    args = ap.parse_args()
+
+    from bench_scaling_stream import membw_probes
+
+    src = build_source(args.turns, args.convs, args.chunks)
+    out = tempfile.mkdtemp(prefix="swag_soak_out_")
+    ckpt = tempfile.mkdtemp(prefix="swag_soak_ckpt_")
+
+    probes_before = membw_probes()
+    env = dict(os.environ)
+    env["PYSPARK_SUBMIT_ARGS"] = f"--master local[{args.cpus}] pyspark-shell"
+    t0 = time.perf_counter()
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(HERE, "jobs", "streaming_job.py"),
+            "--source", src, "--out", out, "--checkpoint", ckpt,
+            "--available-now", "--audit", "--max-files-per-trigger", "1",
+            "--duration", args.duration,
+        ],
+        capture_output=True, text=True, cwd=HERE, timeout=7200, env=env,
+    )
+    wall = time.perf_counter() - t0
+    if r.returncode != 0:
+        sys.stderr.write(r.stderr[-4000:])
+        raise SystemExit(f"soak job failed: exit {r.returncode}")
+    probes_after = membw_probes()
+
+    m = re.search(r"batch progress: (\[.*\])", r.stderr)
+    batches = json.loads(m.group(1)) if m else []
+    drain = re.search(r"drain seconds: ([0-9.]+)", r.stderr)
+    audit_ok = '"ok": true' in r.stderr
+
+    add_ms = [b["durationMs"].get("addBatch", 0) for b in batches
+              if b.get("numInputRows")]
+    rows_in = [b.get("numInputRows", 0) for b in batches]
+    state_rows = [b.get("stateRows", 0) for b in batches]
+    state_mem = [b.get("stateMemoryBytes", 0) for b in batches]
+
+    def med(xs):
+        xs = sorted(xs)
+        return xs[len(xs) // 2] if xs else 0
+
+    n = len(batches)
+    # plateau: once warm (2nd quarter), later maxima must not exceed the
+    # warm maximum by >10% — the leak detector
+    warm_hi = max(state_rows[n // 4: n // 2] or [0])
+    late_hi = max(state_rows[n // 2:] or [0])
+    plateau_ok = n >= 8 and warm_hi > 0 and late_hi <= 1.10 * warm_hi
+    # stateRows counts KEYS (flat by construction); the window contents
+    # live inside each key's blob, so memory is the real leak signal
+    mem_warm = max(state_mem[n // 4: n // 2] or [0])
+    mem_late = max(state_mem[n // 2:] or [0])
+    mem_ok = n >= 8 and mem_warm > 0 and mem_late <= 1.10 * mem_warm
+    drift = (med(add_ms[n // 2:]) / med(add_ms[: n // 2])
+             if med(add_ms[: n // 2]) else None)
+
+    # value oracle over the full drained sink
+    import duckdb
+
+    con = duckdb.connect()
+    cnt, distinct = con.execute(
+        f"select count(*), count(distinct (conv_id, ts)) "
+        f"from read_parquet('{out}/batch_id=*/*.parquet')"
+    ).fetchone()
+    (mism,) = con.execute(f"""
+        with exp as (
+          select conv_id, ts,
+                 sum(length(text)) over (partition by conv_id order by ts
+                   range between interval {args.duration} preceding
+                   and current row) as exp_w
+          from read_parquet('{src}/c*/*.parquet'))
+        select count(*)
+        from read_parquet('{out}/batch_id=*/*.parquet') got
+        join exp using (conv_id, ts) where got.wagg <> exp.exp_w
+    """).fetchone()
+
+    report = {
+        "job": (
+            f"soak: sliding sum {args.duration} over {args.turns} turns / "
+            f"{args.convs} convs, {args.chunks} chunks drained at "
+            f"maxFilesPerTrigger=1 on local[{args.cpus}]"
+        ),
+        "batches": n,
+        "wall_sec": round(wall, 1),
+        "drain_sec": float(drain.group(1)) if drain else None,
+        "turns_per_sec": round(args.turns / float(drain.group(1)))
+        if drain else None,
+        "rows_in_total": sum(rows_in),
+        "sink": {
+            "rows": cnt, "distinct": distinct,
+            "exactly_once": cnt == distinct == args.turns,
+            "oracle_value_mismatches": mism,
+            "lineage_audit_ok": audit_ok,
+        },
+        "state_rows_series": state_rows,
+        "state_memory_bytes_series": state_mem,
+        "add_batch_ms_series": add_ms,
+        "verdicts": {
+            "state_plateau_ok": plateau_ok,
+            "state_rows_warm_max": warm_hi,
+            "state_rows_late_max": late_hi,
+            "state_memory_plateau_ok": mem_ok,
+            "state_memory_warm_max": mem_warm,
+            "state_memory_late_max": mem_late,
+            "add_batch_drift_late_over_early": round(drift, 3)
+            if drift else None,
+        },
+        "vm_context": {"before": probes_before, "after": probes_after},
+    }
+    with open(args.out, "w") as fh:
+        json.dump(report, fh, indent=2)
+    print(json.dumps({k: report[k] for k in
+                      ("batches", "wall_sec", "drain_sec", "turns_per_sec",
+                       "sink", "verdicts")}, indent=2))
+
+
+if __name__ == "__main__":
+    main()
