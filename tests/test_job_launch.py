@@ -383,3 +383,29 @@ def test_streaming_job_tws_mode_survives_executor_loss(spark, tmp_path):
         join exp using (conv_id, ts) where got.wagg <> exp.exp_w
     """).fetchone()
     assert bad == 0
+
+
+@pytest.mark.slow
+def test_soak_runner_small(tmp_path):
+    """CI-sized soak: 8 micro-batches through tools/soak_run.py
+    (maxFilesPerTrigger=1 cadence) must report exactly-once, a zero
+    oracle mismatch count, and state plateau verdicts all true."""
+    import json
+
+    out_json = str(tmp_path / "soak.json")
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(ROOT, "tools", "soak_run.py"),
+            "--turns", "16384", "--convs", "96", "--chunks", "8",
+            "--cpus", "4", "--out", out_json,
+        ],
+        capture_output=True, text=True, cwd=ROOT, timeout=900,
+    )
+    assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-2000:])
+    rep = json.load(open(out_json))
+    assert rep["batches"] == 8
+    assert rep["sink"]["exactly_once"] is True
+    assert rep["sink"]["oracle_value_mismatches"] == 0
+    assert rep["sink"]["lineage_audit_ok"] is True
+    assert rep["verdicts"]["state_plateau_ok"] is True
+    assert rep["verdicts"]["state_memory_plateau_ok"] is True

@@ -75,6 +75,10 @@ def main() -> None:
     ap.add_argument("--chunks", type=int, default=64)
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--duration", default="10 minutes")
+    ap.add_argument("--tws", action="store_true",
+                    help="soak the transformWithStateInPandas path "
+                         "(RocksDB state store) instead of "
+                         "applyInPandasWithState")
     ap.add_argument("--out", default=os.path.join(HERE, "BENCH",
                                                   "soak_r5.json"))
     args = ap.parse_args()
@@ -95,7 +99,7 @@ def main() -> None:
             "--source", src, "--out", out, "--checkpoint", ckpt,
             "--available-now", "--audit", "--max-files-per-trigger", "1",
             "--duration", args.duration,
-        ],
+        ] + (["--tws"] if args.tws else []),
         capture_output=True, text=True, cwd=HERE, timeout=7200, env=env,
     )
     wall = time.perf_counter() - t0
@@ -155,7 +159,8 @@ def main() -> None:
 
     report = {
         "job": (
-            f"soak: sliding sum {args.duration} over {args.turns} turns / "
+            f"soak{' (tws/RocksDB)' if args.tws else ''}: "
+            f"sliding sum {args.duration} over {args.turns} turns / "
             f"{args.convs} convs, {args.chunks} chunks drained at "
             f"maxFilesPerTrigger=1 on local[{args.cpus}]"
         ),
