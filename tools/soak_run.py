@@ -79,6 +79,11 @@ def main() -> None:
                     help="soak the transformWithStateInPandas path "
                          "(RocksDB state store) instead of "
                          "applyInPandasWithState")
+    ap.add_argument("--spark-conf", action="append", default=[],
+                    metavar="K=V",
+                    help="extra --conf for the job's session (repeatable) "
+                         "— e.g. RocksDB changelog checkpointing for the "
+                         "TWS snapshot-debt A/B")
     ap.add_argument("--out", default=os.path.join(HERE, "BENCH",
                                                   "soak_r5.json"))
     args = ap.parse_args()
@@ -91,7 +96,10 @@ def main() -> None:
 
     probes_before = membw_probes()
     env = dict(os.environ)
-    env["PYSPARK_SUBMIT_ARGS"] = f"--master local[{args.cpus}] pyspark-shell"
+    confs = "".join(f" --conf {c}" for c in args.spark_conf)
+    env["PYSPARK_SUBMIT_ARGS"] = (
+        f"--master local[{args.cpus}]{confs} pyspark-shell"
+    )
     t0 = time.perf_counter()
     r = subprocess.run(
         [
@@ -164,6 +172,7 @@ def main() -> None:
             f"{args.convs} convs, {args.chunks} chunks drained at "
             f"maxFilesPerTrigger=1 on local[{args.cpus}]"
         ),
+        "spark_confs": args.spark_conf,
         "batches": n,
         "wall_sec": round(wall, 1),
         "drain_sec": float(drain.group(1)) if drain else None,
