@@ -111,6 +111,19 @@ def main() -> None:
                     help="run a tumbling aggregate of this window size "
                          "(e.g. '1 hour') instead of the per-turn sliding "
                          "aggregate; salting applies here")
+    ap.add_argument("--panes", default=None, metavar="SIZE",
+                    help="run pane-sliced sliding windows of this size at "
+                         "--slide granularity (sliding_panes_stream) "
+                         "instead of the per-turn sliding aggregate: one "
+                         "monoid partial per slide-aligned pane, so per-key "
+                         "state is O(size/slide) regardless of the "
+                         "conversation's turn rate — the rollup/dashboard "
+                         "window shape; emits (conv_id, window_start, "
+                         "window_end, wagg) exactly once per closable "
+                         "window")
+    ap.add_argument("--slide", default="15 minutes",
+                    help="pane width / emission granularity for --panes "
+                         "(size must be a whole multiple of it)")
     ap.add_argument("--multi-monoids", default=None, metavar="M1,M2,...",
                     help="run the window-shared multi-aggregate sliding "
                          "stream (sliding_agg_stream_multi): every listed "
@@ -216,6 +229,15 @@ def main() -> None:
         ap.error("--tws runs the single-monoid sliding aggregate; it "
                  "composes with --monoid/--duration/--hot-keys-top, not "
                  "with --tumbling/--multi-monoids")
+    if args.panes and (args.tumbling or args.multi_monoids or args.tws):
+        ap.error("--panes is its own single-monoid mode; it composes with "
+                 "--monoid/--value-expr/--slide, not with "
+                 "--tumbling/--multi-monoids/--tws")
+    if args.panes and (args.hot_keys_top or args.emit_filter):
+        ap.error("--panes state is already bounded per key (one partial "
+                 "per pane) and emits per WINDOW, not per row — "
+                 "--hot-keys-top/--emit-filter apply to the per-turn "
+                 "sliding modes")
     if args.multi_value_exprs and not args.multi_monoids:
         ap.error("--multi-value-exprs requires --multi-monoids (the "
                  "single-monoid path takes --value-expr); refusing to "
@@ -342,6 +364,22 @@ def main() -> None:
                 stream, size=args.tumbling, value_expr=args.value_expr,
                 watermark=args.watermark,
             )
+    elif args.panes:
+        from sliding_window_aggregators_spark.streaming import (
+            sliding_panes_stream,
+        )
+
+        drop_acc = spark.sparkContext.accumulator(0)
+        agg = sliding_panes_stream(
+            stream,
+            monoid_name=args.monoid,
+            value_expr=args.value_expr,
+            size=args.panes,
+            slide=args.slide,
+            watermark=args.watermark,
+            out_col="wagg",
+            dropped_late_counter=drop_acc,
+        )
     elif args.tws:
         from sliding_window_aggregators_spark.streaming import (
             sliding_agg_stream_tws,

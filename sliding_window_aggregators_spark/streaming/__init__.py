@@ -10,6 +10,7 @@ from .engine import (  # noqa: F401
     sliding_agg_stream_multi,
     sliding_agg_stream_tws,
     sliding_count_stream,
+    sliding_panes_stream,
     tumbling_stream,
     tumbling_stream_salted,
 )

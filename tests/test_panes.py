@@ -1,0 +1,489 @@
+"""Pane-sliced sliding windows (`sliding_panes_stream`): bounded-state
+Flink-style (size, slide) windows over the transcripts stream.
+
+Offline tests drive the pure `_panes_step` kernel directly (state bound,
+late rule, OOO merge, emission set); Spark tests check the streaming
+operator against a pandas pane recompute across micro-batch boundaries,
+quiet-key closure via event-time timeout, and checkpoint resume."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sliding_window_aggregators_spark.functions.monoids import get_monoid
+from sliding_window_aggregators_spark.sources import transcripts_pandas
+from sliding_window_aggregators_spark.streaming import sliding_panes_stream
+from sliding_window_aggregators_spark.streaming.engine import (
+    _panes_empty_state,
+    _panes_step,
+)
+
+US = 1_000_000
+SLIDE = 60 * US  # 1 minute panes
+SIZE = 4 * SLIDE  # 4-pane windows
+
+
+def _mkpdf(ts_us, vals):
+    return pd.DataFrame(
+        {
+            "ts": np.asarray(ts_us, dtype=np.int64).astype("datetime64[us]"),
+            "__v": np.asarray(vals, dtype=np.float64),
+        }
+    )
+
+
+def _brute_windows(ts_us, vals, size_us=SIZE, slide_us=SLIDE, fold=sum):
+    """Expected emitted set: every (window_end, fold) where the window
+    [end-size, end) holds >= 1 row; ends are slide multiples reachable
+    from an occupied pane."""
+    ts_us = np.asarray(ts_us, dtype=np.int64)
+    vals = np.asarray(vals, dtype=np.float64)
+    panes = ts_us - ts_us % slide_us
+    ends = set()
+    for p in np.unique(panes):
+        for k in range(1, size_us // slide_us + 1):
+            ends.add(int(p + k * slide_us))
+    out = {}
+    order = np.argsort(ts_us, kind="mergesort")
+    for e in sorted(ends):
+        m = (ts_us >= e - size_us) & (ts_us < e)
+        if m.any():
+            sel = order[m[order]]
+            out[e] = fold(vals[sel].tolist())
+    return out
+
+
+def _drive(batches, wms, monoid=None, counter=None):
+    """Run _panes_step over (batch, watermark) pairs; collect emissions."""
+    monoid = monoid or get_monoid("sum")
+    d = _panes_empty_state(monoid)
+    got = {}
+    for pdf, wm in zip(batches, wms):
+        emitted, d = _panes_step(
+            d, pdf, wm, monoid=monoid, ts_col="ts", size_us=SIZE,
+            slide_us=SLIDE, int_values=False, drop_counter=counter,
+        )
+        if emitted is not None:
+            for e, v in zip(emitted["window_end"], emitted["values"]):
+                assert int(e) not in got, "window emitted twice"
+                got[int(e)] = v
+    return got, d
+
+
+def test_panes_step_matches_brute_in_order():
+    rng = np.random.default_rng(7)
+    ts = np.sort(rng.integers(0, 20 * SLIDE, size=400).astype(np.int64))
+    vals = rng.integers(1, 100, size=400).astype(np.float64)
+    # three batches, watermark trailing then flushing everything
+    cut1, cut2 = 150, 300
+    batches = [
+        _mkpdf(ts[:cut1], vals[:cut1]),
+        _mkpdf(ts[cut1:cut2], vals[cut1:cut2]),
+        _mkpdf(ts[cut2:], vals[cut2:]),
+        None,
+    ]
+    wms = [int(ts[cut1 - 1]) - 2 * SLIDE, int(ts[cut2 - 1]) - 2 * SLIDE,
+           int(ts[-1]) - 2 * SLIDE, int(ts[-1]) + SIZE + SLIDE]
+    got, d = _drive(batches, wms)
+    exp = _brute_windows(ts, vals)
+    assert got == exp
+    assert len(d["pane_ts"]) == 0  # everything closed and evicted
+
+
+def test_panes_step_ooo_commutative_matches_brute():
+    """Scrambled arrival (in-watermark): same emitted set and values."""
+    rng = np.random.default_rng(11)
+    ts = rng.integers(0, 12 * SLIDE, size=300).astype(np.int64)
+    vals = rng.integers(1, 50, size=300).astype(np.float64)
+    perm = rng.permutation(300)
+    cut = 150
+    batches = [
+        _mkpdf(ts[perm[:cut]], vals[perm[:cut]]),
+        _mkpdf(ts[perm[cut:]], vals[perm[cut:]]),
+        None,
+    ]
+    # watermark held at 0 until all rows are in, then flush
+    wms = [0, 0, int(ts.max()) + SIZE + SLIDE]
+    got, _ = _drive(batches, wms)
+    assert got == _brute_windows(ts, vals)
+
+
+def test_panes_step_max_monoid():
+    rng = np.random.default_rng(3)
+    ts = np.sort(rng.integers(0, 10 * SLIDE, size=200).astype(np.int64))
+    vals = rng.integers(1, 1000, size=200).astype(np.float64)
+    got, _ = _drive(
+        [_mkpdf(ts, vals), None],
+        [0, int(ts.max()) + SIZE + SLIDE],
+        monoid=get_monoid("max"),
+    )
+    assert got == _brute_windows(ts, vals, fold=max)
+
+
+def test_panes_step_noncommutative_in_order():
+    """adjsum (segment-concatenation, non-commutative): exact under
+    in-order arrival across batch boundaries."""
+    monoid = get_monoid("adjsum")
+    rng = np.random.default_rng(5)
+    ts = np.sort(rng.integers(0, 8 * SLIDE, size=120).astype(np.int64))
+    vals = rng.integers(1, 9, size=120).astype(np.float64)
+
+    def adj_fold(xs):
+        return float(sum(a * b for a, b in zip(xs, xs[1:])))
+
+    got, _ = _drive(
+        [_mkpdf(ts[:60], vals[:60]), _mkpdf(ts[60:], vals[60:]), None],
+        [0, 0, int(ts.max()) + SIZE + SLIDE],
+        monoid=monoid,
+    )
+    assert got == _brute_windows(ts, vals, fold=adj_fold)
+
+
+def test_panes_step_late_row_dropped_and_counted():
+    class Counter:
+        n = 0
+
+        def add(self, k):
+            self.n += k
+
+    c = Counter()
+    ts0 = np.arange(0, 6 * SLIDE, SLIDE // 2, dtype=np.int64)
+    vals0 = np.ones(len(ts0))
+    monoid = get_monoid("sum")
+    d = _panes_empty_state(monoid)
+    # close everything up to 4*SLIDE
+    _, d = _panes_step(
+        d, _mkpdf(ts0, vals0), 4 * SLIDE, monoid=monoid, ts_col="ts",
+        size_us=SIZE, slide_us=SLIDE, int_values=False, drop_counter=c,
+    )
+    assert d["last_emit"] == 4 * SLIDE
+    # a row in pane 0: its last window ends at 0 + SIZE = 4*SLIDE <= closed
+    _, d = _panes_step(
+        d, _mkpdf([SLIDE // 4], [99.0]), 4 * SLIDE, monoid=monoid,
+        ts_col="ts", size_us=SIZE, slide_us=SLIDE, int_values=False,
+        drop_counter=c,
+    )
+    assert c.n == 1
+    # a row in pane 1 still reaches windows ending 5..8*SLIDE: admitted
+    before = c.n
+    _, d = _panes_step(
+        d, _mkpdf([SLIDE + 1], [7.0]), 4 * SLIDE, monoid=monoid,
+        ts_col="ts", size_us=SIZE, slide_us=SLIDE, int_values=False,
+        drop_counter=c,
+    )
+    assert c.n == before
+
+
+def test_panes_state_bounded_by_panes_not_rows():
+    """50k rows in 6 panes -> state holds <= 6 pane partials (the whole
+    point: per-key state independent of the turn rate)."""
+    rng = np.random.default_rng(13)
+    n = 50_000
+    ts = np.sort(rng.integers(0, 6 * SLIDE, size=n).astype(np.int64))
+    vals = np.ones(n)
+    monoid = get_monoid("sum")
+    d = _panes_empty_state(monoid)
+    _, d = _panes_step(
+        d, _mkpdf(ts, vals), 0, monoid=monoid, ts_col="ts",
+        size_us=SIZE, slide_us=SLIDE, int_values=False,
+    )
+    assert len(d["pane_ts"]) <= 6
+    # eviction: advancing the watermark past pane0's last window drops it
+    _, d = _panes_step(
+        d, None, 5 * SLIDE, monoid=monoid, ts_col="ts",
+        size_us=SIZE, slide_us=SLIDE, int_values=False,
+    )
+    assert (d["pane_ts"] + SIZE > d["last_emit"]).all()
+
+
+# --------------------------------------------------------------------------
+# Spark integration
+# --------------------------------------------------------------------------
+
+SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp"
+)
+
+
+def _write_chunk(spark, src_dir, pdf, name):
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src_dir, name)
+    )
+
+
+def _read_stream(spark, src_dir):
+    # one file per trigger: each chunk is its own micro-batch, so the
+    # tests exercise cross-batch pane carry and watermark closure
+    return (
+        spark.readStream.schema(SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src_dir, "*"))
+    )
+
+
+def _expected_panes(pdf, size_us, slide_us):
+    rows = []
+    for conv, g in pdf.groupby("conv_id"):
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vals = g["text"].str.len().to_numpy().astype(np.float64)
+        for e, v in _brute_windows(ts, vals, size_us, slide_us).items():
+            rows.append((conv, e - size_us, e, float(v)))
+    return (
+        pd.DataFrame(rows, columns=["conv_id", "ws", "we", "wagg"])
+        .sort_values(["conv_id", "we"])
+        .reset_index(drop=True)
+    )
+
+
+def _got_sink(spark, out):
+    got = (
+        spark.read.parquet(out)
+        .selectExpr(
+            "conv_id",
+            "unix_micros(window_start) as ws",
+            "unix_micros(window_end) as we",
+            "wagg",
+        )
+        .toPandas()
+        .sort_values(["conv_id", "we"])
+        .reset_index(drop=True)
+    )
+    return got
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    return str(src), str(out), str(ckpt)
+
+
+def test_sliding_panes_stream_matches_batch(spark, stream_dirs):
+    """2-chunk replay + flush sentinel == pandas pane recompute, including
+    windows whose panes span the micro-batch boundary."""
+    from sliding_window_aggregators_spark.streaming import (
+        write_stream_exactly_once,
+    )
+
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(600, 12)
+    _write_chunk(spark, src, pdf.iloc[:300], "c0")
+    _write_chunk(spark, src, pdf.iloc[300:], "c1")
+    flush = pdf.iloc[:1].copy()
+    flush["conv_id"] = "__flush"
+    flush["ts"] = pdf["ts"].max() + pd.Timedelta(days=2)
+    _write_chunk(spark, src, flush, "c2f")
+
+    stream = sliding_panes_stream(
+        _read_stream(spark, src),
+        size="4 minutes", slide="1 minute", watermark="0 seconds",
+    )
+    q, sink = write_stream_exactly_once(stream, out, ckpt)
+    q.awaitTermination(180)
+
+    got = _got_sink(spark, out)
+    got = got[got["conv_id"] != "__flush"].reset_index(drop=True)
+    exp = _expected_panes(pdf, 4 * SLIDE, SLIDE)
+    assert got["conv_id"].tolist() == exp["conv_id"].tolist()
+    assert got["we"].tolist() == exp["we"].tolist()
+    assert got["ws"].tolist() == exp["ws"].tolist()
+    assert got["wagg"].tolist() == exp["wagg"].tolist()
+
+
+def test_sliding_panes_quiet_key_closes_by_timeout(spark, stream_dirs):
+    """A key that stops sending still closes its windows when ANOTHER
+    key's rows advance the global watermark — the event-time timeout."""
+    from sliding_window_aggregators_spark.streaming import (
+        write_stream_exactly_once,
+    )
+
+    src, out, ckpt = stream_dirs
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    def rows(conv, minutes):
+        return pd.DataFrame(
+            {
+                "conv_id": conv,
+                "turn_idx": range(len(minutes)),
+                "role": "user",
+                "text": ["x" * 10] * len(minutes),
+                "tool": "",
+                "ts": [base + pd.Timedelta(minutes=m) for m in minutes],
+            }
+        )
+
+    # c0: quiet after minute 2 (chunk 0 only). c1: keeps talking.
+    _write_chunk(spark, src, rows("c0", [0, 1, 2]), "b0")
+    _write_chunk(spark, src, rows("c1", [0, 1, 2, 3]), "b1")
+    _write_chunk(spark, src, rows("c1", [30, 31]), "b2")  # advances wm
+    _write_chunk(spark, src, rows("c1", [60]), "b3")
+
+    stream = sliding_panes_stream(
+        _read_stream(spark, src),
+        size="4 minutes", slide="1 minute", watermark="0 seconds",
+    )
+    q, sink = write_stream_exactly_once(stream, out, ckpt)
+    q.awaitTermination(180)
+
+    got = _got_sink(spark, out)
+    c0 = got[got["conv_id"] == "c0"]
+    # all of c0's windows (ends minute 1..6) must have closed without any
+    # further c0 input: 3 rows in panes 0,1,2 -> 6 nonempty windows
+    assert len(c0) == 6
+    t0 = base.value // 1000
+    assert c0["we"].tolist() == [t0 + (m + 1) * 60 * US for m in range(6)]
+    assert c0["wagg"].tolist() == [10.0, 20.0, 30.0, 30.0, 20.0, 10.0]
+
+
+def test_sliding_panes_checkpoint_resume_exactly_once(spark, stream_dirs):
+    """Stop after chunk 0, restart over chunk 1 + flush: the union of the
+    two runs' sinks equals the uninterrupted recompute, no duplicates."""
+    from sliding_window_aggregators_spark.streaming import (
+        write_stream_exactly_once,
+    )
+
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(400, 8)
+    _write_chunk(spark, src, pdf.iloc[:200], "c0")
+
+    def start():
+        stream = sliding_panes_stream(
+            _read_stream(spark, src),
+            size="4 minutes", slide="1 minute", watermark="0 seconds",
+        )
+        return write_stream_exactly_once(stream, out, ckpt)
+
+    q, _ = start()
+    q.awaitTermination(120)
+
+    _write_chunk(spark, src, pdf.iloc[200:], "c1")
+    flush = pdf.iloc[:1].copy()
+    flush["conv_id"] = "__flush"
+    flush["ts"] = pdf["ts"].max() + pd.Timedelta(days=2)
+    _write_chunk(spark, src, flush, "c2f")
+    q, _ = start()
+    q.awaitTermination(120)
+
+    got = _got_sink(spark, out)
+    got = got[got["conv_id"] != "__flush"].reset_index(drop=True)
+    assert not got.duplicated(["conv_id", "we"]).any()
+    exp = _expected_panes(pdf, 4 * SLIDE, SLIDE)
+    assert got["we"].tolist() == exp["we"].tolist()
+    assert got["wagg"].tolist() == exp["wagg"].tolist()
+
+
+def test_sliding_panes_vs_duckdb_oracle(spark, stream_dirs):
+    """Cross-engine value check (the pytest-level oracle pattern for
+    queries outside the 50-slot driver registry): the drained pane-window
+    sink must equal DuckDB's pane-sum cross-join recompute exactly."""
+    import duckdb
+
+    from sliding_window_aggregators_spark.streaming import (
+        write_stream_exactly_once,
+    )
+
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(2000, 30)
+    _write_chunk(spark, src, pdf.iloc[:700], "c0")
+    _write_chunk(spark, src, pdf.iloc[700:1400], "c1")
+    _write_chunk(spark, src, pdf.iloc[1400:], "c2")
+    flush = pdf.iloc[:1].copy()
+    flush["conv_id"] = "__flush"
+    flush["ts"] = pdf["ts"].max() + pd.Timedelta(days=2)
+    _write_chunk(spark, src, flush, "c3f")
+
+    stream = sliding_panes_stream(
+        _read_stream(spark, src),
+        size="4 minutes", slide="1 minute", watermark="0 seconds",
+    )
+    q, sink = write_stream_exactly_once(stream, out, ckpt)
+    q.awaitTermination(240)
+
+    got = _got_sink(spark, out)
+    got = got[got["conv_id"] != "__flush"].reset_index(drop=True)
+
+    n_panes, slide_us, size_us = 4, SLIDE, SIZE
+    exp = duckdb.connect().execute(f"""
+        with rows as (
+          select conv_id, ts, cast(length(text) as double) v
+          from read_parquet('{src}/c*/*.parquet')
+          where conv_id <> '__flush'
+        ),
+        panes as (
+          select conv_id,
+                 (epoch_us(ts) // {slide_us}) * {slide_us} as p,
+                 sum(v) as s
+          from rows group by 1, 2
+        ),
+        contrib as (
+          select conv_id, p + k.range * {slide_us} as we, s
+          from panes, range(1, {n_panes} + 1) k
+        )
+        select conv_id, we - {size_us} as ws, we, sum(s) as wagg
+        from contrib group by 1, 2, 3 order by 1, 3
+    """).df()
+    assert got["conv_id"].tolist() == exp["conv_id"].tolist()
+    assert got["ws"].tolist() == exp["ws"].tolist()
+    assert got["we"].tolist() == exp["we"].tolist()
+    assert got["wagg"].tolist() == exp["wagg"].tolist()
+
+
+def test_sliding_panes_rejects_non_multiple():
+    # size/slide validation fires before the DataFrame is touched
+    with pytest.raises(ValueError, match="multiple"):
+        sliding_panes_stream(None, size="5 minutes", slide="2 minutes")
+
+
+@pytest.mark.slow
+def test_streaming_job_panes_mode(spark, stream_dirs):
+    """--panes through the LAUNCH ARTIFACT (own process, the spark-submit
+    shape): drained pane-window sink equals the pandas pane recompute, and
+    the mode guards reject composing it with the per-turn-only flags."""
+    import subprocess
+    import sys as _sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(400, 8)
+    _write_chunk(spark, src, pdf.iloc[:200], "c0")
+    _write_chunk(spark, src, pdf.iloc[200:], "c1")
+    flush = pdf.iloc[:1].copy()
+    flush["conv_id"] = "__flush"
+    flush["ts"] = pdf["ts"].max() + pd.Timedelta(days=2)
+    _write_chunk(spark, src, flush, "c2f")
+
+    r = subprocess.run(
+        [
+            _sys.executable, os.path.join(root, "jobs", "streaming_job.py"),
+            "--source", src, "--out", out, "--checkpoint", ckpt,
+            "--available-now", "--panes", "4 minutes",
+            "--slide", "1 minute", "--watermark", "0 seconds",
+            "--max-files-per-trigger", "1",
+        ],
+        capture_output=True, text=True, cwd=root, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dropped late rows: 0" in r.stderr
+
+    got = _got_sink(spark, out)
+    got = got[got["conv_id"] != "__flush"].reset_index(drop=True)
+    exp = _expected_panes(pdf, SIZE, SLIDE)
+    assert got["conv_id"].tolist() == exp["conv_id"].tolist()
+    assert got["we"].tolist() == exp["we"].tolist()
+    assert got["wagg"].tolist() == exp["wagg"].tolist()
+
+    bad = subprocess.run(
+        [
+            _sys.executable, os.path.join(root, "jobs", "streaming_job.py"),
+            "--source", src, "--out", out, "--checkpoint", ckpt,
+            "--panes", "4 minutes", "--tws",
+        ],
+        capture_output=True, text=True, cwd=root, timeout=120,
+    )
+    assert bad.returncode == 2 and "--panes" in bad.stderr
