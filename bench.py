@@ -160,6 +160,71 @@ def sketch_throughput(scale: int = 1) -> dict:
     return out
 
 
+def panes_throughput(scale: int = 1) -> dict:
+    """Turns/sec through the pane-sliced rollup kernel (_panes_step — the
+    per-key inner loop of sliding_panes_stream): each turn folds into one
+    slide-aligned pane partial; the advancing watermark closes windows of
+    ``n_panes`` panes through the disjoint-sparse-table interval fold.
+    Configs vary size/slide (16 vs 256 panes/window) plus one
+    4-slide-jitter OOO arrival config (commutative monoid → exact); the
+    emitted-window count rides along so rates are interpretable (per-turn
+    cost is O(1) + amortized closures, not per-turn emission like the
+    count-window grids)."""
+    import numpy as np
+    import pandas as pd
+
+    from sliding_window_aggregators_spark.functions import get_monoid
+    from sliding_window_aggregators_spark.streaming.engine import (
+        _panes_empty_state,
+        _panes_step,
+    )
+
+    n = max(2**18, 2**21 // scale)
+    slide_us = 60_000_000
+    rows_per_pane = 1024
+    ts = (
+        np.sort(np.arange(n, dtype=np.int64) * slide_us // rows_per_pane)
+    )
+    vals = (1 + (np.arange(n) % 101)).astype(np.float64)
+    out = {}
+    sink = 0.0
+    for label, n_panes, jitter in (
+        ("sum_p16", 16, 0), ("sum_p256", 256, 0), ("sum_p16_ooo", 16, 4)
+    ):
+        t = ts.copy()
+        if jitter:
+            rng = np.random.default_rng(42)
+            t = t + rng.integers(0, jitter * slide_us, size=n)
+        m = get_monoid("sum")
+        d = _panes_empty_state(m)
+        windows = 0
+        step = 65536
+        t0 = time.perf_counter()
+        for i in range(0, n, step):
+            pdf = pd.DataFrame(
+                {
+                    "ts": t[i : i + step].astype("datetime64[us]"),
+                    "__v": vals[i : i + step],
+                }
+            )
+            # watermark trails max event time by the jitter horizon, the
+            # streaming runtime's contract
+            wm = int(t[i : i + step].max()) - jitter * slide_us
+            emitted, d = _panes_step(
+                d, pdf, wm, monoid=m, ts_col="ts",
+                size_us=n_panes * slide_us, slide_us=slide_us,
+                int_values=False,
+            )
+            if emitted is not None:
+                windows += len(emitted["window_end"])
+                sink += float(emitted["values"][-1])
+        dt = time.perf_counter() - t0
+        out[f"{label}"] = round(n / dt, 1)
+        out[f"{label}_windows"] = windows
+    out["_anti_dce"] = sink
+    return out
+
+
 def _ooo_prefill(st, m, w: int, d: int, n: int):
     """The reference's permanent-OOO pre-fill (benchmark_core.h:192-197):
     d timestamps from the FAR FUTURE ([n−d, n)) plus the first w−d
@@ -537,6 +602,7 @@ def main() -> None:
         "kernel_turns_per_sec": kt,
         "sketch_turns_per_sec": sketch_throughput(scale),
         "ooo_turns_per_sec": ooo_throughput(),
+        "panes_turns_per_sec": panes_throughput(scale),
         "bulk_turns_per_sec": bulk_throughput(scale),
         "dynamic_turns_per_sec": dynamic_throughput(scale),
         "kernel_latency": kernel_latency(),
