@@ -99,7 +99,8 @@ def build_zip(dst: str) -> None:
 
 def run_level(
     cpus: int, src: str, zip_path: str, turns: int, multi: bool = False,
-    cluster: bool = False, halo: bool = False,
+    cluster: bool = False, halo: bool = False, panes: str | None = None,
+    slide: str = "30 minutes",
 ) -> dict:
     work = tempfile.mkdtemp(prefix=f"swag_stream_{cpus}_")
     # cluster mode: N REAL single-core executor JVMs (Spark's
@@ -152,7 +153,12 @@ def run_level(
         "--out", os.path.join(work, "out"),
         "--checkpoint", os.path.join(work, "ckpt"),
         "--monoid", "sum",
-        "--duration", "10 minutes",
+        # pane mode is the rollup shape: one (size, slide) window row per
+        # slide at watermark closure, per-key state bounded by PANES
+        # (size/slide + lag), not rows — the other end of the engine's
+        # state/emission spectrum from the per-turn ordered-state job
+        *(["--panes", panes, "--slide", slide] if panes
+          else ["--duration", "10 minutes"]),
         "--available-now",
         *(["--pin-executors"] if cluster else []),
         # hot-key chunk-halo: the engine's answer to the input's serial-
@@ -310,7 +316,17 @@ def main() -> None:
                     help="hot-key chunk-halo decomposition (top-40 convs, "
                          "96h spans): lifts the input's serial-atom "
                          "scaling ceiling (see input_skew_model)")
+    ap.add_argument("--panes", default=None, metavar="SIZE",
+                    help="run the pane-sliced rollup job "
+                         "(sliding_panes_stream) at this window size "
+                         "instead of the per-turn sliding sum — per-slide "
+                         "emission, O(panes) per-key state")
+    ap.add_argument("--slide", default="30 minutes",
+                    help="pane width / emission granularity for --panes")
     args = ap.parse_args()
+    if args.panes and (args.multi or args.halo):
+        ap.error("--panes is its own single-monoid rollup shape; "
+                 "--multi/--halo belong to the per-turn job")
 
     src = f"/tmp/swag_stream_src_{args.turns}_{args.convs}"
     r = subprocess.run(
@@ -327,17 +343,19 @@ def main() -> None:
     probes = membw_probes()
     levels = {
         c: run_level(c, src, zip_path, args.turns, multi=args.multi,
-                     cluster=args.cluster, halo=args.halo)
+                     cluster=args.cluster, halo=args.halo,
+                     panes=args.panes, slide=args.slide)
         for c in (2, 8)
     }
     eff = (
         levels[8]["turns_per_sec"] / levels[2]["turns_per_sec"]
     ) / 4
-    shape = (
-        "window-shared 5 monoids x 3 durations"
-        if args.multi
-        else "sliding sum 10m"
-    )
+    if args.panes:
+        shape = f"pane-sliced rollup sum ({args.panes} / {args.slide})"
+    elif args.multi:
+        shape = "window-shared 5 monoids x 3 durations"
+    else:
+        shape = "sliding sum 10m"
     if args.halo:
         shape += " + hot-key chunk-halo (top-40, 96h spans)"
     report = {
@@ -350,6 +368,7 @@ def main() -> None:
                  "executor JVMs" if args.cluster else "local[N]"),
         "cluster": args.cluster,
         "halo": args.halo,
+        "panes": args.panes,
         "levels": levels,
         "scaling_efficiency_2_to_8": round(eff, 3),
         "vm_context": probes,

@@ -229,10 +229,11 @@ def main() -> None:
         ap.error("--tws runs the single-monoid sliding aggregate; it "
                  "composes with --monoid/--duration/--hot-keys-top, not "
                  "with --tumbling/--multi-monoids")
-    if args.panes and (args.tumbling or args.multi_monoids or args.tws):
-        ap.error("--panes is its own single-monoid mode; it composes with "
-                 "--monoid/--value-expr/--slide, not with "
-                 "--tumbling/--multi-monoids/--tws")
+    if args.panes and (args.tumbling or args.tws):
+        ap.error("--panes is the pane-sliced rollup mode; it composes with "
+                 "--monoid/--value-expr/--slide (and with --multi-monoids/"
+                 "--multi-durations for shared-pane multi-aggregates), not "
+                 "with --tumbling/--tws")
     if args.panes and (args.hot_keys_top or args.emit_filter):
         ap.error("--panes state is already bounded per key (one partial "
                  "per pane) and emits per WINDOW, not per row — "
@@ -367,19 +368,43 @@ def main() -> None:
     elif args.panes:
         from sliding_window_aggregators_spark.streaming import (
             sliding_panes_stream,
+            sliding_panes_stream_multi,
         )
 
         drop_acc = spark.sparkContext.accumulator(0)
-        agg = sliding_panes_stream(
-            stream,
-            monoid_name=args.monoid,
-            value_expr=args.value_expr,
-            size=args.panes,
-            slide=args.slide,
-            watermark=args.watermark,
-            out_col="wagg",
-            dropped_late_counter=drop_acc,
-        )
+        if args.multi_monoids:
+            # shared-pane multi-aggregate rollup: N monoids x K sizes
+            # (--panes plus extra sizes from --multi-durations) over one
+            # pane layer per key
+            sizes = [args.panes] + [
+                d.strip() for d in args.multi_durations.split(",")
+                if d.strip() and d.strip() != args.panes
+            ]
+            agg = sliding_panes_stream_multi(
+                stream,
+                monoids=tuple(args.multi_monoids.split(",")),
+                sizes=tuple(sizes),
+                slide=args.slide,
+                value_expr=args.value_expr,
+                value_exprs=(
+                    tuple(e.strip()
+                          for e in args.multi_value_exprs.split(";"))
+                    if args.multi_value_exprs else None
+                ),
+                watermark=args.watermark,
+                dropped_late_counter=drop_acc,
+            )
+        else:
+            agg = sliding_panes_stream(
+                stream,
+                monoid_name=args.monoid,
+                value_expr=args.value_expr,
+                size=args.panes,
+                slide=args.slide,
+                watermark=args.watermark,
+                out_col="wagg",
+                dropped_late_counter=drop_acc,
+            )
     elif args.tws:
         from sliding_window_aggregators_spark.streaming import (
             sliding_agg_stream_tws,
@@ -484,7 +509,9 @@ def main() -> None:
     # streaming efficiency pair
     print(f"drain seconds: {time.perf_counter() - t0:.3f}", file=sys.stderr)
     print(f"committed batches: {sink.committed_batches()}", file=sys.stderr)
-    if not args.tumbling and not args.multi_monoids and not args.tws:
+    if not args.tumbling and not args.tws and (
+        not args.multi_monoids or args.panes
+    ):
         print(f"dropped late rows: {drop_acc.value}", file=sys.stderr)
     if args.audit:
         import json as _json

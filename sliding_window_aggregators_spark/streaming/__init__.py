@@ -11,6 +11,7 @@ from .engine import (  # noqa: F401
     sliding_agg_stream_tws,
     sliding_count_stream,
     sliding_panes_stream,
+    sliding_panes_stream_multi,
     tumbling_stream,
     tumbling_stream_salted,
 )

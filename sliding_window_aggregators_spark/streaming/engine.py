@@ -784,87 +784,154 @@ def _panes_step(
     ``size/slide`` plus the watermark lag in slides — independent of the
     per-key turn rate (the contrast with the per-turn streams' O(rows in
     2×duration) ordered state)."""
+    dm = {"pane_ts": d["pane_ts"], "partials": [d["partials"]],
+          "last_emit": d["last_emit"]}
+    per_size, dm = _panes_multi_step(
+        dm, pdf, wm_us, monoids=[monoid], val_cols=["__v"], ts_col=ts_col,
+        sizes_us=[size_us], slide_us=slide_us, int_flags=[int_values],
+        drop_counter=drop_counter,
+    )
+    emitted = None
+    if per_size[0] is not None:
+        e = per_size[0]
+        emitted = {
+            "window_start": e["window_start"],
+            "window_end": e["window_end"],
+            "values": e["values"][0],
+        }
+    return emitted, {
+        "pane_ts": dm["pane_ts"], "partials": dm["partials"][0],
+        "last_emit": dm["last_emit"], "v": 1,
+    }
+
+
+def _panes_multi_step(
+    d: dict,
+    pdf: pd.DataFrame | None,
+    wm_us: int,
+    *,
+    monoids: list,
+    val_cols: list[str],
+    ts_col: str,
+    sizes_us: list[int],
+    slide_us: int,
+    int_flags: list[bool],
+    drop_counter=None,
+) -> tuple[list[dict | None], dict]:
+    """The SHARED-PANE generalization of :func:`_panes_step`: N monoid
+    specs × K window sizes over ONE slide-aligned pane layer — the
+    pane-space form of the engine's window sharing (Scotty's slice
+    sharing, Traub et al. EDBT 2018; the reference's twin/shared
+    benchmark discipline, cpp/src/benchmark_core.h:472-562).
+
+    Every arriving row folds into exactly one pane per spec; a closing
+    window of ANY size folds its panes through the disjoint-sparse-table
+    interval fold, so K sizes cost K interval folds over the same pane
+    array, not K ingestion passes. ``d`` holds the shared ``pane_ts``,
+    ``partials`` (one partial dict per spec), and the scalar
+    ``last_emit`` (all sizes share the slide, hence the emission
+    frontier). The late rule and pane eviction key to ``max(sizes_us)``:
+    a pane whose largest window has closed feeds nothing; a late row
+    whose pane still feeds a larger open window folds in harmlessly —
+    the smaller sizes' closed windows can never re-emit.
+
+    Returns ``(per_size, new_state)`` where ``per_size[k]`` is None or
+    ``{"window_start", "window_end", "values": [one array per spec]}``.
+    """
     from ..operators.kernels import interval_fold
 
     pane_ts = d["pane_ts"]
     partials = d["partials"]
     last_emit = d["last_emit"]
-    n_panes = size_us // slide_us
+    max_size = max(sizes_us)
 
     if pdf is not None and len(pdf):
         pdf = pdf.sort_values(ts_col, kind="mergesort")
         ts = pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
-        vals = pdf["__v"].to_numpy()
-        if int_values:
-            vals = vals.astype(np.int64)
         pane = ts - ts % slide_us
-        # late rule: a row whose LAST window (pane start + size) has
-        # already closed cannot reach any unemitted window
-        keep = (pane + size_us) > last_emit
+        # late rule: a row whose LAST window (pane start + max size) has
+        # already closed cannot reach any unemitted window of any size
+        keep = (pane + max_size) > last_emit
+        kept_cols = [pdf[c].to_numpy() for c in val_cols]
         if not keep.all():
             if drop_counter is not None:
                 drop_counter.add(int(len(keep) - keep.sum()))
-            pane, vals = pane[keep], vals[keep]
+            pane = pane[keep]
+            kept_cols = [v[keep] for v in kept_cols]
         if len(pane):
-            lifted = monoid.lift(vals)
             change = np.flatnonzero(np.diff(pane)) + 1
             starts = np.concatenate(([0], change))
             ends = np.concatenate((change, [len(pane)]))
-            bp = interval_fold(monoid, lifted, starts, ends)
             bpane = pane[starts]
             # merge batch panes into state panes (state first: earlier
-            # arrivals fold left of later ones inside a pane)
+            # arrivals fold left of later ones inside a pane); the
+            # hit/fresh geometry is shared by every spec
             pos = np.searchsorted(pane_ts, bpane)
             hit = np.zeros(len(bpane), dtype=bool)
             if len(pane_ts):
                 in_rng = pos < len(pane_ts)
                 hit[in_rng] = pane_ts[pos[in_rng]] == bpane[in_rng]
-            if hit.any():
-                upd = pos[hit]
-                comb = monoid.combine(
-                    p_take(partials, upd), p_take(bp, np.flatnonzero(hit))
-                )
-                for k in partials:
-                    partials[k][upd] = comb[k]
-            if not hit.all():
-                fresh = np.flatnonzero(~hit)
+            hit_idx = np.flatnonzero(hit)
+            fresh = np.flatnonzero(~hit)
+            new_partials = []
+            for m, vals, int_v, sp in zip(monoids, kept_cols, int_flags,
+                                          partials):
+                if int_v:
+                    vals = vals.astype(np.int64)
+                bp = interval_fold(m, m.lift(vals), starts, ends)
+                if len(hit_idx):
+                    upd = pos[hit_idx]
+                    comb = m.combine(p_take(sp, upd), p_take(bp, hit_idx))
+                    for k in sp:
+                        sp[k][upd] = comb[k]
+                if len(fresh):
+                    sp = p_concat(sp, p_take(bp, fresh))
+                new_partials.append(sp)
+            partials = new_partials
+            if len(fresh):
                 all_ts = np.concatenate((pane_ts, bpane[fresh]))
                 order = np.argsort(all_ts, kind="mergesort")
                 pane_ts = all_ts[order]
-                partials = p_take(p_concat(partials, p_take(bp, fresh)), order)
+                partials = [p_take(sp, order) for sp in partials]
 
-    emitted = None
+    per_size: list[dict | None] = [None] * len(sizes_us)
     emit_hi = wm_us - wm_us % slide_us  # largest closable window end
     if len(pane_ts) and emit_hi > last_emit:
-        # candidate ends come from the panes themselves (never enumerate
-        # a long quiet gap): pane p feeds windows ending p+slide..p+size
-        cand = np.unique(
-            (
-                pane_ts[:, None]
-                + np.arange(1, n_panes + 1, dtype=np.int64) * slide_us
-            ).ravel()
-        )
-        cand = cand[(cand > last_emit) & (cand <= emit_hi)]
-        if len(cand):
-            lo = np.searchsorted(pane_ts, cand - size_us, side="left")
-            hi = np.searchsorted(pane_ts, cand, side="left")
-            nz = lo < hi  # empty windows emit nothing
-            cand, lo, hi = cand[nz], lo[nz], hi[nz]
-        if len(cand):
-            emitted = {
-                "window_start": cand - size_us,
-                "window_end": cand,
-                "values": monoid.lower(interval_fold(monoid, partials, lo, hi)),
-            }
+        for k_i, size_us in enumerate(sizes_us):
+            n_panes = size_us // slide_us
+            # candidate ends come from the panes themselves (never
+            # enumerate a long quiet gap): pane p feeds size-W windows
+            # ending p+slide..p+W
+            cand = np.unique(
+                (
+                    pane_ts[:, None]
+                    + np.arange(1, n_panes + 1, dtype=np.int64) * slide_us
+                ).ravel()
+            )
+            cand = cand[(cand > last_emit) & (cand <= emit_hi)]
+            if len(cand):
+                lo = np.searchsorted(pane_ts, cand - size_us, side="left")
+                hi = np.searchsorted(pane_ts, cand, side="left")
+                nz = lo < hi  # empty windows emit nothing
+                cand, lo, hi = cand[nz], lo[nz], hi[nz]
+            if len(cand):
+                per_size[k_i] = {
+                    "window_start": cand - size_us,
+                    "window_end": cand,
+                    "values": [
+                        m.lower(interval_fold(m, sp, lo, hi))
+                        for m, sp in zip(monoids, partials)
+                    ],
+                }
     if emit_hi > last_emit:
         last_emit = emit_hi
     if len(pane_ts):
-        live = (pane_ts + size_us) > last_emit
+        live = (pane_ts + max_size) > last_emit
         if not live.all():
             keep_idx = np.flatnonzero(live)
             pane_ts = pane_ts[keep_idx]
-            partials = p_take(partials, keep_idx)
-    return emitted, {
+            partials = [p_take(sp, keep_idx) for sp in partials]
+    return per_size, {
         "pane_ts": pane_ts, "partials": partials, "last_emit": last_emit,
         "v": 1,
     }
@@ -993,6 +1060,151 @@ def sliding_panes_stream(
     prepared = (
         df.withColumn("__v", F.expr(value_expr))
         .select(key, ts_col, "__v")  # prune before the stateful shuffle
+        .withWatermark(ts_col, watermark)
+    )
+    return prepared.groupBy(key).applyInPandasWithState(
+        fn, out_schema, STATE_SCHEMA, "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def sliding_panes_stream_multi(
+    df: DataFrame,
+    *,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    value_expr: str = "length(text)",
+    monoids: Sequence[str] = ("sum",),
+    sizes: Sequence[str] = ("1 hour",),
+    slide: str = "15 minutes",
+    watermark: str = "1 minute",
+    int_values: bool = False,
+    min_state_partitions: int | None = STATE_PARTITION_FLOOR,
+    value_exprs: Sequence[str] | None = None,
+    dropped_late_counter=None,
+) -> DataFrame:
+    """SHARED-PANE multi-aggregate rollup stream: N monoids × K window
+    sizes over ONE pane layer per key — the pane-space form of the
+    engine's window sharing (:func:`sliding_agg_stream_multi` is the
+    per-turn form; the reference's twin/shared benchmark discipline,
+    cpp/src/benchmark_core.h:472-562; slice sharing per Scotty, Traub et
+    al. EDBT 2018).
+
+    All sizes must be whole multiples of the common ``slide``. Each
+    arriving row folds into exactly one pane partial per monoid; a
+    closing window of ANY size folds its ≤ size/slide panes through the
+    disjoint-sparse-table interval fold — so a dashboard computing, say,
+    ``(sum, max, mincount) × (1h, 8h, 24h)`` pays ONE shuffle, ONE
+    state-store roundtrip, ONE Arrow bridge and ONE pane-ingestion pass
+    per key per micro-batch, and per-key state stays
+    O(max_size/slide + watermark-lag/slide) regardless of turn rate.
+
+    Emission (append mode): one row per (key, window) at watermark
+    closure, all sizes unioned — a row's size is ``window_end −
+    window_start``. Columns are ``w{monoid}`` (duplicate monoid names
+    disambiguated as ``w{i}_{monoid}``). Late/exactness semantics are
+    :func:`sliding_panes_stream`'s, with the late-drop rule and pane
+    eviction keyed to the LARGEST size (late rows folding into panes
+    whose smaller windows already closed are harmless — closed windows
+    never re-emit).
+
+    ``value_exprs`` (one SQL expression per monoid) lifts a DIFFERENT
+    input per aggregate; identical expressions are deduplicated to one
+    shuffled column; when omitted, every monoid shares ``value_expr``.
+    """
+    slide_us = _interval_us(slide)
+    sizes_us = [_interval_us(s) for s in sizes]
+    for s_txt, s_us in zip(sizes, sizes_us):
+        if s_us % slide_us:
+            raise ValueError(
+                f"size ({s_txt}) must be a whole multiple of slide ({slide})"
+            )
+    if len(set(sizes_us)) != len(sizes_us):
+        raise ValueError(f"duplicate window sizes: {sizes}")
+    ms = [
+        get_monoid(name, np.int64 if int_values else np.float64)
+        for name in monoids
+    ]
+    if value_exprs is None:
+        value_exprs = [value_expr] * len(monoids)
+    if len(value_exprs) != len(monoids):
+        raise ValueError(
+            f"value_exprs ({len(value_exprs)}) must match monoids "
+            f"({len(monoids)})"
+        )
+    # deduplicate identical lifts to one shuffled column
+    expr_col: dict[str, str] = {}
+    for e in value_exprs:
+        if e not in expr_col:
+            expr_col[e] = f"__v{len(expr_col)}"
+    val_cols = [expr_col[e] for e in value_exprs]
+    names = list(monoids)
+    out_cols = [
+        f"w{i}_{n}" if names.count(n) > 1 else f"w{n}"
+        for i, n in enumerate(names)
+    ]
+    int_flags = [int_values] * len(ms)
+    key_t = df.schema[key].dataType.simpleString()
+    out_schema = ", ".join(
+        [f"{key} {key_t}", "window_start timestamp", "window_end timestamp"]
+        + [f"{c} {_OUT_SPARK_TYPE[n]}" for c, n in zip(out_cols, names)]
+    )
+
+    def fn(
+        key_tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            d = pickle.loads(bytes(state.get[0]))
+        else:
+            d = {
+                "pane_ts": np.empty(0, np.int64),
+                "partials": [m.identity(0) for m in ms],
+                "last_emit": _PANES_NEG,
+                "v": 1,
+            }
+        chunks = [] if state.hasTimedOut else list(pdfs)
+        gathered = pd.concat(chunks) if len(chunks) > 1 else (
+            chunks[0] if chunks else None
+        )
+        wm_ms = state.getCurrentWatermarkMs()
+        per_size, d = _panes_multi_step(
+            d, gathered, wm_ms * 1000, monoids=ms, val_cols=val_cols,
+            ts_col=ts_col, sizes_us=sizes_us, slide_us=slide_us,
+            int_flags=int_flags, drop_counter=dropped_late_counter,
+        )
+        if len(d["pane_ts"]):
+            state.update((bytearray(
+                pickle.dumps(d, protocol=pickle.HIGHEST_PROTOCOL)
+            ),))
+            next_end_us = max(
+                int(d["pane_ts"][0]) + slide_us, d["last_emit"] + slide_us
+            )
+            state.setTimeoutTimestamp(max(next_end_us // 1000, wm_ms + 1))
+        elif state.exists:
+            state.remove()
+        for emitted in per_size:
+            if emitted is None:
+                continue
+            frame = {
+                key: key_tuple[0],
+                "window_start": emitted["window_start"].astype(
+                    "datetime64[us]"
+                ),
+                "window_end": emitted["window_end"].astype("datetime64[us]"),
+            }
+            for c, vals in zip(out_cols, emitted["values"]):
+                frame[c] = vals
+            yield pd.DataFrame(frame)
+
+    _apply_state_partition_floor(df, min_state_partitions)
+    prepared = df
+    for e, c in expr_col.items():
+        prepared = prepared.withColumn(c, F.expr(e))
+    prepared = (
+        prepared
+        .select(key, ts_col, *expr_col.values())  # prune pre-shuffle
         .withWatermark(ts_col, watermark)
     )
     return prepared.groupBy(key).applyInPandasWithState(

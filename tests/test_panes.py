@@ -487,3 +487,300 @@ def test_streaming_job_panes_mode(spark, stream_dirs):
         capture_output=True, text=True, cwd=root, timeout=120,
     )
     assert bad.returncode == 2 and "--panes" in bad.stderr
+
+
+# --------------------------------------------------------------------------
+# Shared-pane multi-aggregate (N monoids x K sizes over one pane layer)
+# --------------------------------------------------------------------------
+
+
+def _drive_multi(batches, wms, monoids, val_cols, sizes_us, counter=None):
+    """Run _panes_multi_step over (batch, watermark) pairs; collect one
+    {window_end: (v_spec0, v_spec1, ...)} dict per size."""
+    from sliding_window_aggregators_spark.streaming.engine import (
+        _PANES_NEG,
+        _panes_multi_step,
+    )
+
+    d = {
+        "pane_ts": np.empty(0, np.int64),
+        "partials": [m.identity(0) for m in monoids],
+        "last_emit": _PANES_NEG,
+        "v": 1,
+    }
+    got = [{} for _ in sizes_us]
+    for pdf, wm in zip(batches, wms):
+        per_size, d = _panes_multi_step(
+            d, pdf, wm, monoids=monoids, val_cols=val_cols, ts_col="ts",
+            sizes_us=sizes_us, slide_us=SLIDE,
+            int_flags=[False] * len(monoids), drop_counter=counter,
+        )
+        for k, emitted in enumerate(per_size):
+            if emitted is None:
+                continue
+            for j, e in enumerate(emitted["window_end"]):
+                assert int(e) not in got[k], "window emitted twice"
+                got[k][int(e)] = tuple(
+                    v[j] for v in emitted["values"]
+                )
+    return got, d
+
+
+def _mkpdf2(ts_us, v0, v1):
+    return pd.DataFrame(
+        {
+            "ts": np.asarray(ts_us, dtype=np.int64).astype("datetime64[us]"),
+            "__v0": np.asarray(v0, dtype=np.float64),
+            "__v1": np.asarray(v1, dtype=np.float64),
+        }
+    )
+
+
+def test_panes_multi_step_matches_brute_ooo():
+    """(sum over v0, max over v1) x sizes (2, 4 panes), scrambled
+    in-watermark arrival across three batches == per-size per-spec brute."""
+    rng = np.random.default_rng(17)
+    n = 500
+    ts = rng.integers(0, 18 * SLIDE, size=n).astype(np.int64)
+    v0 = rng.integers(1, 100, size=n).astype(np.float64)
+    v1 = rng.integers(1, 1000, size=n).astype(np.float64)
+    perm = rng.permutation(n)
+    cuts = [0, 180, 360, n]
+    batches = [
+        _mkpdf2(ts[perm[a:b]], v0[perm[a:b]], v1[perm[a:b]])
+        for a, b in zip(cuts, cuts[1:])
+    ] + [None]
+    wms = [0, 0, 0, int(ts.max()) + 4 * SLIDE + SLIDE]
+    monoids = [get_monoid("sum"), get_monoid("max")]
+    sizes_us = [2 * SLIDE, 4 * SLIDE]
+    got, d = _drive_multi(batches, wms, monoids, ["__v0", "__v1"], sizes_us)
+    for k, size_us in enumerate(sizes_us):
+        exp_sum = _brute_windows(ts, v0, size_us, SLIDE, fold=sum)
+        exp_max = _brute_windows(ts, v1, size_us, SLIDE, fold=max)
+        assert {e: v[0] for e, v in got[k].items()} == exp_sum
+        assert {e: v[1] for e, v in got[k].items()} == exp_max
+    assert len(d["pane_ts"]) == 0  # everything closed and evicted
+
+
+def test_panes_multi_single_spec_equals_single_step():
+    """One spec + one size through the multi kernel == _panes_step (the
+    wrapper identity, checked end-to-end through the drive harness)."""
+    rng = np.random.default_rng(23)
+    n = 300
+    ts = np.sort(rng.integers(0, 12 * SLIDE, size=n).astype(np.int64))
+    vals = rng.integers(1, 50, size=n).astype(np.float64)
+    single, _ = _drive(
+        [_mkpdf(ts[:150], vals[:150]), _mkpdf(ts[150:], vals[150:]), None],
+        [6 * SLIDE, 9 * SLIDE, int(ts.max()) + SIZE + SLIDE],
+    )
+    multi, _ = _drive_multi(
+        [
+            _mkpdf2(ts[:150], vals[:150], vals[:150]),
+            _mkpdf2(ts[150:], vals[150:], vals[150:]),
+            None,
+        ],
+        [6 * SLIDE, 9 * SLIDE, int(ts.max()) + SIZE + SLIDE],
+        [get_monoid("sum")], ["__v0"], [SIZE],
+    )
+    assert {e: v[0] for e, v in multi[0].items()} == single
+
+
+def test_panes_multi_late_rule_keys_to_max_size():
+    """A row late for the SMALL size but alive for the LARGE folds in
+    without a drop: large-size windows include it, and the small size's
+    already-closed windows stay closed (no re-emission)."""
+
+    class Counter:
+        n = 0
+
+        def add(self, k):
+            self.n += k
+
+    c = Counter()
+    monoids = [get_monoid("sum")]
+    sizes_us = [2 * SLIDE, 6 * SLIDE]
+    ts0 = np.arange(0, 8 * SLIDE, SLIDE // 2, dtype=np.int64)
+    got, d = _drive_multi(
+        [_mkpdf2(ts0, np.ones(len(ts0)), np.ones(len(ts0)))],
+        [4 * SLIDE],
+        monoids, ["__v0"], sizes_us, counter=c,
+    )
+    assert d["last_emit"] == 4 * SLIDE
+    # pane 1 row: small-size windows end <= 1*SLIDE+2*SLIDE = 3*SLIDE
+    # (all closed), but the 6-pane window ending 7*SLIDE is still open
+    from sliding_window_aggregators_spark.streaming.engine import (
+        _panes_multi_step,
+    )
+
+    per_size, d = _panes_multi_step(
+        d, _mkpdf2([SLIDE + 1], [100.0], [100.0]), 4 * SLIDE,
+        monoids=monoids, val_cols=["__v0"], ts_col="ts",
+        sizes_us=sizes_us, slide_us=SLIDE, int_flags=[False],
+        drop_counter=c,
+    )
+    assert c.n == 0  # admitted: its largest window is still open
+    assert per_size == [None, None]  # nothing newly closable
+    # flush: the large windows covering pane 1 carry the late 100
+    per_size, d = _panes_multi_step(
+        d, None, 16 * SLIDE, monoids=monoids, val_cols=["__v0"],
+        ts_col="ts", sizes_us=sizes_us, slide_us=SLIDE, int_flags=[False],
+        drop_counter=c,
+    )
+    big = dict(zip(per_size[1]["window_end"], per_size[1]["values"][0]))
+    assert big[7 * SLIDE] >= 100.0
+    # small size never re-emits an end <= 4*SLIDE
+    assert all(e > 4 * SLIDE for e in per_size[0]["window_end"])
+    # a TRULY late row (pane 0, largest window closed after the flush) drops
+    _, d = _panes_multi_step(
+        d, _mkpdf2([1], [5.0], [5.0]), 16 * SLIDE, monoids=monoids,
+        val_cols=["__v0"], ts_col="ts", sizes_us=sizes_us, slide_us=SLIDE,
+        int_flags=[False], drop_counter=c,
+    )
+    assert c.n == 1
+
+
+def test_panes_multi_state_bounded_and_evicts_by_max_size():
+    rng = np.random.default_rng(29)
+    n = 20_000
+    ts = np.sort(rng.integers(0, 6 * SLIDE, size=n).astype(np.int64))
+    monoids = [get_monoid("sum"), get_monoid("max")]
+    sizes_us = [2 * SLIDE, 4 * SLIDE]
+    _, d = _drive_multi(
+        [_mkpdf2(ts, np.ones(n), np.ones(n)), None],
+        [0, 5 * SLIDE],
+        monoids, ["__v0", "__v1"], sizes_us,
+    )
+    assert len(d["pane_ts"]) <= 6
+    # eviction keys to the LARGEST size
+    assert (d["pane_ts"] + 4 * SLIDE > d["last_emit"]).all()
+    for sp in d["partials"]:
+        for arr in sp.values():
+            assert len(arr) == len(d["pane_ts"])
+
+
+def test_sliding_panes_stream_multi_matches_batch(spark, stream_dirs):
+    """(sum(length(text)), max(turn_idx)) x (2m, 4m) windows through ONE
+    stateful operator across a micro-batch boundary == per-size pandas
+    pane recompute."""
+    from sliding_window_aggregators_spark.streaming import (
+        sliding_panes_stream_multi,
+        write_stream_exactly_once,
+    )
+
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(600, 12)
+    _write_chunk(spark, src, pdf.iloc[:300], "c0")
+    _write_chunk(spark, src, pdf.iloc[300:], "c1")
+    flush = pdf.iloc[:1].copy()
+    flush["conv_id"] = "__flush"
+    flush["ts"] = pdf["ts"].max() + pd.Timedelta(days=2)
+    _write_chunk(spark, src, flush, "c2f")
+
+    stream = sliding_panes_stream_multi(
+        _read_stream(spark, src),
+        monoids=("sum", "max"),
+        value_exprs=("length(text)", "cast(turn_idx as double)"),
+        sizes=("2 minutes", "4 minutes"),
+        slide="1 minute", watermark="0 seconds",
+    )
+    q, sink = write_stream_exactly_once(stream, out, ckpt)
+    q.awaitTermination(240)
+
+    got = (
+        spark.read.parquet(out)
+        .selectExpr(
+            "conv_id",
+            "unix_micros(window_start) as ws",
+            "unix_micros(window_end) as we",
+            "wsum", "wmax",
+        )
+        .toPandas()
+    )
+    got = got[got["conv_id"] != "__flush"]
+    for size_us in (2 * SLIDE, 4 * SLIDE):
+        gk = (
+            got[got["we"] - got["ws"] == size_us]
+            .sort_values(["conv_id", "we"])
+            .reset_index(drop=True)
+        )
+        rows = []
+        for conv, g in pdf.groupby("conv_id"):
+            ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            lens = g["text"].str.len().to_numpy().astype(np.float64)
+            idxs = g["turn_idx"].to_numpy().astype(np.float64)
+            es = _brute_windows(ts, lens, size_us, SLIDE, fold=sum)
+            em = _brute_windows(ts, idxs, size_us, SLIDE, fold=max)
+            for e in sorted(es):
+                rows.append((conv, e, float(es[e]), float(em[e])))
+        exp = pd.DataFrame(rows, columns=["conv_id", "we", "wsum", "wmax"])
+        assert gk["conv_id"].tolist() == exp["conv_id"].tolist()
+        assert gk["we"].tolist() == exp["we"].tolist()
+        assert gk["wsum"].tolist() == exp["wsum"].tolist()
+        assert gk["wmax"].tolist() == exp["wmax"].tolist()
+
+
+def test_streaming_job_panes_multi_mode(spark, stream_dirs):
+    """--panes + --multi-monoids through the LAUNCH ARTIFACT: the
+    shared-pane multi-aggregate rollup ((sum, max) x (2m, 4m)) drains to
+    a sink equal to the per-size pandas pane recompute."""
+    import subprocess
+    import sys as _sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(400, 8)
+    _write_chunk(spark, src, pdf.iloc[:200], "c0")
+    _write_chunk(spark, src, pdf.iloc[200:], "c1")
+    flush = pdf.iloc[:1].copy()
+    flush["conv_id"] = "__flush"
+    flush["ts"] = pdf["ts"].max() + pd.Timedelta(days=2)
+    _write_chunk(spark, src, flush, "c2f")
+
+    r = subprocess.run(
+        [
+            _sys.executable, os.path.join(root, "jobs", "streaming_job.py"),
+            "--source", src, "--out", out, "--checkpoint", ckpt,
+            "--available-now", "--panes", "2 minutes",
+            "--slide", "1 minute", "--watermark", "0 seconds",
+            "--multi-monoids", "sum,max",
+            "--multi-durations", "4 minutes",
+            "--multi-value-exprs",
+            "length(text);cast(turn_idx as double)",
+            "--max-files-per-trigger", "1",
+        ],
+        capture_output=True, text=True, cwd=root, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dropped late rows: 0" in r.stderr
+
+    got = (
+        spark.read.parquet(out)
+        .selectExpr(
+            "conv_id",
+            "unix_micros(window_start) as ws",
+            "unix_micros(window_end) as we",
+            "wsum", "wmax",
+        )
+        .toPandas()
+    )
+    got = got[got["conv_id"] != "__flush"]
+    for size_us in (2 * SLIDE, 4 * SLIDE):
+        gk = (
+            got[got["we"] - got["ws"] == size_us]
+            .sort_values(["conv_id", "we"])
+            .reset_index(drop=True)
+        )
+        rows = []
+        for conv, g in pdf.groupby("conv_id"):
+            ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            lens = g["text"].str.len().to_numpy().astype(np.float64)
+            idxs = g["turn_idx"].to_numpy().astype(np.float64)
+            es = _brute_windows(ts, lens, size_us, SLIDE, fold=sum)
+            em = _brute_windows(ts, idxs, size_us, SLIDE, fold=max)
+            for e in sorted(es):
+                rows.append((conv, e, float(es[e]), float(em[e])))
+        exp = pd.DataFrame(rows, columns=["conv_id", "we", "wsum", "wmax"])
+        assert gk["conv_id"].tolist() == exp["conv_id"].tolist()
+        assert gk["we"].tolist() == exp["we"].tolist()
+        assert gk["wsum"].tolist() == exp["wsum"].tolist()
+        assert gk["wmax"].tolist() == exp["wmax"].tolist()

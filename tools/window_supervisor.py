@@ -99,6 +99,14 @@ def main() -> None:
     ap.add_argument("--stream-halo", action="store_true",
                     help="fire the stream pair with hot-key chunk-halo "
                          "(the engine's skew answer)")
+    ap.add_argument("--stream-panes", default=None, metavar="SIZE",
+                    help="fire the stream pair in the pane-sliced rollup "
+                         "shape (sliding_panes_stream at this window "
+                         "size) instead of the per-turn multi job")
+    ap.add_argument("--stream-slide", default="30 minutes",
+                    help="slide for --stream-panes")
+    ap.add_argument("--stream-turns", type=int, default=16777216)
+    ap.add_argument("--stream-convs", type=int, default=16384)
     ap.add_argument("--batch-halo", action="store_true",
                     help="fire the batch pair on the chunked-halo layout")
     ap.add_argument("--target", type=float, default=0.8)
@@ -159,11 +167,19 @@ def main() -> None:
 
     def fire_stream(p):
         cmd = [sys.executable, os.path.join(HERE, "bench_scaling_stream.py"),
-               "--turns", "16777216", "--convs", "16384", "--multi"]
+               "--turns", str(args.stream_turns),
+               "--convs", str(args.stream_convs)]
+        if args.stream_panes:
+            # the rollup shape is its own single-monoid mode (the
+            # harness rejects --panes with --multi/--halo)
+            cmd += ["--panes", args.stream_panes,
+                    "--slide", args.stream_slide]
+        else:
+            cmd.append("--multi")
+            if args.stream_halo:
+                cmd.append("--halo")
         if args.stream_cluster:
             cmd.append("--cluster")
-        if args.stream_halo:
-            cmd.append("--halo")
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=7200)
         eff = None
         try:
