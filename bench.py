@@ -179,6 +179,11 @@ def panes_throughput(scale: int = 1) -> dict:
         _panes_step,
     )
 
+    from sliding_window_aggregators_spark.streaming.engine import (
+        _PANES_NEG,
+        _panes_multi_step,
+    )
+
     n = max(2**18, 2**21 // scale)
     slide_us = 60_000_000
     rows_per_pane = 1024
@@ -221,6 +226,40 @@ def panes_throughput(scale: int = 1) -> dict:
         dt = time.perf_counter() - t0
         out[f"{label}"] = round(n / dt, 1)
         out[f"{label}_windows"] = windows
+    # shared-pane multi: (sum, max, mincount) x (16, 64 panes) through
+    # ONE pane layer — the marginal cost of 3 monoids x 2 sizes over
+    # the single-config ingestion (one fold per spec per turn, K extra
+    # sizes = K extra interval folds at closure time only)
+    ms = [get_monoid(nm) for nm in ("sum", "max", "mincount")]
+    d = {
+        "pane_ts": np.empty(0, np.int64),
+        "partials": [m.identity(0) for m in ms],
+        "last_emit": _PANES_NEG,
+        "v": 1,
+    }
+    windows = 0
+    step = 65536
+    t0 = time.perf_counter()
+    for i in range(0, n, step):
+        pdf = pd.DataFrame(
+            {
+                "ts": ts[i : i + step].astype("datetime64[us]"),
+                "__v": vals[i : i + step],
+            }
+        )
+        per_size, d = _panes_multi_step(
+            d, pdf, int(ts[i : i + step].max()), monoids=ms,
+            val_cols=["__v", "__v", "__v"], ts_col="ts",
+            sizes_us=[16 * slide_us, 64 * slide_us], slide_us=slide_us,
+            int_flags=[False, False, False],
+        )
+        for emitted in per_size:
+            if emitted is not None:
+                windows += len(emitted["window_end"])
+                sink += float(emitted["values"][0][-1])
+    dt = time.perf_counter() - t0
+    out["multi3x2_p16_64"] = round(n / dt, 1)
+    out["multi3x2_p16_64_windows"] = windows
     out["_anti_dce"] = sink
     return out
 

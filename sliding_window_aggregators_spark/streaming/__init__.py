@@ -12,6 +12,7 @@ from .engine import (  # noqa: F401
     sliding_count_stream,
     sliding_panes_stream,
     sliding_panes_stream_multi,
+    sliding_panes_stream_tws,
     tumbling_stream,
     tumbling_stream_salted,
 )

@@ -1213,6 +1213,147 @@ def sliding_panes_stream_multi(
     )
 
 
+def sliding_panes_stream_tws(
+    df: DataFrame,
+    *,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    value_expr: str = "length(text)",
+    monoid_name: str = "sum",
+    size: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "1 minute",
+    out_col: str = "wagg",
+    int_values: bool = False,
+    min_state_partitions: int | None = STATE_PARTITION_FLOOR,
+) -> DataFrame:
+    """:func:`sliding_panes_stream` on Spark 4's
+    ``transformWithStateInPandas`` — the pane-sliced rollup state under
+    the PRODUCTION arbitrary-state API (RocksDB state store, typed state
+    variables, real event-time TIMERS for quiet-key closure), completing
+    the both-APIs matrix for the engine's second state discipline (the
+    per-turn ordered state has :func:`sliding_agg_stream_tws`; the
+    reference's production-API contract is FiBA.hpp:1837-1918).
+    Semantics are byte-identical to the applyInPandasWithState path:
+    both drive :func:`_panes_multi_step` per key per micro-batch, and
+    the parity test replays the same chunked stream through both.
+
+    Requires google.protobuf for the Python↔state-server protocol — a
+    real wheel or the vendored mini-runtime (compat.ensure_protobuf),
+    and a RocksDB state-store provider on the session."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    size_us = _interval_us(size)
+    slide_us = _interval_us(slide)
+    if size_us % slide_us:
+        raise ValueError(
+            f"size ({size}) must be a whole multiple of slide ({slide})"
+        )
+    monoid = get_monoid(monoid_name, np.int64 if int_values else np.float64)
+    out_type = _OUT_SPARK_TYPE[monoid_name]
+    key_t = df.schema[key].dataType.simpleString()
+    out_schema = (
+        f"{key} {key_t}, window_start timestamp, window_end timestamp, "
+        f"{out_col} {out_type}"
+    )
+
+    class PanesProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState("panes", "blob binary")
+
+        def _load(self):
+            blob = self._state.get() if self._state.exists() else None
+            if blob is not None:
+                return pickle.loads(bytes(blob[0]))
+            return {
+                "pane_ts": np.empty(0, np.int64),
+                "partials": [monoid.identity(0)],
+                "last_emit": _PANES_NEG,
+                "v": 1,
+            }
+
+        def _step_and_emit(self, key_tuple, gathered, wm_ms):
+            d = self._load()
+            per_size, d = _panes_multi_step(
+                d, gathered, wm_ms * 1000, monoids=[monoid],
+                val_cols=["swag_v"], ts_col=ts_col, sizes_us=[size_us],
+                slide_us=slide_us, int_flags=[int_values],
+            )
+            for t in list(self._handle.listTimers()):
+                self._handle.deleteTimer(t)
+            if len(d["pane_ts"]):
+                self._state.update((bytearray(
+                    pickle.dumps(d, protocol=pickle.HIGHEST_PROTOCOL)
+                ),))
+                # wake when the watermark can close the oldest open
+                # window (ms-granular: ceil so the timer never fires
+                # before the us-exact end; must also be strictly ahead
+                # of the current watermark or it would never fire)
+                next_end_us = max(
+                    int(d["pane_ts"][0]) + slide_us,
+                    d["last_emit"] + slide_us,
+                )
+                self._handle.registerTimer(
+                    max(-(next_end_us // -1000), wm_ms + 1)
+                )
+            elif self._state.exists():
+                self._state.clear()
+            emitted = per_size[0]
+            if emitted is None:
+                return iter([])
+            return iter([pd.DataFrame(
+                {
+                    key: key_tuple[0],
+                    "window_start": emitted["window_start"].astype(
+                        "datetime64[us]"
+                    ),
+                    "window_end": emitted["window_end"].astype(
+                        "datetime64[us]"
+                    ),
+                    out_col: emitted["values"][0],
+                }
+            )])
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            chunks = list(rows)
+            gathered = pd.concat(chunks) if len(chunks) > 1 else (
+                chunks[0] if chunks else None
+            )
+            return self._step_and_emit(
+                key_tuple, gathered, timer_values.getCurrentWatermarkInMs()
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # quiet-key closure: the watermark passed the oldest open
+            # window end with no new rows — run the kernel's
+            # emission/eviction path against the CURRENT watermark
+            return self._step_and_emit(
+                key, None, timerValues.getCurrentWatermarkInMs()
+            )
+
+        def close(self) -> None:
+            pass
+
+    _apply_state_partition_floor(df, min_state_partitions)
+    # prune before the stateful shuffle; no leading underscore on the
+    # TWS path (namedtuple rename=True mangles those to positional _N)
+    prepared = (
+        df.withColumn("swag_v", F.expr(value_expr))
+        .select(key, ts_col, "swag_v")
+        .withWatermark(ts_col, watermark)
+    )
+    return prepared.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=PanesProcessor(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+
+
 def sliding_count_stream_tws(
     df: DataFrame,
     *,

@@ -784,3 +784,70 @@ def test_streaming_job_panes_multi_mode(spark, stream_dirs):
         assert gk["we"].tolist() == exp["we"].tolist()
         assert gk["wsum"].tolist() == exp["wsum"].tolist()
         assert gk["wmax"].tolist() == exp["wmax"].tolist()
+
+
+@pytest.mark.skipif(
+    os.environ.get("SWAG_SKIP_TWS") == "1",
+    reason="explicitly skipped via SWAG_SKIP_TWS",
+)
+def test_sliding_panes_stream_tws_matches_apply_path(spark, stream_dirs):
+    """The pane-sliced rollup state under the PRODUCTION arbitrary-state
+    API (transformWithStateInPandas + RocksDB + real event-time timers)
+    must emit exactly what the applyInPandasWithState path emits — same
+    windows, same values, across a micro-batch boundary and through a
+    quiet-key timer closure (both APIs drive _panes_multi_step)."""
+    from sliding_window_aggregators_spark.compat import protobuf_available
+
+    if not protobuf_available():
+        pytest.skip("no google.protobuf and the vendored runtime failed")
+    from sliding_window_aggregators_spark.streaming import (
+        sliding_panes_stream_tws,
+        write_stream_exactly_once,
+    )
+
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(500, 10)
+    _write_chunk(spark, src, pdf.iloc[:250], "c0")
+    _write_chunk(spark, src, pdf.iloc[250:], "c1")
+    flush = pdf.iloc[:1].copy()
+    flush["conv_id"] = "__flush"
+    flush["ts"] = pdf["ts"].max() + pd.Timedelta(days=2)
+    _write_chunk(spark, src, flush, "c2f")
+
+    def run(factory, out_dir, ckpt_dir):
+        stream = factory(
+            _read_stream(spark, src),
+            size="4 minutes", slide="1 minute", watermark="0 seconds",
+        )
+        q, sink = write_stream_exactly_once(stream, out_dir, ckpt_dir)
+        q.awaitTermination(240)
+        got = _got_sink(spark, out_dir)
+        return got[got["conv_id"] != "__flush"].reset_index(drop=True)
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got_tws = run(sliding_panes_stream_tws, out + "_t", ckpt + "_t")
+    finally:
+        if prev is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    got_apply = run(sliding_panes_stream, out + "_a", ckpt + "_a")
+
+    assert len(got_tws) == len(got_apply) > 0
+    for c in ("conv_id", "ws", "we", "wagg"):
+        assert got_tws[c].tolist() == got_apply[c].tolist()
+    # and both equal the offline pane recompute
+    exp = _expected_panes(pdf, 4 * SLIDE, SLIDE)
+    assert got_tws["wagg"].tolist() == exp["wagg"].tolist()
