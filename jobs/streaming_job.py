@@ -124,6 +124,14 @@ def main() -> None:
     ap.add_argument("--slide", default="15 minutes",
                     help="pane width / emission granularity for --panes "
                          "(size must be a whole multiple of it)")
+    ap.add_argument("--pre-combine", action="store_true",
+                    help="--panes only: fold rows into per-(key, pane) "
+                         "partials MAP-SIDE before the stateful shuffle "
+                         "(the hand-built partial aggregation Catalyst "
+                         "can't inject through pandas-state operators) — "
+                         "the Zipf-hot key's serial in-state fold drops "
+                         "from O(its rows) to O(live panes x upstream "
+                         "partitions); commutative monoids only")
     ap.add_argument("--multi-monoids", default=None, metavar="M1,M2,...",
                     help="run the window-shared multi-aggregate sliding "
                          "stream (sliding_agg_stream_multi): every listed "
@@ -243,6 +251,11 @@ def main() -> None:
         ap.error("--multi-value-exprs requires --multi-monoids (the "
                  "single-monoid path takes --value-expr); refusing to "
                  "silently ignore it")
+    if args.pre_combine and not args.panes:
+        ap.error("--pre-combine is the map-side pane partial-aggregation "
+                 "path; it requires --panes (the per-turn sliding modes "
+                 "emit one row per TURN, which is not decomposable "
+                 "map-side)")
 
     from pyspark.sql import SparkSession
 
@@ -392,6 +405,7 @@ def main() -> None:
                     if args.multi_value_exprs else None
                 ),
                 watermark=args.watermark,
+                pre_combine=args.pre_combine,
                 dropped_late_counter=drop_acc,
             )
         else:
@@ -403,6 +417,7 @@ def main() -> None:
                 slide=args.slide,
                 watermark=args.watermark,
                 out_col="wagg",
+                pre_combine=args.pre_combine,
                 dropped_late_counter=drop_acc,
             )
     elif args.tws:

@@ -767,6 +767,7 @@ def _panes_step(
     slide_us: int,
     int_values: bool,
     drop_counter=None,
+    pre_col: str | None = None,
 ) -> tuple[dict | None, dict]:
     """One micro-batch of the pane-sliced sliding-window kernel against a
     key's pane state ``d`` — pure function (no Spark objects) shared by
@@ -789,7 +790,7 @@ def _panes_step(
     per_size, dm = _panes_multi_step(
         dm, pdf, wm_us, monoids=[monoid], val_cols=["__v"], ts_col=ts_col,
         sizes_us=[size_us], slide_us=slide_us, int_flags=[int_values],
-        drop_counter=drop_counter,
+        drop_counter=drop_counter, pre_col=pre_col,
     )
     emitted = None
     if per_size[0] is not None:
@@ -817,12 +818,21 @@ def _panes_multi_step(
     slide_us: int,
     int_flags: list[bool],
     drop_counter=None,
+    pre_col: str | None = None,
 ) -> tuple[list[dict | None], dict]:
     """The SHARED-PANE generalization of :func:`_panes_step`: N monoid
     specs × K window sizes over ONE slide-aligned pane layer — the
     pane-space form of the engine's window sharing (Scotty's slice
     sharing, Traub et al. EDBT 2018; the reference's twin/shared
     benchmark discipline, cpp/src/benchmark_core.h:472-562).
+
+    ``pre_col``: the MAP-SIDE PRE-COMBINE ingestion path — rows are
+    per-(key, pane) partials produced by :func:`_pane_precombine`
+    upstream of the stateful shuffle (``ts_col`` = pane start,
+    ``pre_col`` = pickled list of one single-row partial dict per
+    spec), so ingestion stacks partials instead of lifting raw values.
+    Commutative monoids only (cross-partition intra-pane fold order is
+    arbitrary); ``drop_counter`` then counts dropped PARTIAL rows.
 
     Every arriving row folds into exactly one pane per spec; a closing
     window of ANY size folds its panes through the disjoint-sparse-table
@@ -852,12 +862,20 @@ def _panes_multi_step(
         # late rule: a row whose LAST window (pane start + max size) has
         # already closed cannot reach any unemitted window of any size
         keep = (pane + max_size) > last_emit
-        kept_cols = [pdf[c].to_numpy() for c in val_cols]
+        if pre_col is not None:
+            kept_blobs = pdf[pre_col].tolist()
+        else:
+            kept_cols = [pdf[c].to_numpy() for c in val_cols]
         if not keep.all():
             if drop_counter is not None:
                 drop_counter.add(int(len(keep) - keep.sum()))
             pane = pane[keep]
-            kept_cols = [v[keep] for v in kept_cols]
+            if pre_col is not None:
+                kept_blobs = [
+                    b for b, k in zip(kept_blobs, keep) if k
+                ]
+            else:
+                kept_cols = [v[keep] for v in kept_cols]
         if len(pane):
             change = np.flatnonzero(np.diff(pane)) + 1
             starts = np.concatenate(([0], change))
@@ -873,12 +891,21 @@ def _panes_multi_step(
                 hit[in_rng] = pane_ts[pos[in_rng]] == bpane[in_rng]
             hit_idx = np.flatnonzero(hit)
             fresh = np.flatnonzero(~hit)
+            if pre_col is not None:
+                loaded = [pickle.loads(bytes(b)) for b in kept_blobs]
+                kept_cols = [
+                    p_concat(*[row[i] for row in loaded])
+                    for i in range(len(monoids))
+                ]
             new_partials = []
             for m, vals, int_v, sp in zip(monoids, kept_cols, int_flags,
                                           partials):
-                if int_v:
-                    vals = vals.astype(np.int64)
-                bp = interval_fold(m, m.lift(vals), starts, ends)
+                if pre_col is not None:
+                    bp = interval_fold(m, vals, starts, ends)
+                else:
+                    if int_v:
+                        vals = vals.astype(np.int64)
+                    bp = interval_fold(m, m.lift(vals), starts, ends)
                 if len(hit_idx):
                     upd = pos[hit_idx]
                     comb = m.combine(p_take(sp, upd), p_take(bp, hit_idx))
@@ -937,6 +964,91 @@ def _panes_multi_step(
     }
 
 
+def _pane_precombine(
+    df: DataFrame,
+    *,
+    key: str,
+    ts_col: str,
+    val_cols: list[str],
+    monoids: list,
+    int_flags: list[bool],
+    slide_us: int,
+    pre_col: str = "__pre",
+) -> DataFrame:
+    """MAP-SIDE pane pre-combine: fold each upstream partition's rows into
+    ONE partial per (key, pane, spec) BEFORE the stateful shuffle — the
+    hand-built partial aggregation Catalyst cannot inject through a
+    pandas-state operator (it cannot see that the fold is decomposable).
+    This is the original point of pane slicing (Li et al., "No pane, no
+    gain", SIGMOD Record 34(1) 2005 §3: panes make the window fold
+    partially aggregable upstream): a Zipf-hot key's serial per-key work
+    collapses from O(its rows) to O(live panes × upstream Arrow batches
+    — one batch per ≤ ``arrow.maxRecordsPerBatch`` rows per partition),
+    and the stateful shuffle moves pane partials, not turns.
+
+    Commutative monoids only (cross-partition intra-pane fold order is
+    arbitrary) — raises on a non-commutative spec. Each output row is
+    ``(key, ts, pre_col)`` where ``ts`` is the MAX raw event time inside
+    the group — so the downstream watermark advances exactly as it would
+    on the raw stream (max of maxes = max), while the kernel's
+    ``ts − ts % slide`` still lands the row in its pane — and ``pre_col``
+    is the pickled list of one single-row partial dict per spec, the
+    format :func:`_panes_multi_step` ingests via ``pre_col``.
+    """
+    from ..operators.kernels import interval_fold
+
+    for m in monoids:
+        if not m.commutative:
+            raise ValueError(
+                f"pre_combine requires commutative monoids; {m.name} is not"
+            )
+    key_t = df.schema[key].dataType.simpleString()
+    out_schema = f"{key} {key_t}, {ts_col} timestamp, {pre_col} binary"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ts = pdf[ts_col].to_numpy().astype(
+                "datetime64[us]"
+            ).astype(np.int64)
+            pane = ts - ts % slide_us
+            keys = pdf[key].to_numpy()
+            k_codes = pd.factorize(keys)[0]
+            order = np.lexsort((pane, k_codes))
+            ts, pane, keys = ts[order], pane[order], keys[order]
+            k_codes = k_codes[order]
+            newg = np.flatnonzero(
+                (k_codes[1:] != k_codes[:-1]) | (pane[1:] != pane[:-1])
+            ) + 1
+            starts = np.concatenate(([0], newg))
+            ends = np.concatenate((newg, [len(pane)]))
+            bps = []
+            for m, c, int_v in zip(monoids, val_cols, int_flags):
+                vals = pdf[c].to_numpy()[order]
+                if int_v:
+                    vals = vals.astype(np.int64)
+                bps.append(interval_fold(m, m.lift(vals), starts, ends))
+            blobs = [
+                pickle.dumps(
+                    [p_take(bp, [g]) for bp in bps],
+                    protocol=pickle.HIGHEST_PROTOCOL,
+                )
+                for g in range(len(starts))
+            ]
+            yield pd.DataFrame(
+                {
+                    key: keys[starts],
+                    ts_col: np.maximum.reduceat(ts, starts).astype(
+                        "datetime64[us]"
+                    ),
+                    pre_col: blobs,
+                }
+            )
+
+    return df.mapInPandas(fn, out_schema)
+
+
 def _panes_empty_state(monoid) -> dict:
     return {
         "pane_ts": np.empty(0, np.int64),
@@ -959,6 +1071,7 @@ def sliding_panes_stream(
     out_col: str = "wagg",
     int_values: bool = False,
     min_state_partitions: int | None = STATE_PARTITION_FLOOR,
+    pre_combine: bool = False,
     dropped_late_counter=None,
 ) -> DataFrame:
     """Pane-sliced sliding windows (size ``W``, slide ``p`` — the
@@ -994,6 +1107,14 @@ def sliding_panes_stream(
     (in-batch disorder is sorted away; only cross-batch disorder WITHIN
     one pane reorders that pane's intra-pane fold).
 
+    ``pre_combine=True`` inserts the map-side pane pre-combine
+    (:func:`_pane_precombine`) upstream of the stateful shuffle: rows
+    shuffled per key per micro-batch drop from its turn count to its
+    live-pane count × upstream partitions, and the hot key's serial
+    in-state fold shrinks the same way. Commutative monoids only.
+    ``dropped_late_counter`` then counts dropped pre-combined partials,
+    not raw rows.
+
     Output schema: ``(key, window_start, window_end, out_col)``.
     """
     size_us = _interval_us(size)
@@ -1028,6 +1149,7 @@ def sliding_panes_stream(
             d, gathered, wm_ms * 1000, monoid=monoid, ts_col=ts_col,
             size_us=size_us, slide_us=slide_us, int_values=int_values,
             drop_counter=dropped_late_counter,
+            pre_col="__pre" if pre_combine else None,
         )
         if len(d["pane_ts"]):
             state.update((bytearray(
@@ -1060,8 +1182,13 @@ def sliding_panes_stream(
     prepared = (
         df.withColumn("__v", F.expr(value_expr))
         .select(key, ts_col, "__v")  # prune before the stateful shuffle
-        .withWatermark(ts_col, watermark)
     )
+    if pre_combine:
+        prepared = _pane_precombine(
+            prepared, key=key, ts_col=ts_col, val_cols=["__v"],
+            monoids=[monoid], int_flags=[int_values], slide_us=slide_us,
+        )
+    prepared = prepared.withWatermark(ts_col, watermark)
     return prepared.groupBy(key).applyInPandasWithState(
         fn, out_schema, STATE_SCHEMA, "append",
         GroupStateTimeout.EventTimeTimeout,
@@ -1081,6 +1208,7 @@ def sliding_panes_stream_multi(
     int_values: bool = False,
     min_state_partitions: int | None = STATE_PARTITION_FLOOR,
     value_exprs: Sequence[str] | None = None,
+    pre_combine: bool = False,
     dropped_late_counter=None,
 ) -> DataFrame:
     """SHARED-PANE multi-aggregate rollup stream: N monoids × K window
@@ -1111,6 +1239,12 @@ def sliding_panes_stream_multi(
     ``value_exprs`` (one SQL expression per monoid) lifts a DIFFERENT
     input per aggregate; identical expressions are deduplicated to one
     shuffled column; when omitted, every monoid shares ``value_expr``.
+
+    ``pre_combine=True`` inserts the map-side pane pre-combine
+    (:func:`_pane_precombine`) upstream of the stateful shuffle — one
+    pickled partial row per (key, pane, upstream partition) carrying ALL
+    N specs, so the shared-pane discipline survives the pre-combine too.
+    Commutative monoids only.
     """
     slide_us = _interval_us(slide)
     sizes_us = [_interval_us(s) for s in sizes]
@@ -1173,6 +1307,7 @@ def sliding_panes_stream_multi(
             d, gathered, wm_ms * 1000, monoids=ms, val_cols=val_cols,
             ts_col=ts_col, sizes_us=sizes_us, slide_us=slide_us,
             int_flags=int_flags, drop_counter=dropped_late_counter,
+            pre_col="__pre" if pre_combine else None,
         )
         if len(d["pane_ts"]):
             state.update((bytearray(
@@ -1202,11 +1337,15 @@ def sliding_panes_stream_multi(
     prepared = df
     for e, c in expr_col.items():
         prepared = prepared.withColumn(c, F.expr(e))
-    prepared = (
-        prepared
-        .select(key, ts_col, *expr_col.values())  # prune pre-shuffle
-        .withWatermark(ts_col, watermark)
+    prepared = prepared.select(
+        key, ts_col, *expr_col.values()  # prune pre-shuffle
     )
+    if pre_combine:
+        prepared = _pane_precombine(
+            prepared, key=key, ts_col=ts_col, val_cols=val_cols,
+            monoids=ms, int_flags=int_flags, slide_us=slide_us,
+        )
+    prepared = prepared.withWatermark(ts_col, watermark)
     return prepared.groupBy(key).applyInPandasWithState(
         fn, out_schema, STATE_SCHEMA, "append",
         GroupStateTimeout.EventTimeTimeout,
@@ -1226,6 +1365,7 @@ def sliding_panes_stream_tws(
     out_col: str = "wagg",
     int_values: bool = False,
     min_state_partitions: int | None = STATE_PARTITION_FLOOR,
+    pre_combine: bool = False,
 ) -> DataFrame:
     """:func:`sliding_panes_stream` on Spark 4's
     ``transformWithStateInPandas`` — the pane-sliced rollup state under
@@ -1282,6 +1422,7 @@ def sliding_panes_stream_tws(
                 d, gathered, wm_ms * 1000, monoids=[monoid],
                 val_cols=["swag_v"], ts_col=ts_col, sizes_us=[size_us],
                 slide_us=slide_us, int_flags=[int_values],
+                pre_col="swag_pre" if pre_combine else None,
             )
             for t in list(self._handle.listTimers()):
                 self._handle.deleteTimer(t)
@@ -1344,8 +1485,14 @@ def sliding_panes_stream_tws(
     prepared = (
         df.withColumn("swag_v", F.expr(value_expr))
         .select(key, ts_col, "swag_v")
-        .withWatermark(ts_col, watermark)
     )
+    if pre_combine:
+        prepared = _pane_precombine(
+            prepared, key=key, ts_col=ts_col, val_cols=["swag_v"],
+            monoids=[monoid], int_flags=[int_values], slide_us=slide_us,
+            pre_col="swag_pre",
+        )
+    prepared = prepared.withWatermark(ts_col, watermark)
     return prepared.groupBy(key).transformWithStateInPandas(
         statefulProcessor=PanesProcessor(),
         outputStructType=out_schema,

@@ -719,8 +719,11 @@ def test_sliding_panes_stream_multi_matches_batch(spark, stream_dirs):
         assert gk["wmax"].tolist() == exp["wmax"].tolist()
 
 
-def test_streaming_job_panes_multi_mode(spark, stream_dirs):
-    """--panes + --multi-monoids through the LAUNCH ARTIFACT: the
+@pytest.mark.parametrize("pre_combine", [False, True],
+                         ids=["raw", "pre_combine"])
+def test_streaming_job_panes_multi_mode(spark, stream_dirs, pre_combine):
+    """--panes + --multi-monoids through the LAUNCH ARTIFACT (both the
+    raw ingestion path and --pre-combine's map-side pane partials): the
     shared-pane multi-aggregate rollup ((sum, max) x (2m, 4m)) drains to
     a sink equal to the per-size pandas pane recompute."""
     import subprocess
@@ -747,7 +750,7 @@ def test_streaming_job_panes_multi_mode(spark, stream_dirs):
             "--multi-value-exprs",
             "length(text);cast(turn_idx as double)",
             "--max-files-per-trigger", "1",
-        ],
+        ] + (["--pre-combine"] if pre_combine else []),
         capture_output=True, text=True, cwd=root, timeout=420,
     )
     assert r.returncode == 0, r.stderr[-2000:]
@@ -834,6 +837,14 @@ def test_sliding_panes_stream_tws_matches_apply_path(spark, stream_dirs):
     )
     try:
         got_tws = run(sliding_panes_stream_tws, out + "_t", ckpt + "_t")
+        # third leg: TWS + map-side pane pre-combine (swag_pre wire
+        # format through the production API) must match byte-for-byte
+        got_tws_pre = run(
+            lambda df, **kw: sliding_panes_stream_tws(
+                df, pre_combine=True, **kw
+            ),
+            out + "_p", ckpt + "_p",
+        )
     finally:
         if prev is None:
             spark.conf.unset(
@@ -848,6 +859,218 @@ def test_sliding_panes_stream_tws_matches_apply_path(spark, stream_dirs):
     assert len(got_tws) == len(got_apply) > 0
     for c in ("conv_id", "ws", "we", "wagg"):
         assert got_tws[c].tolist() == got_apply[c].tolist()
+        assert got_tws_pre[c].tolist() == got_apply[c].tolist()
     # and both equal the offline pane recompute
     exp = _expected_panes(pdf, 4 * SLIDE, SLIDE)
     assert got_tws["wagg"].tolist() == exp["wagg"].tolist()
+
+
+# --------------------------------------------------------------------------
+# Map-side pane pre-combine
+# --------------------------------------------------------------------------
+
+
+def _precombine_pdf(pdf, monoids, val_cols, slide_us=SLIDE, int_flags=None):
+    """Build the pre-combined form of a raw batch by hand (single
+    upstream partition): one row per pane, ts = max raw ts in the pane,
+    blob = pickled [single-row partial per spec] — the wire format
+    `_pane_precombine` emits and `_panes_multi_step(pre_col=...)`
+    ingests."""
+    import pickle
+
+    from sliding_window_aggregators_spark.functions.monoids import p_take
+    from sliding_window_aggregators_spark.operators.kernels import (
+        interval_fold,
+    )
+
+    int_flags = int_flags or [False] * len(monoids)
+    pdf = pdf.sort_values("ts", kind="mergesort")
+    ts = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    pane = ts - ts % slide_us
+    newg = np.flatnonzero(np.diff(pane)) + 1
+    starts = np.concatenate(([0], newg))
+    ends = np.concatenate((newg, [len(pane)]))
+    bps = []
+    for m, c, int_v in zip(monoids, val_cols, int_flags):
+        vals = pdf[c].to_numpy()
+        if int_v:
+            vals = vals.astype(np.int64)
+        bps.append(interval_fold(m, m.lift(vals), starts, ends))
+    blobs = [
+        pickle.dumps([p_take(bp, [g]) for bp in bps])
+        for g in range(len(starts))
+    ]
+    return pd.DataFrame(
+        {
+            "ts": np.maximum.reduceat(ts, starts).astype("datetime64[us]"),
+            "__pre": blobs,
+        }
+    )
+
+
+def test_panes_multi_step_pre_col_matches_raw_path():
+    """Kernel-level parity: the same OOO batches ingested raw vs
+    pre-combined (partials-per-pane rows) emit identical windows for
+    (sum, max) x (2 panes, 4 panes) — including a batch whose panes
+    collide with panes already in state (the hit/combine path)."""
+    from sliding_window_aggregators_spark.streaming.engine import (
+        _panes_multi_step,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 400
+    ts = np.sort(rng.integers(0, 10 * SLIDE, n))
+    vals = rng.normal(10.0, 3.0, n).round(3)
+    pdf = _mkpdf(ts, vals)
+    ms = [get_monoid("sum"), get_monoid("max")]
+    sizes = [2 * SLIDE, 4 * SLIDE]
+
+    def drive(batches, pre):
+        d = {
+            "pane_ts": np.empty(0, np.int64),
+            "partials": [m.identity(0) for m in ms],
+            "last_emit": -(1 << 62),
+            "v": 1,
+        }
+        got = {}
+        wms = [4 * SLIDE, 8 * SLIDE, 20 * SLIDE]
+        for b, wm in zip(batches, wms):
+            per_size, d = _panes_multi_step(
+                d, b, wm, monoids=ms, val_cols=["__v", "__v"], ts_col="ts",
+                sizes_us=sizes, slide_us=SLIDE, int_flags=[False, False],
+                pre_col="__pre" if pre else None,
+            )
+            for k_i, em in enumerate(per_size):
+                if em is None:
+                    continue
+                for j, e in enumerate(em["window_end"]):
+                    got[(k_i, int(e))] = (
+                        em["values"][0][j], em["values"][1][j]
+                    )
+        return got
+
+    # scramble rows into 3 batches: panes split across batches, and
+    # batch 2/3 hit panes already resident in state
+    idx = rng.permutation(n)
+    chunks = [pdf.iloc[idx[:150]], pdf.iloc[idx[150:260]],
+              pdf.iloc[idx[260:]]]
+    raw = drive(chunks, pre=False)
+    pre = drive(
+        [_precombine_pdf(c, ms, ["__v", "__v"]) for c in chunks], pre=True
+    )
+    assert raw.keys() == pre.keys() and len(raw) > 20
+    for k in raw:
+        assert raw[k][0] == pytest.approx(pre[k][0], rel=1e-12)
+        assert raw[k][1] == pre[k][1]
+
+
+def test_pane_precombine_rejects_noncommutative(spark):
+    from sliding_window_aggregators_spark.streaming import (
+        sliding_panes_stream,
+    )
+
+    pdf = transcripts_pandas(50, 4)
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="commutative"):
+        sliding_panes_stream(
+            df, monoid_name="argmax", value_expr="cast(turn_idx as double)",
+            size="4 minutes", slide="1 minute", pre_combine=True,
+        )
+
+
+def test_sliding_panes_stream_pre_combine_matches_batch(spark, stream_dirs):
+    """pre_combine=True (map-side per-(key, pane) partials upstream of
+    the stateful shuffle, source repartitioned so one pane arrives as
+    SEVERAL partials per batch) == the raw-path pandas pane recompute."""
+    from sliding_window_aggregators_spark.streaming import (
+        write_stream_exactly_once,
+    )
+
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(600, 12)
+    _write_chunk(spark, src, pdf.iloc[:300], "c0")
+    _write_chunk(spark, src, pdf.iloc[300:], "c1")
+    flush = pdf.iloc[:1].copy()
+    flush["conv_id"] = "__flush"
+    flush["ts"] = pdf["ts"].max() + pd.Timedelta(days=2)
+    _write_chunk(spark, src, flush, "c2f")
+
+    stream = sliding_panes_stream(
+        _read_stream(spark, src).repartition(4),
+        size="4 minutes", slide="1 minute", watermark="0 seconds",
+        pre_combine=True,
+    )
+    q, sink = write_stream_exactly_once(stream, out, ckpt)
+    q.awaitTermination(180)
+
+    got = _got_sink(spark, out)
+    got = got[got["conv_id"] != "__flush"].reset_index(drop=True)
+    exp = _expected_panes(pdf, 4 * SLIDE, SLIDE)
+    assert got["conv_id"].tolist() == exp["conv_id"].tolist()
+    assert got["we"].tolist() == exp["we"].tolist()
+    assert got["ws"].tolist() == exp["ws"].tolist()
+    assert got["wagg"].tolist() == exp["wagg"].tolist()
+
+
+def test_sliding_panes_stream_multi_pre_combine_matches_batch(
+    spark, stream_dirs
+):
+    """Shared-pane multi-aggregate rollup with pre_combine=True: ONE
+    pickled partial row per (key, pane, upstream partition) carries both
+    specs; output == per-size pandas recompute."""
+    from sliding_window_aggregators_spark.streaming import (
+        sliding_panes_stream_multi,
+        write_stream_exactly_once,
+    )
+
+    src, out, ckpt = stream_dirs
+    pdf = transcripts_pandas(600, 12)
+    _write_chunk(spark, src, pdf.iloc[:300], "c0")
+    _write_chunk(spark, src, pdf.iloc[300:], "c1")
+    flush = pdf.iloc[:1].copy()
+    flush["conv_id"] = "__flush"
+    flush["ts"] = pdf["ts"].max() + pd.Timedelta(days=2)
+    _write_chunk(spark, src, flush, "c2f")
+
+    stream = sliding_panes_stream_multi(
+        _read_stream(spark, src).repartition(4),
+        monoids=("sum", "max"),
+        value_exprs=("length(text)", "cast(turn_idx as double)"),
+        sizes=("2 minutes", "4 minutes"),
+        slide="1 minute", watermark="0 seconds",
+        pre_combine=True,
+    )
+    q, sink = write_stream_exactly_once(stream, out, ckpt)
+    q.awaitTermination(240)
+
+    got = (
+        spark.read.parquet(out)
+        .selectExpr(
+            "conv_id",
+            "unix_micros(window_start) as ws",
+            "unix_micros(window_end) as we",
+            "wsum", "wmax",
+        )
+        .toPandas()
+    )
+    got = got[got["conv_id"] != "__flush"]
+    for size_us in (2 * SLIDE, 4 * SLIDE):
+        gk = (
+            got[got["we"] - got["ws"] == size_us]
+            .sort_values(["conv_id", "we"])
+            .reset_index(drop=True)
+        )
+        rows = []
+        for conv, g in pdf.groupby("conv_id"):
+            ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            lens = g["text"].str.len().to_numpy().astype(np.float64)
+            idxs = g["turn_idx"].to_numpy().astype(np.float64)
+            es = _brute_windows(ts, lens, size_us, SLIDE, fold=sum)
+            em = _brute_windows(ts, idxs, size_us, SLIDE, fold=max)
+            for e in sorted(es):
+                rows.append((conv, e, float(es[e]), float(em[e])))
+        exp = pd.DataFrame(rows, columns=["conv_id", "we", "wsum", "wmax"])
+        assert gk["conv_id"].tolist() == exp["conv_id"].tolist()
+        assert gk["we"].tolist() == exp["we"].tolist()
+        assert gk["wsum"].tolist() == exp["wsum"].tolist()
+        assert gk["wmax"].tolist() == exp["wmax"].tolist()

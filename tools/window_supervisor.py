@@ -105,6 +105,10 @@ def main() -> None:
                          "size) instead of the per-turn multi job")
     ap.add_argument("--stream-slide", default="30 minutes",
                     help="slide for --stream-panes")
+    ap.add_argument("--stream-pre-combine", action="store_true",
+                    help="fire --stream-panes with map-side pane "
+                         "pre-combine (the pane shape's skew-ceiling "
+                         "lift)")
     ap.add_argument("--stream-turns", type=int, default=16777216)
     ap.add_argument("--stream-convs", type=int, default=16384)
     ap.add_argument("--batch-halo", action="store_true",
@@ -174,6 +178,8 @@ def main() -> None:
             # harness rejects --panes with --multi/--halo)
             cmd += ["--panes", args.stream_panes,
                     "--slide", args.stream_slide]
+            if args.stream_pre_combine:
+                cmd.append("--pre-combine")
         else:
             cmd.append("--multi")
             if args.stream_halo:
