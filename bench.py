@@ -226,6 +226,55 @@ def panes_throughput(scale: int = 1) -> dict:
         dt = time.perf_counter() - t0
         out[f"{label}"] = round(n / dt, 1)
         out[f"{label}_windows"] = windows
+    # pre-combined ingestion (r5): the same in-order stream, but each
+    # step's raw rows are folded into per-pane partials FIRST (the
+    # map-side _pane_precombine fold, timed INCLUSIVE — single-threaded
+    # here; at scale it runs in the parallel map stage) and the kernel
+    # ingests partial rows via pre_col. Shows the end-to-end per-core
+    # cost of the decomposed path and the state-side row reduction
+    # (1024 raw rows -> 1 partial per pane).
+    import pickle as _pickle
+
+    from sliding_window_aggregators_spark.functions.monoids import p_take
+    from sliding_window_aggregators_spark.operators.kernels import (
+        interval_fold,
+    )
+
+    m = get_monoid("sum")
+    d = _panes_empty_state(m)
+    windows = 0
+    step = 65536
+    t0 = time.perf_counter()
+    for i in range(0, n, step):
+        t_raw = ts[i : i + step]
+        v_raw = vals[i : i + step]
+        pane = t_raw - t_raw % slide_us
+        newg = np.flatnonzero(np.diff(pane)) + 1
+        gs = np.concatenate(([0], newg))
+        ge = np.concatenate((newg, [len(pane)]))
+        bp = interval_fold(m, m.lift(v_raw), gs, ge)
+        pdf = pd.DataFrame(
+            {
+                "ts": np.maximum.reduceat(t_raw, gs).astype(
+                    "datetime64[us]"
+                ),
+                "__pre": [
+                    _pickle.dumps([p_take(bp, [g])])
+                    for g in range(len(gs))
+                ],
+            }
+        )
+        emitted, d = _panes_step(
+            d, pdf, int(t_raw.max()), monoid=m, ts_col="ts",
+            size_us=16 * slide_us, slide_us=slide_us, int_values=False,
+            pre_col="__pre",
+        )
+        if emitted is not None:
+            windows += len(emitted["window_end"])
+            sink += float(emitted["values"][-1])
+    dt = time.perf_counter() - t0
+    out["sum_p16_pre"] = round(n / dt, 1)
+    out["sum_p16_pre_windows"] = windows
     # shared-pane multi: (sum, max, mincount) x (16, 64 panes) through
     # ONE pane layer — the marginal cost of 3 monoids x 2 sizes over
     # the single-config ingestion (one fold per spec per turn, K extra
