@@ -1,0 +1,176 @@
+"""Batch pane rollup (`pane_rollup`): the pure-Catalyst two-stage
+(size, slide) sliding-window plan — pane partials, then pane→window
+fan-out — versus three independent oracles: Spark's own built-in
+`F.window` explosion plan, a pandas brute recompute, and DuckDB. Plus
+the 100 TB plan pins: zero Python nodes, aggregation before the
+fan-out `Generate`, two hash exchanges.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sliding_window_aggregators_spark.operators import pane_rollup
+from sliding_window_aggregators_spark.sources import transcripts_pandas
+
+US = 1_000_000
+SLIDE = 60 * US
+SIZE = 4 * SLIDE
+
+
+def _got(df):
+    return (
+        df.selectExpr(
+            "conv_id",
+            "unix_micros(window_start) as ws",
+            "unix_micros(window_end) as we",
+            "wagg",
+        )
+        .toPandas()
+        .sort_values(["conv_id", "we"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("agg,expr,fold", [
+    ("sum", "length(text)", np.sum),
+    ("max", "cast(turn_idx as double)", np.max),
+    ("min", "cast(turn_idx as double)", np.min),
+    ("count", "1", len),
+    ("mean", "length(text)", np.mean),
+])
+def test_pane_rollup_matches_brute(spark, agg, expr, fold):
+    pdf = transcripts_pandas(1500, 24)
+    df = spark.createDataFrame(pdf)
+    got = _got(pane_rollup(
+        df, agg=agg, value_expr=expr, size="4 minutes", slide="1 minute",
+    ))
+    rows = []
+    for conv, g in pdf.groupby("conv_id"):
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if expr == "length(text)":
+            vals = g["text"].str.len().to_numpy().astype(np.float64)
+        elif expr == "1":
+            vals = np.ones(len(g))
+        else:
+            vals = g["turn_idx"].to_numpy().astype(np.float64)
+        panes = ts - ts % SLIDE
+        ends = {int(p + k * SLIDE) for p in np.unique(panes)
+                for k in range(1, SIZE // SLIDE + 1)}
+        for e in sorted(ends):
+            m = (ts >= e - SIZE) & (ts < e)
+            if m.any():
+                rows.append((conv, e - SIZE, e, float(fold(vals[m]))))
+    exp = pd.DataFrame(rows, columns=["conv_id", "ws", "we", "wagg"])
+    assert got["conv_id"].tolist() == exp["conv_id"].tolist()
+    assert got["ws"].tolist() == exp["ws"].tolist()
+    assert got["we"].tolist() == exp["we"].tolist()
+    assert got["wagg"].to_numpy() == pytest.approx(
+        exp["wagg"].to_numpy(), rel=1e-12
+    )
+
+
+def test_pane_rollup_matches_builtin_window(spark):
+    """Same emission set and values as Spark's own F.window explosion
+    plan — the built-in is the semantic oracle, the pane plan is the
+    O(rows + panes x overlap) replacement for its O(rows x overlap)."""
+    pdf = transcripts_pandas(2000, 30)
+    df = spark.createDataFrame(pdf)
+    got = _got(pane_rollup(
+        df, agg="sum", size="4 minutes", slide="1 minute",
+    ))
+    builtin = (
+        df.groupBy(
+            "conv_id", F.window("ts", "4 minutes", "1 minute").alias("w")
+        )
+        .agg(F.sum(F.length("text")).alias("wagg"))
+        .select(
+            "conv_id",
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "wagg",
+        )
+    )
+    exp = _got(builtin)
+    assert got["conv_id"].tolist() == exp["conv_id"].tolist()
+    assert got["ws"].tolist() == exp["ws"].tolist()
+    assert got["we"].tolist() == exp["we"].tolist()
+    assert got["wagg"].tolist() == exp["wagg"].tolist()
+
+
+def test_pane_rollup_vs_duckdb(spark, tmp_path):
+    """Cross-engine value oracle (the pytest-level pattern for queries
+    outside the 50-slot driver registry)."""
+    import duckdb
+
+    pdf = transcripts_pandas(2000, 30)
+    src = str(tmp_path / "rows.parquet")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+    got = _got(pane_rollup(
+        spark.read.parquet(src), agg="sum",
+        size="4 minutes", slide="1 minute",
+    ))
+    exp = duckdb.connect().execute(f"""
+        with rows as (
+          select conv_id, ts, cast(length(text) as double) v
+          from read_parquet('{src}/*.parquet')
+        ),
+        panes as (
+          select conv_id,
+                 (epoch_us(ts) // {SLIDE}) * {SLIDE} as p,
+                 sum(v) as s
+          from rows group by 1, 2
+        ),
+        contrib as (
+          select conv_id, p + k.range * {SLIDE} as we, s
+          from panes, range(1, {SIZE // SLIDE} + 1) k
+        )
+        select conv_id, we - {SIZE} as ws, we, sum(s) as wagg
+        from contrib group by 1, 2, 3 order by 1, 3
+    """).df()
+    assert got["conv_id"].tolist() == exp["conv_id"].tolist()
+    assert got["ws"].tolist() == exp["ws"].tolist()
+    assert got["we"].tolist() == exp["we"].tolist()
+    assert got["wagg"].tolist() == exp["wagg"].tolist()
+
+
+def test_pane_rollup_plan_is_pure_codegen(spark):
+    """100 TB pins: no Python/Arrow nodes anywhere; the fan-out
+    `Generate` (explode) sits ABOVE a HashAggregate — rows are
+    aggregated to panes BEFORE the overlap-factor explosion, the whole
+    point of the plan; exactly two hash exchanges (pane agg + window
+    agg)."""
+    pdf = transcripts_pandas(200, 8)
+    df = spark.createDataFrame(pdf)
+    out = pane_rollup(df, size="4 minutes", slide="1 minute")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for bad in ("MapInPandas", "FlatMapGroupsInPandas", "ArrowEval",
+                "BatchEvalPython", "PythonUDF"):
+        assert bad not in plan, plan
+    assert "Generate explode" in plan, plan
+    gen = plan.index("Generate explode")
+    # below-the-Generate suffix of the tree = the pane aggregation side;
+    # it must already contain a HashAggregate (explosion sees partials)
+    assert "HashAggregate" in plan[gen:], plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_pane_rollup_long_arithmetic_under_ansi(spark):
+    """Regression: a slide that fits int32 (30m = 1.8e9 us) made F.lit
+    an INT, and k x slide overflowed under Spark 4's ANSI mode once
+    k x slide > 2^31 (any size >= ~36 minutes at that slide). Force-long
+    arithmetic must survive the worst int32-adjacent config."""
+    pdf = transcripts_pandas(300, 6)
+    df = spark.createDataFrame(pdf)
+    out = pane_rollup(df, size="8 hours", slide="30 minutes")
+    assert out.count() >= 0  # executing the plan is the assertion
+
+
+def test_pane_rollup_rejects_bad_args(spark):
+    pdf = transcripts_pandas(50, 4)
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="multiple"):
+        pane_rollup(df, size="5 minutes", slide="2 minutes")
+    with pytest.raises(ValueError, match="pane_rollup supports"):
+        pane_rollup(df, agg="mincount", size="4 minutes", slide="1 minute")
