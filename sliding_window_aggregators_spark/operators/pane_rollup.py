@@ -49,6 +49,8 @@ non-decomposable registry monoids take the kernel paths in
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -130,5 +132,142 @@ def pane_rollup(
             ).alias("window_start"),
             F.timestamp_micros(F.col("window_end")).alias("window_end"),
             out_expr,
+        )
+    )
+
+
+def pane_rollup_multi(
+    df: DataFrame,
+    *,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    aggs: Sequence[str] = ("sum",),
+    value_exprs: Sequence[str] | None = None,
+    value_expr: str = "length(text)",
+    sizes: Sequence[str] = ("1 hour",),
+    slide: str = "15 minutes",
+    out_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """SHARED-PANE multi-aggregate batch rollup: N aggregates × K window
+    sizes over ONE pane layer in ONE single-pass plan — the batch twin
+    of :func:`~..streaming.engine.sliding_panes_stream_multi` (slice
+    sharing per Scotty, Traub et al. EDBT 2018).
+
+    Stage 1 aggregates every row ONCE into a (key, pane) partial row
+    carrying ALL N partials. The fan-out explodes each pane into the
+    union of (window_end, size) pairs it feeds — ``Σ_k size_k/slide``
+    entries per pane, built as one array-of-struct literal so the plan
+    has ONE ``Generate`` and the pane aggregation is still computed
+    once (no per-size union re-running stage 1). Stage 2 folds per
+    (key, size, window_end). Output matches the streaming multi: one
+    row per (key, nonempty window) across all sizes — a row's size is
+    ``window_end − window_start`` — with one column per aggregate.
+
+    All sizes must be whole multiples of the shared ``slide``.
+    ``value_exprs`` (one per agg) lifts a different input per
+    aggregate; defaults to ``value_expr`` for all. ``out_cols``
+    defaults to ``w{agg}`` (``w{i}_{agg}`` on duplicates).
+    """
+    from ..streaming.engine import _interval_us
+
+    slide_us = _interval_us(slide)
+    sizes_us = [_interval_us(s) for s in sizes]
+    for s_txt, s_us in zip(sizes, sizes_us):
+        if s_us % slide_us:
+            raise ValueError(
+                f"size ({s_txt}) must be a whole multiple of slide ({slide})"
+            )
+    if len(set(sizes_us)) != len(sizes_us):
+        raise ValueError(f"duplicate window sizes: {list(sizes)}")
+    if value_exprs is None:
+        value_exprs = [value_expr] * len(aggs)
+    if len(value_exprs) != len(aggs):
+        raise ValueError(
+            f"value_exprs ({len(value_exprs)}) must match aggs ({len(aggs)})"
+        )
+    if out_cols is None:
+        names = list(aggs)
+        out_cols = [
+            f"w{i}_{a}" if names.count(a) > 1 else f"w{a}"
+            for i, a in enumerate(names)
+        ]
+    if len(out_cols) != len(aggs):
+        raise ValueError(
+            f"out_cols ({len(out_cols)}) must match aggs ({len(aggs)})"
+        )
+
+    # one lift column per distinct expression; one partial per distinct
+    # (agg-partial, expression) pair — mean contributes sum+count
+    expr_col: dict[str, str] = {}
+    for e in value_exprs:
+        if e not in expr_col:
+            expr_col[e] = f"__v{len(expr_col)}"
+    partials: dict[tuple[str, str], str] = {}
+    finals = []
+    outs = []
+    for agg, e, oc in zip(aggs, value_exprs, out_cols):
+        vcol = expr_col[e]
+        if agg == "mean":
+            needed = [("sum", vcol), ("count", vcol)]
+        elif agg in _PARTIALS:
+            needed = [(agg, vcol)]
+        else:
+            raise ValueError(
+                f"pane_rollup_multi supports "
+                f"{sorted(_PARTIALS) + ['mean']}; got {agg!r}"
+            )
+        cols = []
+        for part_agg, pv in needed:
+            k = (part_agg, pv)
+            if k not in partials:
+                partials[k] = f"__p{len(partials)}"
+            cols.append(partials[k])
+        if agg == "mean":
+            finals.extend(
+                [(F.sum, cols[0], f"__f_{oc}_s"), (F.sum, cols[1],
+                                                   f"__f_{oc}_c")]
+            )
+            outs.append(
+                (F.col(f"__f_{oc}_s") / F.col(f"__f_{oc}_c")).alias(oc)
+            )
+        else:
+            _, final_fn = _PARTIALS[agg]
+            finals.append((final_fn, cols[0], f"__f_{oc}"))
+            outs.append(F.col(f"__f_{oc}").alias(oc))
+
+    slide_l = F.lit(slide_us).cast("long")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    pane = (us - F.pmod(us, slide_l)).alias("__pane")
+    prepared = df
+    for e, c in expr_col.items():
+        prepared = prepared.withColumn(c, F.expr(e))
+    panes = prepared.groupBy(F.col(key), pane).agg(*[
+        _PARTIALS[part_agg][0](pv).alias(pc)
+        for (part_agg, pv), pc in partials.items()
+    ])
+    # one Generate: every (offset, size) pair any size's window needs
+    fan = F.array(*[
+        F.struct(
+            (F.lit(k).cast("long") * slide_l).alias("off"),
+            F.lit(s_us).cast("long").alias("size"),
+        )
+        for s_us in sizes_us
+        for k in range(1, s_us // slide_us + 1)
+    ])
+    fanned = (
+        panes.withColumn("__f", F.explode(fan))
+        .withColumn("window_end", F.col("__pane") + F.col("__f.off"))
+        .withColumn("__size", F.col("__f.size"))
+    )
+    return (
+        fanned.groupBy(key, "__size", "window_end")
+        .agg(*[fn(pc).alias(fc) for fn, pc, fc in finals])
+        .select(
+            key,
+            F.timestamp_micros(
+                F.col("window_end") - F.col("__size")
+            ).alias("window_start"),
+            F.timestamp_micros(F.col("window_end")).alias("window_end"),
+            *outs,
         )
     )

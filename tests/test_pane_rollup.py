@@ -174,3 +174,127 @@ def test_pane_rollup_rejects_bad_args(spark):
         pane_rollup(df, size="5 minutes", slide="2 minutes")
     with pytest.raises(ValueError, match="pane_rollup supports"):
         pane_rollup(df, agg="mincount", size="4 minutes", slide="1 minute")
+
+# ---------------------------------------------------------------------------
+# pane_rollup_multi: N aggregates x K sizes over ONE shared pane layer
+# ---------------------------------------------------------------------------
+
+def test_pane_rollup_multi_matches_single_per_size(spark):
+    """The shared-pane multi must equal K x N independent single
+    rollups: for each size, the multi rows of that span carry exactly
+    the single plan's windows and values — with HETEROGENEOUS per-agg
+    value lifts (sum over text length, max over turn_idx)."""
+    from sliding_window_aggregators_spark.operators import pane_rollup_multi
+
+    pdf = transcripts_pandas(1500, 24)
+    df = spark.createDataFrame(pdf)
+    sizes = ("4 minutes", "8 minutes")
+    multi = (
+        pane_rollup_multi(
+            df,
+            aggs=("sum", "max", "mean"),
+            value_exprs=(
+                "length(text)",
+                "cast(turn_idx as double)",
+                "length(text)",
+            ),
+            sizes=sizes,
+            slide="1 minute",
+        )
+        .selectExpr(
+            "conv_id",
+            "unix_micros(window_start) as ws",
+            "unix_micros(window_end) as we",
+            "wsum", "wmax", "wmean",
+        )
+        .toPandas()
+        .sort_values(["conv_id", "we"])
+    )
+    for size_txt, size_us in zip(sizes, (4 * 60 * US, 8 * 60 * US)):
+        part = (
+            multi[multi["we"] - multi["ws"] == size_us]
+            .reset_index(drop=True)
+        )
+        for agg, expr, col in [
+            ("sum", "length(text)", "wsum"),
+            ("max", "cast(turn_idx as double)", "wmax"),
+            ("mean", "length(text)", "wmean"),
+        ]:
+            single = _got(pane_rollup(
+                df, agg=agg, value_expr=expr,
+                size=size_txt, slide="1 minute",
+            ))
+            assert part["conv_id"].tolist() == single["conv_id"].tolist()
+            assert part["ws"].tolist() == single["ws"].tolist()
+            assert part["we"].tolist() == single["we"].tolist()
+            assert part[col].to_numpy() == pytest.approx(
+                single["wagg"].to_numpy(), rel=1e-12
+            )
+
+
+def test_pane_rollup_multi_plan_single_pass(spark):
+    """The whole point of the shared layer: K sizes x N aggs must cost
+    ONE pane aggregation and ONE fan-out — exactly one Generate, two
+    hash exchanges, zero Python nodes, pane HashAggregate below the
+    Generate. A per-size union would show K Generates / 2K exchanges."""
+    from sliding_window_aggregators_spark.operators import pane_rollup_multi
+
+    pdf = transcripts_pandas(200, 8)
+    df = spark.createDataFrame(pdf)
+    out = pane_rollup_multi(
+        df,
+        aggs=("sum", "max", "mean", "count"),
+        value_exprs=("length(text)", "cast(turn_idx as double)",
+                     "length(text)", "1"),
+        sizes=("4 minutes", "8 minutes", "12 minutes"),
+        slide="1 minute",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for bad in ("MapInPandas", "FlatMapGroupsInPandas", "ArrowEval",
+                "BatchEvalPython", "PythonUDF"):
+        assert bad not in plan, plan
+    assert plan.count("Generate explode") == 1, plan
+    gen = plan.index("Generate explode")
+    assert "HashAggregate" in plan[gen:], plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_pane_rollup_multi_dedup_out_cols_and_long_arith(spark):
+    """Duplicate agg names get positional out_cols; int32-adjacent
+    slide (30m) with multi-hour sizes must survive ANSI long
+    arithmetic (same regression class as the single rollup)."""
+    from sliding_window_aggregators_spark.operators import pane_rollup_multi
+
+    pdf = transcripts_pandas(300, 6)
+    df = spark.createDataFrame(pdf)
+    out = pane_rollup_multi(
+        df,
+        aggs=("sum", "sum"),
+        value_exprs=("length(text)", "turn_idx"),
+        sizes=("8 hours", "24 hours"),
+        slide="30 minutes",
+    )
+    assert out.columns[-2:] == ["w0_sum", "w1_sum"]
+    assert out.count() > 0
+
+
+def test_pane_rollup_multi_rejects_bad_args(spark):
+    from sliding_window_aggregators_spark.operators import pane_rollup_multi
+
+    pdf = transcripts_pandas(50, 4)
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="multiple"):
+        pane_rollup_multi(df, sizes=("5 minutes",), slide="2 minutes")
+    with pytest.raises(ValueError, match="duplicate"):
+        pane_rollup_multi(df, sizes=("4 minutes", "4 minutes"),
+                          slide="1 minute")
+    with pytest.raises(ValueError, match="value_exprs"):
+        pane_rollup_multi(df, aggs=("sum", "max"),
+                          value_exprs=("length(text)",),
+                          sizes=("4 minutes",), slide="1 minute")
+    with pytest.raises(ValueError, match="out_cols"):
+        pane_rollup_multi(df, aggs=("sum",), out_cols=("a", "b"),
+                          sizes=("4 minutes",), slide="1 minute")
+    with pytest.raises(ValueError, match="supports"):
+        pane_rollup_multi(df, aggs=("mincount",),
+                          sizes=("4 minutes",), slide="1 minute")
