@@ -44,6 +44,16 @@ def main() -> None:
                          "executor JVMs per level)")
     ap.add_argument("--halo", action="store_true",
                     help="pass --halo to the pair (hot-key chunk-halo)")
+    ap.add_argument("--panes", default=None, metavar="SIZE",
+                    help="pass --panes SIZE to the pair (pane-sliced "
+                         "rollup shape)")
+    ap.add_argument("--slide", default="30 minutes",
+                    help="pane width for --panes")
+    ap.add_argument("--pre-combine", action="store_true",
+                    help="pass --pre-combine to the pair (map-side pane "
+                         "partials before the stateful shuffle — the "
+                         "skew-ceiling fix this watcher chases at "
+                         "grant >= 3, CHANGES_r05 §36/§37)")
     ap.add_argument("--sustain", type=int, default=1,
                     help="require N consecutive passing probes "
                          "--interval seconds apart before firing (a "
@@ -91,6 +101,10 @@ def main() -> None:
             cmd.append("--cluster")
         if args.halo:
             cmd.append("--halo")
+        if args.panes:
+            cmd += ["--panes", args.panes, "--slide", args.slide]
+        if args.pre_combine:
+            cmd.append("--pre-combine")
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=7200)
         if r.returncode != 0:
             print(f"run failed:\n{r.stderr[-2000:]}", flush=True)
