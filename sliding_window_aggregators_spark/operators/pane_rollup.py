@@ -49,8 +49,11 @@ non-decomposable registry monoids take the kernel paths in
 
 from __future__ import annotations
 
+import pickle
 from typing import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -271,3 +274,159 @@ def pane_rollup_multi(
             *outs,
         )
     )
+
+
+def pane_rollup_monoid(
+    df: DataFrame,
+    *,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    monoids: Sequence[str] = ("sum",),
+    value_exprs: Sequence[str] | None = None,
+    value_expr: str = "length(text)",
+    sizes: Sequence[str] = ("1 hour",),
+    slide: str = "15 minutes",
+    int_values: bool = False,
+) -> DataFrame:
+    """Batch shared-pane rollup for ANY commutative registry monoid —
+    N monoids × K window sizes over one pane layer, completing the pane
+    matrix for the non-Catalyst-native aggregates (hll / cms / top3 /
+    toolset / decayed / minhash / …; :func:`pane_rollup_multi` covers
+    the distributive built-ins with a pure-Catalyst plan; reference
+    parity: any AggregationFunctions.hpp monoid slots into the rollup
+    shape, cpp/src/AggregationFunctions.hpp + benchmark_core.h:472-562).
+
+    Plan (one shuffle, two Arrow stages):
+
+    1. **map-side pane pre-combine** — the streaming engine's
+       :func:`~..streaming.engine._pane_precombine` verbatim: each
+       upstream partition folds its rows into ONE pickled partial per
+       (key, pane, spec) with zero shuffle — so the single exchange
+       moves pane PARTIALS, not rows, and a Zipf-hot key's serial
+       per-key work is O(occupied panes × upstream partitions), not
+       O(its rows) ("No pane, no gain", Li et al. 2005 §3).
+    2. **per-key window folds** — ``groupBy(key).applyInPandas``:
+       concat the blobs, merge to one partial per (pane, spec)
+       (interval_fold over pane group boundaries), then fold every
+       nonempty window of every size through the disjoint-sparse-table
+       interval fold — K sizes cost K fold passes over the SAME pane
+       layer, never K ingestion passes (slice sharing per Scotty,
+       Traub et al. EDBT 2018).
+
+    Emission matches :func:`pane_rollup_multi` and the streaming
+    :func:`~..streaming.engine.sliding_panes_stream_multi`: one row per
+    (key, nonempty window) across all sizes (size = ``window_end −
+    window_start``), columns ``w{monoid}`` (``w{i}_{monoid}`` on
+    duplicates), types per the engine's output-type map. Commutative
+    monoids only (cross-partition intra-pane fold order is arbitrary) —
+    non-commutative specs raise ValueError, matching the streaming
+    ``pre_combine`` contract.
+    """
+    from ..functions.monoids import get_monoid, p_concat
+    from ..operators.batch import _OUT_SPARK_TYPE
+    from ..operators.kernels import interval_fold
+    from ..streaming.engine import _interval_us, _pane_precombine
+
+    slide_us = _interval_us(slide)
+    sizes_us = [_interval_us(s) for s in sizes]
+    for s_txt, s_us in zip(sizes, sizes_us):
+        if s_us % slide_us:
+            raise ValueError(
+                f"size ({s_txt}) must be a whole multiple of slide ({slide})"
+            )
+    if len(set(sizes_us)) != len(sizes_us):
+        raise ValueError(f"duplicate window sizes: {list(sizes)}")
+    ms = [
+        get_monoid(name, np.int64 if int_values else np.float64)
+        for name in monoids
+    ]
+    for m in ms:
+        if not m.commutative:
+            raise ValueError(
+                f"pane_rollup_monoid requires commutative monoids; "
+                f"{m.name} is not (non-decomposable/ordered monoids take "
+                f"the kernel paths in operators.batch)"
+            )
+    if value_exprs is None:
+        value_exprs = [value_expr] * len(monoids)
+    if len(value_exprs) != len(monoids):
+        raise ValueError(
+            f"value_exprs ({len(value_exprs)}) must match monoids "
+            f"({len(monoids)})"
+        )
+    expr_col: dict[str, str] = {}
+    for e in value_exprs:
+        if e not in expr_col:
+            expr_col[e] = f"__v{len(expr_col)}"
+    val_cols = [expr_col[e] for e in value_exprs]
+    names = list(monoids)
+    out_cols = [
+        f"w{i}_{n}" if names.count(n) > 1 else f"w{n}"
+        for i, n in enumerate(names)
+    ]
+    int_flags = [int_values] * len(ms)
+    key_t = df.schema[key].dataType.simpleString()
+    out_schema = ", ".join(
+        [f"{key} {key_t}", "window_start timestamp", "window_end timestamp"]
+        + [f"{c} {_OUT_SPARK_TYPE[n]}" for c, n in zip(out_cols, names)]
+    )
+
+    def fold_key(key_tuple, pdf):
+        ts = pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        pane = ts - ts % slide_us
+        order = np.argsort(pane, kind="mergesort")
+        pane = pane[order]
+        loaded = [pickle.loads(bytes(b)) for b in pdf["__pre"].to_numpy()[order]]
+        stacked = [
+            p_concat(*[row[i] for row in loaded]) for i in range(len(ms))
+        ]
+        change = np.flatnonzero(np.diff(pane)) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(pane)]))
+        pane_ts = pane[starts]
+        partials = [
+            interval_fold(m, sp, starts, ends) for m, sp in zip(ms, stacked)
+        ]
+        frames = []
+        for size_us in sizes_us:
+            n_panes = size_us // slide_us
+            # candidate ends come from the occupied panes (a long quiet
+            # gap never enumerates); empty windows emit nothing
+            cand = np.unique(
+                (
+                    pane_ts[:, None]
+                    + np.arange(1, n_panes + 1, dtype=np.int64) * slide_us
+                ).ravel()
+            )
+            lo = np.searchsorted(pane_ts, cand - size_us, side="left")
+            hi = np.searchsorted(pane_ts, cand, side="left")
+            nz = lo < hi
+            cand, lo, hi = cand[nz], lo[nz], hi[nz]
+            if not len(cand):
+                continue
+            frame = {
+                key: key_tuple[0],
+                "window_start": (cand - size_us).astype("datetime64[us]"),
+                "window_end": cand.astype("datetime64[us]"),
+            }
+            for c, m, sp in zip(out_cols, ms, partials):
+                frame[c] = m.lower(interval_fold(m, sp, lo, hi))
+            frames.append(pd.DataFrame(frame))
+        if not frames:  # unreachable (any row occupies a pane) — Arrow-safe
+            return pd.DataFrame({
+                key: pdf[key].iloc[0:0],
+                "window_start": pd.Series(dtype="datetime64[us]"),
+                "window_end": pd.Series(dtype="datetime64[us]"),
+                **{c: pd.Series(dtype=np.float64) for c in out_cols},
+            })
+        return pd.concat(frames, ignore_index=True)
+
+    prepared = df
+    for e, c in expr_col.items():
+        prepared = prepared.withColumn(c, F.expr(e))
+    prepared = prepared.select(key, ts_col, *expr_col.values())
+    prepared = _pane_precombine(
+        prepared, key=key, ts_col=ts_col, val_cols=val_cols,
+        monoids=ms, int_flags=int_flags, slide_us=slide_us,
+    )
+    return prepared.groupBy(key).applyInPandas(fold_key, out_schema)

@@ -298,3 +298,198 @@ def test_pane_rollup_multi_rejects_bad_args(spark):
     with pytest.raises(ValueError, match="supports"):
         pane_rollup_multi(df, aggs=("mincount",),
                           sizes=("4 minutes",), slide="1 minute")
+
+# ---------------------------------------------------------------------------
+# pane_rollup_monoid: the batch shared-pane rollup for ANY commutative
+# registry monoid (hll/top3/toolset/... — the non-Catalyst-native aggs)
+# ---------------------------------------------------------------------------
+
+def _got_monoid(df, cols):
+    return (
+        df.selectExpr(
+            "conv_id",
+            "unix_micros(window_start) as ws",
+            "unix_micros(window_end) as we",
+            *cols,
+        )
+        .toPandas()
+        .sort_values(["conv_id", "we", "ws"])
+        .reset_index(drop=True)
+    )
+
+
+def test_pane_rollup_monoid_matches_native_plan(spark):
+    """Cross-implementation oracle: the monoid path for (sum, max) with
+    heterogeneous lifts must emit exactly the pure-Catalyst
+    pane_rollup_multi's windows and values across both sizes."""
+    from sliding_window_aggregators_spark.operators import (
+        pane_rollup_monoid,
+        pane_rollup_multi,
+    )
+
+    pdf = transcripts_pandas(1500, 24)
+    df = spark.createDataFrame(pdf)
+    kw = dict(
+        value_exprs=("length(text)", "cast(turn_idx as double)"),
+        sizes=("4 minutes", "8 minutes"),
+        slide="1 minute",
+    )
+    got = _got_monoid(
+        pane_rollup_monoid(df, monoids=("sum", "max"), **kw),
+        ["wsum", "wmax"],
+    )
+    exp = _got_monoid(
+        pane_rollup_multi(df, aggs=("sum", "max"), **kw),
+        ["wsum", "wmax"],
+    )
+    assert got["conv_id"].tolist() == exp["conv_id"].tolist()
+    assert got["ws"].tolist() == exp["ws"].tolist()
+    assert got["we"].tolist() == exp["we"].tolist()
+    assert got["wsum"].to_numpy() == pytest.approx(
+        exp["wsum"].to_numpy(), rel=1e-12
+    )
+    assert got["wmax"].to_numpy() == pytest.approx(
+        exp["wmax"].to_numpy(), rel=1e-12
+    )
+
+
+def test_pane_rollup_monoid_sketch_family_brute(spark):
+    """The point of the operator — sketch/order-statistic monoids in the
+    rollup shape: toolset (exact distinct, independent set-based brute),
+    top3 (3rd largest w/ sentinel, independent sort-based brute), hll
+    (deterministic register fold — pane fold order must not change the
+    estimate vs a flat per-window fold)."""
+    from sliding_window_aggregators_spark.functions.monoids import get_monoid
+    from sliding_window_aggregators_spark.operators import pane_rollup_monoid
+
+    pdf = transcripts_pandas(1200, 16)
+    df = spark.createDataFrame(pdf)
+    got = _got_monoid(
+        pane_rollup_monoid(
+            df,
+            monoids=("toolset", "top3", "hll"),
+            value_exprs=("turn_idx % 11", "turn_idx", "turn_idx % 97"),
+            sizes=("4 minutes",),
+            slide="1 minute",
+            int_values=True,
+        ),
+        ["wtoolset", "wtop3", "whll"],
+    )
+    hll = get_monoid("hll", np.int64)
+    sent = np.iinfo(np.int64).min
+    rows = []
+    for conv, g in pdf.groupby("conv_id"):
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ti = g["turn_idx"].to_numpy().astype(np.int64)
+        panes = ts - ts % SLIDE
+        ends = {int(p + k * SLIDE) for p in np.unique(panes)
+                for k in range(1, SIZE // SLIDE + 1)}
+        for e in sorted(ends):
+            m = (ts >= e - SIZE) & (ts < e)
+            if not m.any():
+                continue
+            tool = len(np.unique((ti[m] % 11) % 63))
+            srt = np.sort(ti[m])
+            t3 = int(srt[-3]) if len(srt) >= 3 else int(sent)
+            est = float(hll.lower(hll.lift_reduce(ti[m] % 97))[0])
+            rows.append((conv, e - SIZE, e, tool, t3, est))
+    exp = pd.DataFrame(
+        rows, columns=["conv_id", "ws", "we", "wtoolset", "wtop3", "whll"]
+    )
+    assert got["conv_id"].tolist() == exp["conv_id"].tolist()
+    assert got["ws"].tolist() == exp["ws"].tolist()
+    assert got["we"].tolist() == exp["we"].tolist()
+    assert got["wtoolset"].tolist() == exp["wtoolset"].tolist()
+    assert got["wtop3"].tolist() == exp["wtop3"].tolist()
+    assert got["whll"].to_numpy() == pytest.approx(
+        exp["whll"].to_numpy(), rel=1e-12
+    )
+
+
+def test_pane_rollup_monoid_vs_duckdb_toolset(spark, tmp_path):
+    """Fully independent cross-engine oracle: DuckDB mirrors the toolset
+    monoid operation-for-operation (bit_or of single-bit masks per pane,
+    bit_or across panes, bit_count at the end)."""
+    import duckdb
+
+    from sliding_window_aggregators_spark.operators import pane_rollup_monoid
+
+    pdf = transcripts_pandas(1500, 20)
+    src = str(tmp_path / "rows.parquet")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+    got = _got_monoid(
+        pane_rollup_monoid(
+            spark.read.parquet(src),
+            monoids=("toolset",),
+            value_expr="turn_idx % 11",
+            sizes=("4 minutes",),
+            slide="1 minute",
+            int_values=True,
+        ),
+        ["wtoolset"],
+    )
+    exp = duckdb.connect().execute(f"""
+        with rows as (
+          select conv_id, ts, (turn_idx % 11) as v
+          from read_parquet('{src}/*.parquet')
+        ),
+        panes as (
+          select conv_id,
+                 (epoch_us(ts) // {SLIDE}) * {SLIDE} as p,
+                 bit_or(1::bigint << (v % 63)) as b
+          from rows group by 1, 2
+        ),
+        contrib as (
+          select conv_id, p + k.range * {SLIDE} as we, b
+          from panes, range(1, {SIZE // SLIDE} + 1) k
+        )
+        select conv_id, we - {SIZE} as ws, we,
+               bit_count(bit_or(b)) as wtoolset
+        from contrib group by 1, 2, 3 order by 1, 3
+    """).df()
+    assert got["conv_id"].tolist() == exp["conv_id"].tolist()
+    assert got["ws"].tolist() == exp["ws"].tolist()
+    assert got["we"].tolist() == exp["we"].tolist()
+    assert got["wtoolset"].tolist() == exp["wtoolset"].tolist()
+
+
+def test_pane_rollup_monoid_plan_one_exchange(spark):
+    """100 TB pins: the single exchange moves map-side pane PARTIALS
+    (one MapInPandas BELOW the one hashpartitioning Exchange, the
+    per-key fold above it), no Generate, no nested-loop join."""
+    from sliding_window_aggregators_spark.operators import pane_rollup_monoid
+
+    pdf = transcripts_pandas(300, 8)
+    df = spark.createDataFrame(pdf)
+    out = pane_rollup_monoid(
+        df, monoids=("hll", "top3"), sizes=("4 minutes", "8 minutes"),
+        slide="1 minute", value_expr="turn_idx", int_values=True,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("MapInPandas") == 1, plan
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert "Generate" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    ex = plan.index("Exchange hashpartitioning")
+    assert "MapInPandas" in plan[ex:], plan  # pre-combine below the shuffle
+
+
+def test_pane_rollup_monoid_rejections(spark):
+    from sliding_window_aggregators_spark.operators import pane_rollup_monoid
+
+    pdf = transcripts_pandas(50, 4)
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="commutative"):
+        pane_rollup_monoid(df, monoids=("argmax",),
+                           sizes=("4 minutes",), slide="1 minute")
+    with pytest.raises(ValueError, match="multiple"):
+        pane_rollup_monoid(df, sizes=("5 minutes",), slide="2 minutes")
+    with pytest.raises(ValueError, match="duplicate"):
+        pane_rollup_monoid(df, sizes=("4 minutes", "4 minutes"),
+                           slide="1 minute")
+    with pytest.raises(ValueError, match="value_exprs"):
+        pane_rollup_monoid(df, monoids=("sum", "max"),
+                           value_exprs=("length(text)",),
+                           sizes=("4 minutes",), slide="1 minute")
