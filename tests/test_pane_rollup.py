@@ -493,3 +493,72 @@ def test_pane_rollup_monoid_rejections(spark):
         pane_rollup_monoid(df, monoids=("sum", "max"),
                            value_exprs=("length(text)",),
                            sizes=("4 minutes",), slide="1 minute")
+
+
+def test_pane_rollup_monoid_matches_streaming_panes(spark, tmp_path):
+    """Cross-PATH parity: the batch monoid rollup and the streaming
+    shared-pane multi (pre-combined, 2-chunk replay + flush sentinel)
+    must emit identical (window, value) sets for (toolset, top3) x
+    (2m, 4m) — the docstring's emission-contract claim, pinned across
+    two entirely different execution paths."""
+    from sliding_window_aggregators_spark.operators import pane_rollup_monoid
+    from sliding_window_aggregators_spark.streaming import (
+        write_stream_exactly_once,
+    )
+    from sliding_window_aggregators_spark.streaming.engine import (
+        sliding_panes_stream_multi,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pdf = transcripts_pandas(600, 12)
+
+    def chunk(p, name):
+        spark.createDataFrame(p).coalesce(1).write.mode("overwrite").parquet(
+            str(src / name)
+        )
+
+    chunk(pdf.iloc[:300], "c0")
+    chunk(pdf.iloc[300:], "c1")
+    flush = pdf.iloc[:1].copy()
+    flush["conv_id"] = "__flush"
+    flush["ts"] = pdf["ts"].max() + pd.Timedelta(days=2)
+    chunk(flush, "c2f")
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    kw = dict(
+        monoids=("toolset", "top3"),
+        value_exprs=("turn_idx % 11", "turn_idx"),
+        sizes=("2 minutes", "4 minutes"),
+        slide="1 minute",
+        int_values=True,
+    )
+    stream = sliding_panes_stream_multi(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*")),
+        watermark="0 seconds",
+        pre_combine=True,
+        **kw,
+    )
+    q, sink = write_stream_exactly_once(
+        stream, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    got = _got_monoid(
+        spark.read.parquet(str(tmp_path / "out")), ["wtoolset", "wtop3"]
+    )
+    got = got[got["conv_id"] != "__flush"].reset_index(drop=True)
+    exp = _got_monoid(
+        pane_rollup_monoid(spark.createDataFrame(pdf), **kw),
+        ["wtoolset", "wtop3"],
+    )
+    assert got["conv_id"].tolist() == exp["conv_id"].tolist()
+    assert got["ws"].tolist() == exp["ws"].tolist()
+    assert got["we"].tolist() == exp["we"].tolist()
+    assert got["wtoolset"].tolist() == exp["wtoolset"].tolist()
+    assert got["wtop3"].tolist() == exp["wtop3"].tolist()
