@@ -768,6 +768,7 @@ def _panes_step(
     int_values: bool,
     drop_counter=None,
     pre_col: str | None = None,
+    early: bool = False,
 ) -> tuple[dict | None, dict]:
     """One micro-batch of the pane-sliced sliding-window kernel against a
     key's pane state ``d`` — pure function (no Spark objects) shared by
@@ -790,7 +791,7 @@ def _panes_step(
     per_size, dm = _panes_multi_step(
         dm, pdf, wm_us, monoids=[monoid], val_cols=["__v"], ts_col=ts_col,
         sizes_us=[size_us], slide_us=slide_us, int_flags=[int_values],
-        drop_counter=drop_counter, pre_col=pre_col,
+        drop_counter=drop_counter, pre_col=pre_col, early=early,
     )
     emitted = None
     if per_size[0] is not None:
@@ -800,6 +801,8 @@ def _panes_step(
             "window_end": e["window_end"],
             "values": e["values"][0],
         }
+        if "final" in e:
+            emitted["final"] = e["final"]
     return emitted, {
         "pane_ts": dm["pane_ts"], "partials": dm["partials"][0],
         "last_emit": dm["last_emit"], "v": 1,
@@ -819,6 +822,7 @@ def _panes_multi_step(
     int_flags: list[bool],
     drop_counter=None,
     pre_col: str | None = None,
+    early: bool = False,
 ) -> tuple[list[dict | None], dict]:
     """The SHARED-PANE generalization of :func:`_panes_step`: N monoid
     specs × K window sizes over ONE slide-aligned pane layer — the
@@ -847,6 +851,18 @@ def _panes_multi_step(
 
     Returns ``(per_size, new_state)`` where ``per_size[k]`` is None or
     ``{"window_start", "window_end", "values": [one array per spec]}``.
+
+    ``early=True`` (the Beam-style early-firing trigger / Scotty's eager
+    emission) additionally emits a PROVISIONAL row for every still-OPEN
+    nonempty window whenever the key ingested rows this batch — the
+    current fold of the panes seen so far, re-emitted (and superseded)
+    on every later batch that changes it, with the closure row as the
+    single authoritative final. Each ``per_size[k]`` then carries a
+    ``"final"`` bool array (True = watermark closure, exactly once;
+    False = provisional). Timeout-only invocations emit finals only
+    (nothing changed, nothing to re-fire). Downstream must treat
+    (key, window) as upsert-keyed — the operator is for update-capable
+    sinks, not the exactly-once append sink.
     """
     from ..operators.kernels import interval_fold
 
@@ -854,6 +870,7 @@ def _panes_multi_step(
     partials = d["partials"]
     last_emit = d["last_emit"]
     max_size = max(sizes_us)
+    changed = False
 
     if pdf is not None and len(pdf):
         pdf = pdf.sort_values(ts_col, kind="mergesort")
@@ -877,6 +894,7 @@ def _panes_multi_step(
             else:
                 kept_cols = [v[keep] for v in kept_cols]
         if len(pane):
+            changed = True
             change = np.flatnonzero(np.diff(pane)) + 1
             starts = np.concatenate(([0], change))
             ends = np.concatenate((change, [len(pane)]))
@@ -958,6 +976,60 @@ def _panes_multi_step(
             keep_idx = np.flatnonzero(live)
             pane_ts = pane_ts[keep_idx]
             partials = [p_take(sp, keep_idx) for sp in partials]
+    if early:
+        for k_i in range(len(sizes_us)):
+            if per_size[k_i] is not None:
+                per_size[k_i]["final"] = np.ones(
+                    len(per_size[k_i]["window_end"]), dtype=bool
+                )
+        # provisional rows for every still-open nonempty window, only
+        # when this batch changed the key's panes (eviction never drops
+        # a pane feeding an open window: pane + size >= end > last_emit)
+        if changed and len(pane_ts):
+            for k_i, size_us in enumerate(sizes_us):
+                n_panes = size_us // slide_us
+                cand = np.unique(
+                    (
+                        pane_ts[:, None]
+                        + np.arange(1, n_panes + 1, dtype=np.int64)
+                        * slide_us
+                    ).ravel()
+                )
+                cand = cand[cand > last_emit]
+                lo = np.searchsorted(pane_ts, cand - size_us, side="left")
+                hi = np.searchsorted(pane_ts, cand, side="left")
+                nz = lo < hi
+                cand, lo, hi = cand[nz], lo[nz], hi[nz]
+                if not len(cand):
+                    continue
+                prov_vals = [
+                    m.lower(interval_fold(m, sp, lo, hi))
+                    for m, sp in zip(monoids, partials)
+                ]
+                fin = per_size[k_i]
+                if fin is None:
+                    per_size[k_i] = {
+                        "window_start": cand - size_us,
+                        "window_end": cand,
+                        "values": prov_vals,
+                        "final": np.zeros(len(cand), dtype=bool),
+                    }
+                else:
+                    per_size[k_i] = {
+                        "window_start": np.concatenate(
+                            (fin["window_start"], cand - size_us)
+                        ),
+                        "window_end": np.concatenate(
+                            (fin["window_end"], cand)
+                        ),
+                        "values": [
+                            np.concatenate((a, b))
+                            for a, b in zip(fin["values"], prov_vals)
+                        ],
+                        "final": np.concatenate(
+                            (fin["final"], np.zeros(len(cand), dtype=bool))
+                        ),
+                    }
     return per_size, {
         "pane_ts": pane_ts, "partials": partials, "last_emit": last_emit,
         "v": 1,
@@ -1073,6 +1145,7 @@ def sliding_panes_stream(
     min_state_partitions: int | None = STATE_PARTITION_FLOOR,
     pre_combine: bool = False,
     dropped_late_counter=None,
+    early: bool = False,
 ) -> DataFrame:
     """Pane-sliced sliding windows (size ``W``, slide ``p`` — the
     Flink-style sliding window) with BOUNDED per-key state: one monoid
@@ -1115,7 +1188,16 @@ def sliding_panes_stream(
     ``dropped_late_counter`` then counts dropped pre-combined partials,
     not raw rows.
 
-    Output schema: ``(key, window_start, window_end, out_col)``.
+    ``early=True`` adds Beam-style EARLY FIRING (Scotty's eager
+    emission): whenever a key ingests rows, every still-open nonempty
+    window re-emits its current provisional value; the watermark-closure
+    row remains the single authoritative final. The output gains a
+    ``final boolean`` column and the query runs in UPDATE output mode —
+    route it to an upsert-keyed sink ((key, window_start, window_end) is
+    the upsert key), NOT the exactly-once append sink.
+
+    Output schema: ``(key, window_start, window_end, out_col)``
+    (+ ``final`` under ``early=True``).
     """
     size_us = _interval_us(size)
     slide_us = _interval_us(slide)
@@ -1130,6 +1212,8 @@ def sliding_panes_stream(
         f"{key} {key_t}, window_start timestamp, window_end timestamp, "
         f"{out_col} {out_type}"
     )
+    if early:
+        out_schema += ", final boolean"
 
     def fn(
         key_tuple,
@@ -1149,7 +1233,7 @@ def sliding_panes_stream(
             d, gathered, wm_ms * 1000, monoid=monoid, ts_col=ts_col,
             size_us=size_us, slide_us=slide_us, int_values=int_values,
             drop_counter=dropped_late_counter,
-            pre_col="__pre" if pre_combine else None,
+            pre_col="__pre" if pre_combine else None, early=early,
         )
         if len(d["pane_ts"]):
             state.update((bytearray(
@@ -1165,18 +1249,19 @@ def sliding_panes_stream(
         elif state.exists:
             state.remove()
         if emitted is not None:
-            yield pd.DataFrame(
-                {
-                    key: key_tuple[0],
-                    "window_start": emitted["window_start"].astype(
-                        "datetime64[us]"
-                    ),
-                    "window_end": emitted["window_end"].astype(
-                        "datetime64[us]"
-                    ),
-                    out_col: emitted["values"],
-                }
-            )
+            frame = {
+                key: key_tuple[0],
+                "window_start": emitted["window_start"].astype(
+                    "datetime64[us]"
+                ),
+                "window_end": emitted["window_end"].astype(
+                    "datetime64[us]"
+                ),
+                out_col: emitted["values"],
+            }
+            if early:
+                frame["final"] = emitted["final"]
+            yield pd.DataFrame(frame)
 
     _apply_state_partition_floor(df, min_state_partitions)
     prepared = (
@@ -1190,7 +1275,7 @@ def sliding_panes_stream(
         )
     prepared = prepared.withWatermark(ts_col, watermark)
     return prepared.groupBy(key).applyInPandasWithState(
-        fn, out_schema, STATE_SCHEMA, "append",
+        fn, out_schema, STATE_SCHEMA, "update" if early else "append",
         GroupStateTimeout.EventTimeTimeout,
     )
 
@@ -1210,6 +1295,7 @@ def sliding_panes_stream_multi(
     value_exprs: Sequence[str] | None = None,
     pre_combine: bool = False,
     dropped_late_counter=None,
+    early: bool = False,
 ) -> DataFrame:
     """SHARED-PANE multi-aggregate rollup stream: N monoids × K window
     sizes over ONE pane layer per key — the pane-space form of the
@@ -1245,6 +1331,11 @@ def sliding_panes_stream_multi(
     pickled partial row per (key, pane, upstream partition) carrying ALL
     N specs, so the shared-pane discipline survives the pre-combine too.
     Commutative monoids only.
+
+    ``early=True`` adds Beam-style EARLY FIRING (see
+    :func:`sliding_panes_stream`): provisional rows for still-open
+    windows on every ingesting batch, a ``final boolean`` column, and
+    UPDATE output mode — for upsert-keyed sinks only.
     """
     slide_us = _interval_us(slide)
     sizes_us = [_interval_us(s) for s in sizes]
@@ -1283,6 +1374,8 @@ def sliding_panes_stream_multi(
         [f"{key} {key_t}", "window_start timestamp", "window_end timestamp"]
         + [f"{c} {_OUT_SPARK_TYPE[n]}" for c, n in zip(out_cols, names)]
     )
+    if early:
+        out_schema += ", final boolean"
 
     def fn(
         key_tuple,
@@ -1307,7 +1400,7 @@ def sliding_panes_stream_multi(
             d, gathered, wm_ms * 1000, monoids=ms, val_cols=val_cols,
             ts_col=ts_col, sizes_us=sizes_us, slide_us=slide_us,
             int_flags=int_flags, drop_counter=dropped_late_counter,
-            pre_col="__pre" if pre_combine else None,
+            pre_col="__pre" if pre_combine else None, early=early,
         )
         if len(d["pane_ts"]):
             state.update((bytearray(
@@ -1331,6 +1424,8 @@ def sliding_panes_stream_multi(
             }
             for c, vals in zip(out_cols, emitted["values"]):
                 frame[c] = vals
+            if early:
+                frame["final"] = emitted["final"]
             yield pd.DataFrame(frame)
 
     _apply_state_partition_floor(df, min_state_partitions)
@@ -1347,7 +1442,7 @@ def sliding_panes_stream_multi(
         )
     prepared = prepared.withWatermark(ts_col, watermark)
     return prepared.groupBy(key).applyInPandasWithState(
-        fn, out_schema, STATE_SCHEMA, "append",
+        fn, out_schema, STATE_SCHEMA, "update" if early else "append",
         GroupStateTimeout.EventTimeTimeout,
     )
 

@@ -1074,3 +1074,132 @@ def test_sliding_panes_stream_multi_pre_combine_matches_batch(
         assert gk["we"].tolist() == exp["we"].tolist()
         assert gk["wsum"].tolist() == exp["wsum"].tolist()
         assert gk["wmax"].tolist() == exp["wmax"].tolist()
+
+
+# --------------------------------------------------------------------------
+# Early firing (Beam-style trigger / Scotty eager emission)
+# --------------------------------------------------------------------------
+
+def test_panes_step_early_firing_kernel():
+    """early=True: every ingesting batch re-emits provisional values for
+    still-open nonempty windows (final=False); watermark closure stays
+    the single final (final=True); timeout-only invocations emit finals
+    only."""
+    MIN = 60 * US
+    m = get_monoid("sum")
+    d = _panes_empty_state(m)
+
+    def step(pdf, wm):
+        return _panes_step(
+            d, pdf, wm, monoid=m, ts_col="ts", size_us=SIZE,
+            slide_us=SLIDE, int_values=False, early=True,
+        )
+
+    # batch 1: rows at minutes 0,1,2 — wm 0, nothing closable
+    emitted, d = step(_mkpdf([0, MIN, 2 * MIN], [1, 2, 3]), 0)
+    seen = _brute_windows([0, MIN, 2 * MIN], [1, 2, 3])
+    assert not emitted["final"].any()
+    assert emitted["window_end"].tolist() == sorted(seen)
+    assert emitted["values"].tolist() == [seen[e] for e in sorted(seen)]
+
+    # batch 2: row at minute 3, wm minute 2 — ends <= 2min close (final,
+    # exact), ends > 2min re-fire provisionally with the updated values
+    emitted, d = step(_mkpdf([3 * MIN], [10.0]), 2 * MIN)
+    full = _brute_windows([0, MIN, 2 * MIN, 3 * MIN], [1, 2, 3, 10])
+    fin = emitted["final"]
+    f_ends = emitted["window_end"][fin].tolist()
+    p_ends = emitted["window_end"][~fin].tolist()
+    assert f_ends == [e for e in sorted(full) if e <= 2 * MIN]
+    assert p_ends == [e for e in sorted(full) if e > 2 * MIN]
+    assert emitted["values"][fin].tolist() == [full[e] for e in f_ends]
+    assert emitted["values"][~fin].tolist() == [full[e] for e in p_ends]
+
+    # timeout-only invocation (no input): finals only, no re-fire
+    emitted, d = step(None, 10 * MIN)
+    assert emitted["final"].all()
+    assert emitted["window_end"].tolist() == [
+        e for e in sorted(full) if e > 2 * MIN
+    ]
+    assert emitted["values"].tolist() == [
+        full[e] for e in sorted(full) if e > 2 * MIN
+    ]
+    assert len(d["pane_ts"]) == 0  # everything evicted after closure
+
+
+def test_sliding_panes_stream_early_firing(spark, stream_dirs):
+    """Streaming early firing through a real update-mode query: the
+    memory sink accumulates every fired row, so the provisional
+    TRAJECTORY of a window spanning two micro-batches is visible —
+    (final=False, partial value) then (final=False, updated value) then
+    exactly one (final=True, closure value)."""
+    src, out, ckpt = stream_dirs
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    def rows(minutes):
+        return pd.DataFrame(
+            {
+                "conv_id": "c1",
+                "turn_idx": range(len(minutes)),
+                "role": "user",
+                "text": ["x" * 10] * len(minutes),
+                "tool": "",
+                "ts": [base + pd.Timedelta(minutes=mm) for mm in minutes],
+            }
+        )
+
+    _write_chunk(spark, src, rows([0, 1, 2]), "b0")
+    _write_chunk(spark, src, rows([3]), "b1")
+    _write_chunk(spark, src, rows([60]), "b2")
+    _write_chunk(spark, src, rows([120]), "b3")
+
+    stream = sliding_panes_stream(
+        _read_stream(spark, src),
+        size="4 minutes", slide="1 minute", watermark="0 seconds",
+        early=True,
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("early_tbl")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.table("early_tbl")
+        .selectExpr(
+            "unix_micros(window_end) as we", "wagg", "final"
+        )
+        .toPandas()
+    )
+    MIN = 60 * US
+    t0 = base.value // 1000
+
+    # exactly one final per closed window; values exact vs the brute
+    fin = got[got["final"]]
+    assert fin["we"].is_unique
+    full = _brute_windows(
+        [0, MIN, 2 * MIN, 3 * MIN, 60 * MIN, 120 * MIN],
+        [10.0] * 6,
+    )
+    closed = sorted(fin["we"] - t0)
+    for e in closed:
+        assert fin.loc[fin["we"] == t0 + e, "wagg"].iloc[0] == full[e]
+    # every window that CAN have closed (ends <= the last batch's wm of
+    # minute 60) did close exactly once
+    assert set(closed) >= {e for e in full if e <= 60 * MIN}
+
+    # the cross-batch window [0, 4min): provisional 30 after batch 1
+    # (rows 0,1,2), provisional 40 after batch 2 (row 3 arrives),
+    # exactly one final 40
+    w4 = got[got["we"] == t0 + 4 * MIN]
+    traj = sorted(zip(w4["final"], w4["wagg"]))
+    assert (False, 30.0) in traj and (False, 40.0) in traj
+    assert traj.count((True, 40.0)) == 1
+    assert (True, 30.0) not in traj
+
+    # windows no watermark could close (ends past the last event) are
+    # provisional-only
+    open_ends = {t0 + (120 + k) * MIN for k in range(1, 5)}
+    assert not fin["we"].isin(open_ends).any()
+    assert got[~got["final"]]["we"].isin(open_ends).any()
