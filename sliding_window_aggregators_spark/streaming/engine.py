@@ -1461,6 +1461,7 @@ def sliding_panes_stream_tws(
     int_values: bool = False,
     min_state_partitions: int | None = STATE_PARTITION_FLOOR,
     pre_combine: bool = False,
+    early: bool = False,
 ) -> DataFrame:
     """:func:`sliding_panes_stream` on Spark 4's
     ``transformWithStateInPandas`` — the pane-sliced rollup state under
@@ -1472,6 +1473,11 @@ def sliding_panes_stream_tws(
     Semantics are byte-identical to the applyInPandasWithState path:
     both drive :func:`_panes_multi_step` per key per micro-batch, and
     the parity test replays the same chunked stream through both.
+
+    ``early=True`` adds Beam-style EARLY FIRING exactly as on the
+    applyInPandasWithState path (see :func:`sliding_panes_stream`):
+    ``final boolean`` column, Update output mode, provisional re-fires
+    on ingesting batches, timer expiries emit finals only.
 
     Requires google.protobuf for the Python↔state-server protocol — a
     real wheel or the vendored mini-runtime (compat.ensure_protobuf),
@@ -1494,6 +1500,8 @@ def sliding_panes_stream_tws(
         f"{key} {key_t}, window_start timestamp, window_end timestamp, "
         f"{out_col} {out_type}"
     )
+    if early:
+        out_schema += ", final boolean"
 
     class PanesProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -1517,7 +1525,7 @@ def sliding_panes_stream_tws(
                 d, gathered, wm_ms * 1000, monoids=[monoid],
                 val_cols=["swag_v"], ts_col=ts_col, sizes_us=[size_us],
                 slide_us=slide_us, int_flags=[int_values],
-                pre_col="swag_pre" if pre_combine else None,
+                pre_col="swag_pre" if pre_combine else None, early=early,
             )
             for t in list(self._handle.listTimers()):
                 self._handle.deleteTimer(t)
@@ -1541,18 +1549,19 @@ def sliding_panes_stream_tws(
             emitted = per_size[0]
             if emitted is None:
                 return iter([])
-            return iter([pd.DataFrame(
-                {
-                    key: key_tuple[0],
-                    "window_start": emitted["window_start"].astype(
-                        "datetime64[us]"
-                    ),
-                    "window_end": emitted["window_end"].astype(
-                        "datetime64[us]"
-                    ),
-                    out_col: emitted["values"][0],
-                }
-            )])
+            frame = {
+                key: key_tuple[0],
+                "window_start": emitted["window_start"].astype(
+                    "datetime64[us]"
+                ),
+                "window_end": emitted["window_end"].astype(
+                    "datetime64[us]"
+                ),
+                out_col: emitted["values"][0],
+            }
+            if early:
+                frame["final"] = emitted["final"]
+            return iter([pd.DataFrame(frame)])
 
         def handleInputRows(self, key_tuple, rows, timer_values):
             chunks = list(rows)
@@ -1591,7 +1600,7 @@ def sliding_panes_stream_tws(
     return prepared.groupBy(key).transformWithStateInPandas(
         statefulProcessor=PanesProcessor(),
         outputStructType=out_schema,
-        outputMode="Append",
+        outputMode="Update" if early else "Append",
         timeMode="EventTime",
     )
 

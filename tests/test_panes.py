@@ -1203,3 +1203,154 @@ def test_sliding_panes_stream_early_firing(spark, stream_dirs):
     open_ends = {t0 + (120 + k) * MIN for k in range(1, 5)}
     assert not fin["we"].isin(open_ends).any()
     assert got[~got["final"]]["we"].isin(open_ends).any()
+
+
+@pytest.mark.skipif(
+    os.environ.get("SWAG_SKIP_TWS") == "1",
+    reason="explicitly skipped via SWAG_SKIP_TWS",
+)
+def test_sliding_panes_stream_tws_early_firing(spark, stream_dirs):
+    """Early firing under the PRODUCTION arbitrary-state API: same
+    trajectory contract as the apply path — provisional re-fires on
+    ingesting batches, exactly one final per closed window, timer
+    expiries emit finals only — through transformWithStateInPandas +
+    RocksDB in Update output mode."""
+    from sliding_window_aggregators_spark.compat import protobuf_available
+
+    if not protobuf_available():
+        pytest.skip("no google.protobuf and the vendored runtime failed")
+    from sliding_window_aggregators_spark.streaming import (
+        sliding_panes_stream_tws,
+    )
+
+    src, out, ckpt = stream_dirs
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    def rows(minutes):
+        return pd.DataFrame(
+            {
+                "conv_id": "c1",
+                "turn_idx": range(len(minutes)),
+                "role": "user",
+                "text": ["x" * 10] * len(minutes),
+                "tool": "",
+                "ts": [base + pd.Timedelta(minutes=mm) for mm in minutes],
+            }
+        )
+
+    _write_chunk(spark, src, rows([0, 1, 2]), "b0")
+    _write_chunk(spark, src, rows([3]), "b1")
+    _write_chunk(spark, src, rows([60]), "b2")
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = sliding_panes_stream_tws(
+            _read_stream(spark, src),
+            size="4 minutes", slide="1 minute", watermark="0 seconds",
+            early=True,
+        )
+        q = (
+            stream.writeStream.format("memory").queryName("tws_early_tbl")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+    finally:
+        if prev is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    got = (
+        spark.table("tws_early_tbl")
+        .selectExpr("unix_micros(window_end) as we", "wagg", "final")
+        .toPandas()
+    )
+    MIN = 60 * US
+    t0 = base.value // 1000
+
+    fin = got[got["final"]]
+    assert fin["we"].is_unique
+    full = _brute_windows(
+        [0, MIN, 2 * MIN, 3 * MIN, 60 * MIN], [10.0] * 5
+    )
+    for e in fin["we"] - t0:
+        assert fin.loc[fin["we"] == t0 + e, "wagg"].iloc[0] == full[e]
+    # the cross-batch window [0, 4min): provisional 30, provisional 40,
+    # exactly one final 40
+    w4 = got[got["we"] == t0 + 4 * MIN]
+    traj = list(zip(w4["final"], w4["wagg"]))
+    assert (False, 30.0) in traj and (False, 40.0) in traj
+    assert traj.count((True, 40.0)) == 1 and (True, 30.0) not in traj
+
+
+# --------------------------------------------------------------------------
+# Property fuzz: the pane kernel under arbitrary batch splits + disorder
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.data())
+def test_panes_step_fuzz_arbitrary_splits_vs_brute(data):
+    """For random rows dealt into random micro-batches in random order
+    (full OOO — the watermark is held at 0 so nothing is late), the
+    final flush must yield EXACTLY the brute emitted set, each window
+    exactly once, for a sum (commutative group), a max (idempotent),
+    and a toolset (bitset) fold."""
+    n = data.draw(st.integers(1, 50))
+    ts = data.draw(st.lists(
+        st.integers(0, 10 * SLIDE - 1), min_size=n, max_size=n
+    ))
+    vals = data.draw(st.lists(
+        st.integers(0, 9), min_size=n, max_size=n
+    ))
+    n_b = data.draw(st.integers(1, 4))
+    assign = data.draw(st.lists(
+        st.integers(0, n_b - 1), min_size=n, max_size=n
+    ))
+    size_us = data.draw(st.integers(1, 5)) * SLIDE
+    name, int_v, fold = data.draw(st.sampled_from([
+        ("sum", False, sum),
+        ("max", False, max),
+        ("toolset", True,
+         lambda vs: float(len({int(v) % 63 for v in vs}))),
+    ]))
+    m = get_monoid(name, np.int64 if int_v else np.float64)
+    d = _panes_empty_state(m)
+    got = {}
+
+    def run(pdf, wm):
+        nonlocal d
+        emitted, d = _panes_step(
+            d, pdf, wm, monoid=m, ts_col="ts", size_us=size_us,
+            slide_us=SLIDE, int_values=int_v,
+        )
+        if emitted is not None:
+            for e, v in zip(emitted["window_end"], emitted["values"]):
+                assert int(e) not in got  # exactly once
+                got[int(e)] = float(v)
+
+    for b in range(n_b):
+        sel = [i for i in range(n) if assign[i] == b]
+        if sel:
+            run(_mkpdf([ts[i] for i in sel], [vals[i] for i in sel]), 0)
+    run(None, 20 * SLIDE + size_us)  # flush: closes every window
+
+    exp = _brute_windows(ts, vals, size_us, SLIDE, fold=fold)
+    assert got == {e: float(v) for e, v in exp.items()}
+    assert len(d["pane_ts"]) == 0  # fully evicted after the flush
