@@ -27,5 +27,6 @@ from .join import (  # noqa: F401
 from .sink import (  # noqa: F401
     ExactlyOnceParquetSink,
     audit_sink,
+    compact_sink,
     write_stream_exactly_once,
 )

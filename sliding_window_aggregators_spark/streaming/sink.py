@@ -111,8 +111,22 @@ class ExactlyOnceParquetSink:
         )
 
     def read_committed(self, spark) -> DataFrame:
+        """Every committed row, exactly once: compacted segments stand in
+        for the batch ids they cover (a covered ``batch_id=`` dir still on
+        disk is pending cleanup from a crash mid-compaction — skipped here,
+        so a crash between the segment commit marker and the old-dir
+        removal can never double-read)."""
         ids = self.committed_batches()
-        paths = [os.path.join(self.out_dir, f"batch_id={b}") for b in ids]
+        segs = _committed_segments(self.out_dir)
+        covered = {b for lo, hi in segs for b in range(lo, hi + 1)}
+        paths = [
+            os.path.join(self.out_dir, f"segment={lo}-{hi}")
+            for lo, hi in segs
+        ] + [
+            os.path.join(self.out_dir, f"batch_id={b}")
+            for b in ids
+            if b not in covered
+        ]
         return spark.read.parquet(*paths) if paths else None
 
 
@@ -132,7 +146,211 @@ def _footer_row_count(path: str) -> int:
     return sum(_footer_row_counts(path).values())
 
 
-def audit_sink(out_dir: str) -> dict:
+def _committed_segments(out_dir: str) -> list[tuple[int, int]]:
+    """(lo, hi) ranges with a ``_COMPACT_<lo>_<hi>`` commit marker."""
+    commit_dir = os.path.join(out_dir, "_commits")
+    if not os.path.isdir(commit_dir):
+        return []
+    segs = []
+    for f in os.listdir(commit_dir):
+        if f.startswith("_COMPACT_") and not f.endswith(".tmp"):
+            lo, hi = f[len("_COMPACT_"):].split("_")
+            segs.append((int(lo), int(hi)))
+    return sorted(segs)
+
+
+def compact_sink(
+    out_dir: str,
+    *,
+    keep_last: int = 1,
+    min_batches: int = 2,
+    target_rows_per_file: int = 4_000_000,
+    _fault_after_marker: bool = False,
+) -> dict:
+    """Small-file compaction for an :class:`ExactlyOnceParquetSink` dir —
+    the maintenance job a micro-batch sink needs at scale (each trigger
+    writes one dir of small files; at 10^12 turns that is millions of
+    files and the metadata, open() and footer costs dominate reads). The
+    Iceberg writer this sink stands in for does this natively
+    (``rewrite_data_files``); this is the stand-in's equivalent, and like
+    Iceberg's it is safe to crash anywhere:
+
+    1. finish any cleanup a previous crashed compaction left behind
+       (covered ``batch_id=`` dirs + their per-batch metrics files), and
+       remove orphan segment dirs that never got their commit marker;
+    2. pick the contiguous run of committed, not-yet-covered batch ids,
+       excluding the newest ``keep_last`` (the ids an active writer's
+       replay window may still inspect with human eyes — the commit
+       markers themselves are NEVER removed, so writer replay-skips keep
+       working for compacted ids too);
+    3. stream the run's parquet files into ``segment=<lo>-<hi>/`` (rows
+       keep their ``_batch_id`` / ``_partition_id`` lineage columns;
+       files roll at ``target_rows_per_file``), publish the dir with an
+       atomic rename, write segment metrics (per-file footer counts +
+       per-BATCH row counts — the lineage audit_sink re-verifies), then
+       commit with an atomic ``_COMPACT_<lo>_<hi>`` marker;
+    4. remove the covered per-batch dirs and metrics files.
+
+    A crash before step 3's marker leaves an orphan segment dir (flagged
+    by :func:`audit_sink`, removed and redone by the next run); a crash
+    after it leaves covered batch dirs pending cleanup (a NOTE in the
+    audit, never a double-read — ``read_committed`` prefers segments).
+    Run it with the query stopped or between triggers, like any Iceberg
+    maintenance job. Pure pyarrow, zero Spark jobs: the sink is already
+    declared driver-local-filesystem-only.
+
+    Returns ``{"segment": (lo, hi) | None, "rows": n, "files_before": b,
+    "files_after": a, "cleaned": [...]}."``
+    """
+    import pyarrow.parquet as pq
+
+    commit_dir = os.path.join(out_dir, "_commits")
+    metrics_dir = os.path.join(out_dir, "_metrics")
+    sink = ExactlyOnceParquetSink(out_dir)
+    ids = sink.committed_batches()
+    segs = _committed_segments(out_dir)
+    covered = {b for lo, hi in segs for b in range(lo, hi + 1)}
+
+    cleaned: list[str] = []
+    # step 1a: idempotent finish of a crash-after-marker compaction
+    for b in sorted(covered):
+        bdir = os.path.join(out_dir, f"batch_id={b}")
+        if os.path.isdir(bdir):
+            _rmtree(bdir)
+            cleaned.append(f"batch_id={b}")
+        mfile = os.path.join(metrics_dir, f"batch_{b}.json")
+        if os.path.exists(mfile):
+            os.remove(mfile)
+    # step 1b: orphan segments (crash before marker) are uncommitted
+    committed_names = {f"segment={lo}-{hi}" for lo, hi in segs}
+    for name in os.listdir(out_dir):
+        if name.startswith("segment=") and name not in committed_names:
+            _rmtree(os.path.join(out_dir, name))
+            cleaned.append(name)
+
+    # step 2: the candidate run — contiguous uncovered ids, oldest first
+    candidates = [b for b in ids if b not in covered]
+    if keep_last > 0:
+        candidates = candidates[: len(candidates) - keep_last]
+    run: list[int] = []
+    for b in candidates:
+        if run and b != run[-1] + 1:
+            break  # compact only the first contiguous run per call
+        run.append(b)
+    files_before = sum(
+        len(_footer_row_counts(os.path.join(out_dir, f"batch_id={b}")))
+        for b in candidates
+    )
+    if len(run) < min_batches:
+        return {"segment": None, "rows": 0, "files_before": files_before,
+                "files_after": files_before, "cleaned": cleaned}
+
+    lo, hi = run[0], run[-1]
+    seg_name = f"segment={lo}-{hi}"
+    tmp_dir = os.path.join(out_dir, seg_name + ".tmp")
+    _rmtree(tmp_dir)
+    os.makedirs(tmp_dir)
+
+    # step 3: stream-merge (per-file memory, small files by premise)
+    rows_per_batch: dict[str, int] = {}
+    writer = None
+    schema = None
+    out_idx = 0
+    rows_in_file = 0
+    total = 0
+    try:
+        for b in run:
+            bdir = os.path.join(out_dir, f"batch_id={b}")
+            rows_per_batch[str(b)] = 0
+            for name in sorted(os.listdir(bdir)):
+                if not name.endswith(".parquet"):
+                    continue
+                table = pq.read_table(os.path.join(bdir, name))
+                if schema is None:
+                    # Spark's TimestampType is microseconds; pyarrow reads
+                    # INT96-written files back as ns — normalize so the
+                    # rewritten segment round-trips through spark.read
+                    schema = _us_timestamps(table.schema)
+                if table.schema != schema:
+                    table = table.cast(schema)  # raises if not unifiable
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        os.path.join(tmp_dir, f"part-{out_idx}.parquet"),
+                        schema,
+                    )
+                writer.write_table(table)
+                rows_per_batch[str(b)] += table.num_rows
+                rows_in_file += table.num_rows
+                total += table.num_rows
+                if rows_in_file >= target_rows_per_file:
+                    writer.close()
+                    writer = None
+                    out_idx += 1
+                    rows_in_file = 0
+    finally:
+        if writer is not None:
+            writer.close()
+    seg_dir = os.path.join(out_dir, seg_name)
+    os.rename(tmp_dir, seg_dir)  # atomic publish
+    per_file = _footer_row_counts(seg_dir)
+    mtmp = os.path.join(metrics_dir, f"segment_{lo}_{hi}.json.tmp")
+    with open(mtmp, "w") as fh:
+        json.dump(
+            {
+                "lo": lo, "hi": hi, "rows": total,
+                "partitions": len(per_file),
+                "rows_per_file": per_file,
+                "rows_per_batch": rows_per_batch,
+            },
+            fh,
+        )
+    os.rename(mtmp, mtmp[: -len(".tmp")])
+    # the commit point: after this rename the segment IS the data
+    ctmp = os.path.join(commit_dir, f"_COMPACT_{lo}_{hi}.tmp")
+    with open(ctmp, "w") as fh:
+        fh.write("ok")
+    os.rename(ctmp, ctmp[: -len(".tmp")])
+    if _fault_after_marker:  # DR-drill hook: crash between commit + cleanup
+        raise RuntimeError("injected fault after compaction commit marker")
+
+    # step 4: cleanup (idempotently finished by the next run if we die here)
+    for b in run:
+        _rmtree(os.path.join(out_dir, f"batch_id={b}"))
+        mfile = os.path.join(metrics_dir, f"batch_{b}.json")
+        if os.path.exists(mfile):
+            os.remove(mfile)
+    remaining = [b for b in candidates if b not in run]
+    files_after = len(per_file) + sum(
+        len(_footer_row_counts(os.path.join(out_dir, f"batch_id={b}")))
+        for b in remaining
+    )
+    return {"segment": (lo, hi), "rows": total,
+            "files_before": files_before, "files_after": files_after,
+            "cleaned": cleaned}
+
+
+def _rmtree(path: str) -> None:
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+
+def _us_timestamps(schema):
+    """The same arrow schema with every ns timestamp field lowered to us
+    (lossless here: the rows were written by Spark, whose TimestampType
+    is microsecond precision)."""
+    import pyarrow as pa
+
+    fields = []
+    for f in schema:
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+            f = f.with_type(pa.timestamp("us", tz=f.type.tz))
+        fields.append(f)
+    return pa.schema(fields)
+
+
+def audit_sink(out_dir: str, deep: bool = False) -> dict:
     """Lineage audit over an :class:`ExactlyOnceParquetSink` output dir —
     the consumer of the per-partition lineage + metrics the sink writes.
 
@@ -145,14 +363,25 @@ def audit_sink(out_dir: str) -> dict:
       counts equal the parquet footers' actual row counts, file by file
       (the lineage a replayed/compacted batch must preserve);
     - no orphan batch dirs (data written but never committed — expected
-      transiently mid-write, a leak if the query is stopped).
+      transiently mid-write, a leak if the query is stopped);
+    - every :func:`compact_sink` segment: its marker, dir and metrics
+      agree; per-file footer counts match; the per-batch row counts sum
+      to the segment total; covered ids are committed and no two
+      segments overlap. ``deep=True`` additionally reads each segment's
+      ``_batch_id`` column (pyarrow, column-pruned) and re-derives the
+      per-batch counts — the row-level lineage proof;
+    - a covered ``batch_id=`` dir still on disk is a NOTE (pending
+      cleanup after a crash mid-compaction — harmless, readers skip it),
+      not a problem; an UNCOMMITTED segment dir is a problem.
 
     Returns ``{"ok": bool, "batches": n, "rows": total,
-    "problems": [...]}`` — raise or alert on ``problems`` in production.
+    "problems": [...], "notes": [...]}`` — raise or alert on
+    ``problems`` in production.
     """
     commit_dir = os.path.join(out_dir, "_commits")
     metrics_dir = os.path.join(out_dir, "_metrics")
     problems: list[str] = []
+    notes: list[str] = []
     ids = sorted(
         int(f.rsplit("_", 1)[1])
         for f in os.listdir(commit_dir)
@@ -162,10 +391,33 @@ def audit_sink(out_dir: str) -> dict:
         problems.append(f"non-contiguous committed batch ids: {ids}")
     if ids and ids[0] != 0:
         problems.append(f"first committed batch is {ids[0]}, not 0")
+    segs = _committed_segments(out_dir)
+    covered: dict[int, tuple[int, int]] = {}
+    for lo, hi in segs:
+        for b in range(lo, hi + 1):
+            if b in covered:
+                problems.append(
+                    f"segments overlap on batch {b}: {covered[b]} and "
+                    f"({lo}, {hi})"
+                )
+            covered[b] = (lo, hi)
+            if b not in ids:
+                problems.append(
+                    f"segment ({lo}, {hi}) covers batch {b} which has no "
+                    "_COMMIT_ marker"
+                )
     total = 0
     for b in ids:
-        mpath = os.path.join(metrics_dir, f"batch_{b}.json")
         bpath = os.path.join(out_dir, f"batch_id={b}")
+        if b in covered:
+            if os.path.isdir(bpath):
+                notes.append(
+                    f"batch {b}: covered by segment {covered[b]}, dir "
+                    "pending cleanup (crash between compaction commit and "
+                    "cleanup; next compact_sink finishes it)"
+                )
+            continue  # rows accounted through the segment below
+        mpath = os.path.join(metrics_dir, f"batch_{b}.json")
         if not os.path.exists(mpath):
             problems.append(f"batch {b}: committed but no metrics file")
             continue
@@ -178,18 +430,86 @@ def audit_sink(out_dir: str) -> dict:
                 f"({m.get('rows_per_file')} vs {actual})"
             )
         total += sum(actual.values())
+    for lo, hi in segs:
+        spath = os.path.join(out_dir, f"segment={lo}-{hi}")
+        mpath = os.path.join(metrics_dir, f"segment_{lo}_{hi}.json")
+        if not os.path.isdir(spath):
+            problems.append(f"segment ({lo}, {hi}): committed but no dir")
+            continue
+        if not os.path.exists(mpath):
+            problems.append(
+                f"segment ({lo}, {hi}): committed but no metrics file")
+            continue
+        with open(mpath) as fh:
+            m = json.load(fh)
+        actual = _footer_row_counts(spath)
+        if m.get("rows_per_file") != actual:
+            problems.append(
+                f"segment ({lo}, {hi}): metrics rows_per_file != parquet "
+                f"footers ({m.get('rows_per_file')} vs {actual})"
+            )
+        per_batch = m.get("rows_per_batch", {})
+        if sorted(int(k) for k in per_batch) != list(range(lo, hi + 1)):
+            problems.append(
+                f"segment ({lo}, {hi}): rows_per_batch keys "
+                f"{sorted(per_batch)} != covered range"
+            )
+        if sum(per_batch.values()) != sum(actual.values()):
+            problems.append(
+                f"segment ({lo}, {hi}): rows_per_batch sums to "
+                f"{sum(per_batch.values())}, footers say "
+                f"{sum(actual.values())}"
+            )
+        if deep:
+            derived = _segment_batch_counts(spath)
+            if derived != {int(k): v for k, v in per_batch.items()}:
+                problems.append(
+                    f"segment ({lo}, {hi}): _batch_id column counts "
+                    f"{derived} != metrics rows_per_batch {per_batch}"
+                )
+        total += sum(actual.values())
     committed = set(ids)
+    seg_names = {f"segment={lo}-{hi}" for lo, hi in segs}
     for name in sorted(os.listdir(out_dir)) if os.path.isdir(out_dir) else []:
         if name.startswith("batch_id="):
             b = int(name.split("=", 1)[1])
             if b not in committed:
                 problems.append(f"orphan uncommitted batch dir: {name}")
+        elif name.startswith("segment=") and name not in seg_names:
+            problems.append(f"orphan uncommitted segment dir: {name}")
     return {
         "ok": not problems,
         "batches": len(ids),
+        "segments": len(segs),
         "rows": total,
         "problems": problems,
+        "notes": notes,
     }
+
+
+def _segment_batch_counts(seg_dir: str) -> dict[int, int]:
+    """Row count per ``_batch_id`` inside a segment, from the data itself
+    (pyarrow, one column read — the audit's deep lineage check)."""
+    import pyarrow.parquet as pq
+
+    counts: dict[int, int] = {}
+    for name in sorted(os.listdir(seg_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        col = pq.read_table(
+            os.path.join(seg_dir, name), columns=["_batch_id"]
+        )["_batch_id"]
+        for chunk in col.chunks:
+            vals, cnts = _np_unique(chunk)
+            for v, c in zip(vals, cnts):
+                counts[int(v)] = counts.get(int(v), 0) + int(c)
+    return counts
+
+
+def _np_unique(chunk):
+    import numpy as np
+
+    return np.unique(chunk.to_numpy(zero_copy_only=False), return_counts=True)
 
 
 def write_stream_exactly_once(

@@ -1,0 +1,221 @@
+"""Sink compaction: the small-files maintenance job (Iceberg's
+rewrite_data_files for the Iceberg-less stand-in sink). A micro-batch
+sink writes one dir of small files per trigger — at 10^12 turns that is
+millions of files; compact_sink merges contiguous committed batches into
+segments while PRESERVING the per-batch/per-partition lineage the audit
+verifies, the per-batch _COMMIT_ markers (writer replay-skips keep
+working), and byte-identical read_committed results — crash-safe at
+every step."""
+
+import glob
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from sliding_window_aggregators_spark.sources import transcripts_pandas
+from sliding_window_aggregators_spark.streaming import (
+    ExactlyOnceParquetSink,
+    audit_sink,
+    compact_sink,
+    sliding_agg_stream,
+    write_stream_exactly_once,
+)
+from test_streaming import SCHEMA, _read_stream, _write_chunk
+
+
+def _run_stream(spark, src, out, ckpt):
+    stream = sliding_agg_stream(
+        _read_stream(spark, src), monoid_name="sum",
+        value_expr="length(text)", duration="2 minutes", out_col="wsum",
+    )
+    q, sink = write_stream_exactly_once(stream, out, ckpt)
+    q.awaitTermination(120)
+    return sink
+
+
+@pytest.fixture(scope="module")
+def built_sink(spark, tmp_path_factory):
+    """A real sink dir with >= 3 committed batches (3 checkpoint-resumed
+    runs over a growing file source). Tests copy it before mutating."""
+    base = tmp_path_factory.mktemp("sinkbase")
+    src, out, ckpt = str(base / "src"), str(base / "out"), str(base / "ckpt")
+    os.makedirs(src)
+    pdf = transcripts_pandas(600, 20)
+    for i, chunk in enumerate(
+        (pdf.iloc[:200], pdf.iloc[200:400], pdf.iloc[400:])
+    ):
+        _write_chunk(spark, src, chunk, f"c{i}")
+        _run_stream(spark, src, out, ckpt)
+    sink = ExactlyOnceParquetSink(out)
+    assert len(sink.committed_batches()) >= 3
+    return out
+
+
+def _copy(built: str, tmp_path) -> str:
+    work = str(tmp_path / "out")
+    shutil.copytree(built, work)
+    return work
+
+
+def _frame(spark, out: str) -> pd.DataFrame:
+    df = ExactlyOnceParquetSink(out).read_committed(spark).toPandas()
+    return df.sort_values(sorted(df.columns)).reset_index(drop=True)
+
+
+def _parquet_files(out: str) -> list[str]:
+    return [
+        p for p in glob.glob(os.path.join(out, "*", "*.parquet"))
+        if "/_" not in p.replace(out, "")
+    ]
+
+
+def test_compact_roundtrip(spark, built_sink, tmp_path):
+    """Compaction shrinks the file count and changes NOTHING observable:
+    read_committed identical (lineage columns included), audit clean
+    (deep lineage re-derived from the data), per-batch commit markers
+    intact, writer replay of a compacted batch id still a no-op."""
+    out = _copy(built_sink, tmp_path)
+    before = _frame(spark, out)
+    ids_before = ExactlyOnceParquetSink(out).committed_batches()
+    files_before = len(_parquet_files(out))
+    assert audit_sink(out)["ok"]
+
+    rep = compact_sink(out, keep_last=1)
+    assert rep["segment"] == (ids_before[0], ids_before[-2])
+    assert rep["files_after"] < rep["files_before"]
+    assert len(_parquet_files(out)) < files_before
+    assert os.path.isdir(
+        os.path.join(out, f"segment={ids_before[0]}-{ids_before[-2]}")
+    )
+
+    # the per-batch commit markers survive: replay-skip still works
+    sink = ExactlyOnceParquetSink(out)
+    assert sink.committed_batches() == ids_before
+    sink(spark.range(5).withColumnRenamed("id", "conv_id"), ids_before[0])
+
+    after = _frame(spark, out)
+    pd.testing.assert_frame_equal(before, after)
+    rep2 = audit_sink(out, deep=True)
+    assert rep2["ok"] and not rep2["notes"], rep2
+    assert rep2["segments"] == 1
+    assert rep2["rows"] == len(before)
+
+    # only keep_last remains uncovered -> nothing to do at min_batches=2
+    assert compact_sink(out, keep_last=1)["segment"] is None
+    # ...but the tail can be folded into its own segment explicitly
+    rep3 = compact_sink(out, keep_last=0, min_batches=1)
+    assert rep3["segment"] == (ids_before[-1], ids_before[-1])
+    assert audit_sink(out, deep=True)["ok"]
+    pd.testing.assert_frame_equal(before, _frame(spark, out))
+
+
+def test_compact_crash_windows(spark, built_sink, tmp_path):
+    """Crash after the segment commit marker: covered batch dirs are a
+    pending-cleanup NOTE, readers never double-count, and the next run
+    finishes the cleanup. Crash before the marker (orphan segment dir):
+    audit flags it, the next run removes and redoes it."""
+    out = _copy(built_sink, tmp_path)
+    before = _frame(spark, out)
+
+    with pytest.raises(RuntimeError, match="injected fault"):
+        compact_sink(out, keep_last=1, _fault_after_marker=True)
+    rep = audit_sink(out, deep=True)
+    assert rep["ok"], rep
+    assert rep["notes"] and all("pending cleanup" in n for n in rep["notes"])
+    # the crash window must not double-read: segments win over leftovers
+    pd.testing.assert_frame_equal(before, _frame(spark, out))
+
+    rep2 = compact_sink(out, keep_last=1)
+    assert rep2["segment"] is None  # nothing new to compact
+    assert any(c.startswith("batch_id=") for c in rep2["cleaned"])
+    rep3 = audit_sink(out, deep=True)
+    assert rep3["ok"] and not rep3["notes"]
+    pd.testing.assert_frame_equal(before, _frame(spark, out))
+
+    # orphan segment dir = data without its commit marker
+    seg = next(
+        n for n in os.listdir(out) if n.startswith("segment=")
+    )
+    shutil.copytree(
+        os.path.join(out, seg), os.path.join(out, "segment=900-901")
+    )
+    rep4 = audit_sink(out)
+    assert not rep4["ok"]
+    assert any("orphan uncommitted segment" in p for p in rep4["problems"])
+    rep5 = compact_sink(out, keep_last=1)
+    assert "segment=900-901" in rep5["cleaned"]
+    assert audit_sink(out, deep=True)["ok"]
+    pd.testing.assert_frame_equal(before, _frame(spark, out))
+
+
+def test_compact_audit_detects_doctored_lineage(spark, built_sink, tmp_path):
+    """The audit catches a segment whose metrics disagree with its data:
+    per-file footer drift shallowly; per-BATCH drift that keeps the total
+    constant only via deep=True (re-derived from the _batch_id column)."""
+    import json
+
+    out = _copy(built_sink, tmp_path)
+    rep = compact_sink(out, keep_last=1)
+    lo, hi = rep["segment"]
+    assert hi > lo  # the deep check needs two batches to trade rows between
+    mpath = os.path.join(out, "_metrics", f"segment_{lo}_{hi}.json")
+    m = json.load(open(mpath))
+
+    # shallow: doctor a per-file count
+    key = next(iter(m["rows_per_file"]))
+    m["rows_per_file"][key] += 1
+    json.dump(m, open(mpath, "w"))
+    bad = audit_sink(out)
+    assert not bad["ok"] and any(
+        "rows_per_file" in p for p in bad["problems"])
+    m["rows_per_file"][key] -= 1
+
+    # deep: move a row between batches, total unchanged
+    m["rows_per_batch"][str(lo)] += 1
+    m["rows_per_batch"][str(hi)] -= 1
+    json.dump(m, open(mpath, "w"))
+    assert audit_sink(out)["ok"]  # totals still agree
+    deep = audit_sink(out, deep=True)
+    assert not deep["ok"] and any(
+        "_batch_id column counts" in p for p in deep["problems"])
+
+    m["rows_per_batch"][str(lo)] -= 1
+    m["rows_per_batch"][str(hi)] += 1
+    json.dump(m, open(mpath, "w"))
+    assert audit_sink(out, deep=True)["ok"]
+
+
+def test_compact_then_resume_appends(spark, tmp_path):
+    """The writer keeps appending after compaction (same checkpoint, new
+    source files -> new batch ids after the segment), and a later
+    compaction folds the remainder."""
+    src, out, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    os.makedirs(src)
+    pdf = transcripts_pandas(400, 12)
+    _write_chunk(spark, src, pdf.iloc[:150], "c0")
+    _run_stream(spark, src, out, ckpt)
+    _write_chunk(spark, src, pdf.iloc[150:300], "c1")
+    _run_stream(spark, src, out, ckpt)
+
+    rep = compact_sink(out, keep_last=0, min_batches=1)
+    assert rep["segment"] is not None
+    n_compacted = _frame(spark, out)
+    assert audit_sink(out, deep=True)["ok"]
+
+    _write_chunk(spark, src, pdf.iloc[300:], "c2")
+    sink = _run_stream(spark, src, out, ckpt)
+    ids = sink.committed_batches()
+    assert ids[-1] > rep["segment"][1]
+    total = _frame(spark, out)
+    assert len(total) == 400  # every turn emitted exactly once
+    assert len(total) > len(n_compacted)
+    assert audit_sink(out, deep=True)["ok"]
+
+    rep2 = compact_sink(out, keep_last=0, min_batches=1)
+    assert rep2["segment"] == (rep["segment"][1] + 1, ids[-1])
+    final = audit_sink(out, deep=True)
+    assert final["ok"] and final["segments"] == 2
+    assert len(_frame(spark, out)) == 400
