@@ -153,7 +153,15 @@ def main() -> None:
     ap.add_argument("--audit", action="store_true",
                     help="after the drain, run the lineage audit over the "
                          "sink (commit-log contiguity, metrics vs parquet "
-                         "footers, orphan batch dirs) and print the report")
+                         "footers, orphan batch dirs, compacted segments) "
+                         "and print the report")
+    ap.add_argument("--compact", type=int, default=None, metavar="KEEP_LAST",
+                    help="after the drain, compact the sink's committed "
+                         "batch dirs (all but the newest KEEP_LAST) into "
+                         "lineage-preserving segments — the small-files "
+                         "maintenance pass (Iceberg rewrite_data_files "
+                         "equivalent); runs before --audit so the audit "
+                         "verifies the compacted layout")
     ap.add_argument("--available-now", action="store_true",
                     help="drain available input then stop (batch-mode run)")
     ap.add_argument("--pin-executors", action="store_true",
@@ -528,6 +536,14 @@ def main() -> None:
         not args.multi_monoids or args.panes
     ):
         print(f"dropped late rows: {drop_acc.value}", file=sys.stderr)
+    if args.compact is not None:
+        import json as _json
+
+        from sliding_window_aggregators_spark.streaming import compact_sink
+
+        crep = compact_sink(args.out, keep_last=args.compact)
+        crep["segment"] = list(crep["segment"]) if crep["segment"] else None
+        print("compaction: " + _json.dumps(crep), file=sys.stderr)
     if args.audit:
         import json as _json
 

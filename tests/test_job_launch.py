@@ -409,3 +409,50 @@ def test_soak_runner_small(tmp_path):
     assert rep["sink"]["lineage_audit_ok"] is True
     assert rep["verdicts"]["state_plateau_ok"] is True
     assert rep["verdicts"]["state_memory_plateau_ok"] is True
+
+
+@pytest.mark.slow
+def test_streaming_job_compact_flag(spark, tmp_path):
+    """--compact KEEP_LAST on the launch artifact: the third run drains
+    its batch, compacts the older ones into a lineage-preserving segment,
+    and --audit (running after) verifies the compacted layout; rows stay
+    exactly-once across segment + live batch dirs."""
+    import json
+
+    from sliding_window_aggregators_spark.sources import transcripts_pandas
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    pdf = transcripts_pandas(300, 10)
+    for i, lo in enumerate(range(0, 300, 100)):
+        spark.createDataFrame(pdf.iloc[lo:lo + 100]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"c{i}"))
+        if i < 2:
+            r = _run_job(src, out, ckpt)
+            assert r.returncode == 0, r.stderr[-2000:]
+
+    r3 = subprocess.run(
+        [
+            sys.executable, os.path.join(ROOT, "jobs", "streaming_job.py"),
+            "--source", src, "--out", out, "--checkpoint", ckpt,
+            "--available-now", "--compact", "1", "--audit",
+        ],
+        capture_output=True, text=True, cwd=ROOT, timeout=420,
+    )
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    crep = json.loads(
+        r3.stderr.split("compaction: ", 1)[1].splitlines()[0])
+    assert crep["segment"] == [0, 1]
+    arep = json.loads(
+        r3.stderr.split("lineage audit: ", 1)[1].splitlines()[0])
+    assert arep["ok"] and arep["segments"] == 1, arep
+
+    assert os.path.isdir(os.path.join(out, "segment=0-1"))
+    assert not os.path.isdir(os.path.join(out, "batch_id=0"))
+    paths = glob.glob(out + "/segment=*") + glob.glob(out + "/batch_id=*")
+    total = spark.read.parquet(*paths)
+    assert total.count() == 300
+    assert total.select("conv_id", "ts").distinct().count() == 300
