@@ -462,7 +462,8 @@ def audit_sink(out_dir: str, deep: bool = False) -> dict:
             )
         if deep:
             derived = _segment_batch_counts(spath)
-            if derived != {int(k): v for k, v in per_batch.items()}:
+            # zero-row batches exist in the metrics but not in the data
+            if derived != {int(k): v for k, v in per_batch.items() if v}:
                 problems.append(
                     f"segment ({lo}, {hi}): _batch_id column counts "
                     f"{derived} != metrics rows_per_batch {per_batch}"
