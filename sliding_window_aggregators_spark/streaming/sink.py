@@ -25,7 +25,17 @@ from pyspark.sql import functions as F
 
 
 class ExactlyOnceParquetSink:
-    def __init__(self, out_dir: str, fault_after_write: str | None = None):
+    def __init__(self, out_dir: str, fault_after_write: str | None = None,
+                 partition_by: tuple = ()):
+        # hive-style partition columns INSIDE each batch dir
+        # (batch_id=N/day=D/part-*.parquet): at 10^12 turns the sink's
+        # readers prune by event-time date instead of scanning every
+        # batch — the same reason the warehouse tables partition. The
+        # columns must exist on the emitted rows (stamp e.g.
+        # to_date(window_end) upstream); lineage metrics, audit and
+        # compaction all key files by their batch-relative path, so the
+        # whole maintenance story is partition-transparent.
+        self.partition_by = tuple(partition_by)
         # DR-drill hook (jobs/streaming_job.py --fault-inject-sink): kill
         # the DRIVER at the worst-case point — after the batch's parquet
         # write, before its commit marker — exactly once per marker path.
@@ -63,7 +73,10 @@ class ExactlyOnceParquetSink:
             "_partition_id", F.spark_partition_id()
         )
         path = os.path.join(self.out_dir, f"batch_id={batch_id}")
-        stamped.write.mode("overwrite").parquet(path)
+        writer = stamped.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(path)
         if self.fault_after_write is not None:
             try:
                 os.close(os.open(
@@ -127,7 +140,33 @@ class ExactlyOnceParquetSink:
             for b in ids
             if b not in covered
         ]
-        return spark.read.parquet(*paths) if paths else None
+        if not paths:
+            return None
+        try:
+            return spark.read.parquet(*paths)
+        except Exception:
+            # partition_by sinks: each root nests hive subdirs, and
+            # Spark's multi-path partition discovery refuses conflicting
+            # roots — read per root (partition columns inferred per dir)
+            # and union. Plan size grows with the dir count, which is
+            # exactly what compaction keeps small.
+            dfs = [spark.read.parquet(p) for p in paths]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d)
+            return out
+
+
+def _parquet_files_rel(root: str) -> list[str]:
+    """Relative paths of every parquet file under ``root`` (recursive:
+    a partitioned batch dir nests hive-style subdirs). Flat layouts
+    yield bare file names, so pre-partitioning metrics stay valid."""
+    out = []
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(os.path.relpath(os.path.join(dirpath, f), root))
+    return sorted(out)
 
 
 def _footer_row_counts(path: str) -> dict:
@@ -135,9 +174,8 @@ def _footer_row_counts(path: str) -> dict:
     import pyarrow.parquet as pq
 
     return {
-        name: pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
-        for name in sorted(os.listdir(path))
-        if name.endswith(".parquet")
+        rel: pq.ParquetFile(os.path.join(path, rel)).metadata.num_rows
+        for rel in _parquet_files_rel(path)
     }
 
 
@@ -251,21 +289,19 @@ def compact_sink(
     _rmtree(tmp_dir)
     os.makedirs(tmp_dir)
 
-    # step 3: stream-merge (per-file memory, small files by premise)
+    # step 3: stream-merge (per-file memory, small files by premise);
+    # partitioned sinks get one rolling writer per hive subdir so the
+    # segment keeps the batch dirs' partition layout (and its pruning)
     rows_per_batch: dict[str, int] = {}
-    writer = None
+    writers: dict[str, list] = {}  # subdir -> [writer, rows_in_file, idx]
     schema = None
-    out_idx = 0
-    rows_in_file = 0
     total = 0
     try:
         for b in run:
             bdir = os.path.join(out_dir, f"batch_id={b}")
             rows_per_batch[str(b)] = 0
-            for name in sorted(os.listdir(bdir)):
-                if not name.endswith(".parquet"):
-                    continue
-                table = pq.read_table(os.path.join(bdir, name))
+            for rel in _parquet_files_rel(bdir):
+                table = pq.read_table(os.path.join(bdir, rel))
                 if schema is None:
                     # Spark's TimestampType is microseconds; pyarrow reads
                     # INT96-written files back as ns — normalize so the
@@ -273,23 +309,31 @@ def compact_sink(
                     schema = _us_timestamps(table.schema)
                 if table.schema != schema:
                     table = table.cast(schema)  # raises if not unifiable
-                if writer is None:
-                    writer = pq.ParquetWriter(
-                        os.path.join(tmp_dir, f"part-{out_idx}.parquet"),
-                        schema,
-                    )
-                writer.write_table(table)
+                sub = os.path.dirname(rel)
+                w = writers.get(sub)
+                if w is None or w[0] is None:
+                    os.makedirs(os.path.join(tmp_dir, sub), exist_ok=True)
+                    idx = w[2] if w else 0
+                    w = writers[sub] = [
+                        pq.ParquetWriter(
+                            os.path.join(
+                                tmp_dir, sub, f"part-{idx}.parquet"),
+                            schema,
+                        ),
+                        0,
+                        idx,
+                    ]
+                w[0].write_table(table)
+                w[1] += table.num_rows
                 rows_per_batch[str(b)] += table.num_rows
-                rows_in_file += table.num_rows
                 total += table.num_rows
-                if rows_in_file >= target_rows_per_file:
-                    writer.close()
-                    writer = None
-                    out_idx += 1
-                    rows_in_file = 0
+                if w[1] >= target_rows_per_file:
+                    w[0].close()
+                    w[0], w[1], w[2] = None, 0, w[2] + 1
     finally:
-        if writer is not None:
-            writer.close()
+        for w in writers.values():
+            if w[0] is not None:
+                w[0].close()
     seg_dir = os.path.join(out_dir, seg_name)
     os.rename(tmp_dir, seg_dir)  # atomic publish
     per_file = _footer_row_counts(seg_dir)
@@ -494,11 +538,9 @@ def _segment_batch_counts(seg_dir: str) -> dict[int, int]:
     import pyarrow.parquet as pq
 
     counts: dict[int, int] = {}
-    for name in sorted(os.listdir(seg_dir)):
-        if not name.endswith(".parquet"):
-            continue
+    for rel in _parquet_files_rel(seg_dir):
         col = pq.read_table(
-            os.path.join(seg_dir, name), columns=["_batch_id"]
+            os.path.join(seg_dir, rel), columns=["_batch_id"]
         )["_batch_id"]
         for chunk in col.chunks:
             vals, cnts = _np_unique(chunk)
@@ -516,9 +558,13 @@ def _np_unique(chunk):
 def write_stream_exactly_once(
     df: DataFrame, out_dir: str, checkpoint_dir: str,
     available_now: bool = True, fault_after_write: str | None = None,
+    partition_by: tuple = (),
 ):
     """Start a streaming write through the exactly-once sink."""
-    sink = ExactlyOnceParquetSink(out_dir, fault_after_write=fault_after_write)
+    sink = ExactlyOnceParquetSink(
+        out_dir, fault_after_write=fault_after_write,
+        partition_by=partition_by,
+    )
     writer = (
         # append: every caller here emits finalized rows per micro-batch
         # (applyInPandasWithState outputs, watermark-closed aggregates)

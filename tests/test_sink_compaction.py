@@ -219,3 +219,67 @@ def test_compact_then_resume_appends(spark, tmp_path):
     final = audit_sink(out, deep=True)
     assert final["ok"] and final["segments"] == 2
     assert len(_frame(spark, out)) == 400
+
+
+def test_partitioned_sink_compaction_and_pruning(spark, tmp_path):
+    """partition_by on the sink: batch dirs nest hive-style partition
+    subdirs (readers prune by the partition column instead of scanning
+    every batch — the 10^12-turn read path), lineage metrics key files by
+    batch-relative path, and compaction preserves the partition layout
+    (and therefore the pruning) inside the segment."""
+    from pyspark.sql import functions as F
+
+    src, out, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    os.makedirs(src)
+    pdf = transcripts_pandas(400, 12)
+
+    def run():
+        agg = sliding_agg_stream(
+            _read_stream(spark, src), monoid_name="sum",
+            value_expr="length(text)", duration="2 minutes", out_col="wsum",
+        ).withColumn("part_min", F.minute("ts"))
+        q, sink = write_stream_exactly_once(
+            agg, out, ckpt, partition_by=("part_min",))
+        q.awaitTermination(120)
+        return sink
+
+    _write_chunk(spark, src, pdf.iloc[:200], "c0")
+    run()
+    _write_chunk(spark, src, pdf.iloc[200:], "c1")
+    sink = run()
+    ids = sink.committed_batches()
+    assert len(ids) >= 2
+
+    # hive layout inside each batch dir; metrics key by relative path
+    subdirs = os.listdir(os.path.join(out, f"batch_id={ids[0]}"))
+    assert any(s.startswith("part_min=") for s in subdirs)
+    import json
+    m = json.load(
+        open(os.path.join(out, "_metrics", f"batch_{ids[0]}.json")))
+    assert all("part_min=" in k for k in m["rows_per_file"]), m
+
+    rep0 = audit_sink(out, deep=True)
+    assert rep0["ok"], rep0
+    before = _frame(spark, out)
+    assert len(before) == 400
+    assert "part_min" in before.columns  # re-inferred from the dirs
+
+    rep = compact_sink(out, keep_last=0)
+    assert rep["segment"] == (ids[0], ids[-1])
+    seg = os.path.join(out, f"segment={ids[0]}-{ids[-1]}")
+    seg_subdirs = [s for s in os.listdir(seg) if s.startswith("part_min=")]
+    assert seg_subdirs  # partition layout survives compaction
+    rep2 = audit_sink(out, deep=True)
+    assert rep2["ok"] and not rep2["notes"], rep2
+    after = _frame(spark, out)
+    pd.testing.assert_frame_equal(before, after)
+
+    # the point of it all: a filtered read prunes at the partition level
+    mn = int(seg_subdirs[0].split("=", 1)[1])
+    sub = spark.read.parquet(seg).where(F.col("part_min") == mn)
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "part_min" in plan.split("PartitionFilters")[1][:200]
+    exp = before[before["part_min"] == mn]
+    assert sub.count() == len(exp)

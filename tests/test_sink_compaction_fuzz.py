@@ -43,14 +43,16 @@ def _build_sink(out: str, batches: list[list[int]]) -> None:
                 {
                     "rid": pa.array(range(rid, rid + n), pa.int64()),
                     "conv_id": pa.array(
-                        [f"c{(rid + j) % 7}" for j in range(n)]),
+                        [f"c{(rid + j) % 7}" for j in range(n)],
+                        pa.string()),
                     "ts": pa.array(
                         [1_700_000_000_000_000 + (rid + j) * 1_000_000
                          for j in range(n)],
                         pa.timestamp("us"),
                     ),
                     "wsum": pa.array(
-                        [float((rid + j) % 101) for j in range(n)]),
+                        [float((rid + j) % 101) for j in range(n)],
+                        pa.float64()),
                     "_batch_id": pa.array([b] * n, pa.int64()),
                     "_partition_id": pa.array(
                         [(rid + j) % 4 for j in range(n)], pa.int32()),
