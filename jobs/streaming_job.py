@@ -155,6 +155,12 @@ def main() -> None:
                          "sink (commit-log contiguity, metrics vs parquet "
                          "footers, orphan batch dirs, compacted segments) "
                          "and print the report")
+    ap.add_argument("--partition-by", default=None, metavar="NAME:EXPR",
+                    help="stamp a partition column NAME = SQL EXPR over "
+                         "the aggregate's output rows and write each batch "
+                         "hive-partitioned by it (e.g. "
+                         "\"day:to_date(ts)\") — sink readers prune by "
+                         "the partition instead of scanning every batch")
     ap.add_argument("--compact", type=int, default=None, metavar="KEEP_LAST",
                     help="after the drain, compact the sink's committed "
                          "batch dirs (all but the newest KEEP_LAST) into "
@@ -490,6 +496,13 @@ def main() -> None:
         )
     import time
 
+    part_cols = ()
+    if args.partition_by:
+        from pyspark.sql import functions as F
+
+        name, expr = args.partition_by.split(":", 1)
+        agg = agg.withColumn(name, F.expr(expr))
+        part_cols = (name,)
     t0 = time.perf_counter()
     if args.combine_sink:
         from pyspark.sql import functions as F
@@ -525,6 +538,7 @@ def main() -> None:
             agg, args.out, args.checkpoint,
             available_now=args.available_now,
             fault_after_write=args.fault_inject_sink,
+            partition_by=part_cols,
         )
     q.awaitTermination()
     # drain wall time EXCLUDING session/JVM boot (measured from query

@@ -456,3 +456,55 @@ def test_streaming_job_compact_flag(spark, tmp_path):
     total = spark.read.parquet(*paths)
     assert total.count() == 300
     assert total.select("conv_id", "ts").distinct().count() == 300
+
+
+@pytest.mark.slow
+def test_streaming_job_partition_by_flag(spark, tmp_path):
+    """--partition-by NAME:EXPR stamps the partition column and writes
+    hive-partitioned batch dirs; --compact preserves the layout and
+    --audit verifies it; the committed rows stay exactly-once."""
+    import json
+
+    from sliding_window_aggregators_spark.sources import transcripts_pandas
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    pdf = transcripts_pandas(200, 8)
+
+    def run(extra):
+        return subprocess.run(
+            [
+                sys.executable,
+                os.path.join(ROOT, "jobs", "streaming_job.py"),
+                "--source", src, "--out", out, "--checkpoint", ckpt,
+                "--available-now",
+                "--partition-by", "part_min:minute(ts)",
+            ] + extra,
+            capture_output=True, text=True, cwd=ROOT, timeout=420,
+        )
+
+    spark.createDataFrame(pdf.iloc[:100]).coalesce(1).write.mode(
+        "overwrite").parquet(os.path.join(src, "c0"))
+    r1 = run([])
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert glob.glob(out + "/batch_id=0/part_min=*/*.parquet")
+
+    spark.createDataFrame(pdf.iloc[100:]).coalesce(1).write.mode(
+        "overwrite").parquet(os.path.join(src, "c1"))
+    r2 = run(["--compact", "0", "--audit"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    crep = json.loads(
+        r2.stderr.split("compaction: ", 1)[1].splitlines()[0])
+    assert crep["segment"] == [0, 1]
+    arep = json.loads(
+        r2.stderr.split("lineage audit: ", 1)[1].splitlines()[0])
+    assert arep["ok"], arep
+
+    seg_files = glob.glob(out + "/segment=0-1/part_min=*/*.parquet")
+    assert seg_files  # the segment keeps the hive layout
+    total = spark.read.parquet(out + "/segment=0-1")
+    assert total.count() == 200
+    assert "part_min" in total.columns
+    assert total.select("conv_id", "ts").distinct().count() == 200
