@@ -203,6 +203,7 @@ def compact_sink(
     keep_last: int = 1,
     min_batches: int = 2,
     target_rows_per_file: int = 4_000_000,
+    compression: str = "zstd",
     _fault_after_marker: bool = False,
 ) -> dict:
     """Small-file compaction for an :class:`ExactlyOnceParquetSink` dir —
@@ -223,10 +224,13 @@ def compact_sink(
        working for compacted ids too);
     3. stream the run's parquet files into ``segment=<lo>-<hi>/`` (rows
        keep their ``_batch_id`` / ``_partition_id`` lineage columns;
-       files roll at ``target_rows_per_file``), publish the dir with an
-       atomic rename, write segment metrics (per-file footer counts +
-       per-BATCH row counts — the lineage audit_sink re-verifies), then
-       commit with an atomic ``_COMPACT_<lo>_<hi>`` marker;
+       files roll at ``target_rows_per_file``; recompressed to
+       ``compression`` — zstd by default, the standard cold-data rewrite
+       trade of write-once CPU for storage footprint and read IO),
+       publish the dir with an atomic rename, write segment metrics
+       (per-file footer counts + per-BATCH row counts — the lineage
+       audit_sink re-verifies), then commit with an atomic
+       ``_COMPACT_<lo>_<hi>`` marker;
     4. remove the covered per-batch dirs and metrics files.
 
     A crash before step 3's marker leaves an orphan segment dir (flagged
@@ -319,6 +323,10 @@ def compact_sink(
                             os.path.join(
                                 tmp_dir, sub, f"part-{idx}.parquet"),
                             schema,
+                            # cold-data rewrite: trade write-once CPU for
+                            # a smaller storage footprint + less read IO
+                            # (the standard Iceberg rewrite practice)
+                            compression=compression,
                         ),
                         0,
                         idx,
