@@ -26,7 +26,21 @@ from pyspark.sql import functions as F
 
 class ExactlyOnceParquetSink:
     def __init__(self, out_dir: str, fault_after_write: str | None = None,
-                 partition_by: tuple = ()):
+                 partition_by: tuple = (), compact_every: int | None = None,
+                 compact_keep_last: int = 1):
+        # inline maintenance: every ``compact_every``-th committed batch
+        # triggers compact_sink right after its commit marker lands (the
+        # way Iceberg tables schedule rewrite_data_files off commit
+        # count). Driver-side and brief next to a micro-batch; crash-safe
+        # like any compaction — a query killed mid-rewrite resumes with
+        # the batch already committed and the next tick (or a manual
+        # --compact) finishes cleanup. keep_last >= 1 keeps the rewrite
+        # strictly behind the live commit frontier.
+        if compact_every is not None and compact_keep_last < 1:
+            raise ValueError("compact_keep_last must be >= 1 when "
+                             "auto-compaction is on")
+        self.compact_every = compact_every
+        self.compact_keep_last = compact_keep_last
         # hive-style partition columns INSIDE each batch dir
         # (batch_id=N/day=D/part-*.parquet): at 10^12 turns the sink's
         # readers prune by event-time date instead of scanning every
@@ -115,6 +129,12 @@ class ExactlyOnceParquetSink:
         with open(tmp, "w") as fh:
             fh.write("ok")
         os.rename(tmp, self._marker(batch_id))
+        if (
+            self.compact_every
+            and batch_id > 0
+            and batch_id % self.compact_every == 0
+        ):
+            compact_sink(self.out_dir, keep_last=self.compact_keep_last)
 
     def committed_batches(self) -> list[int]:
         return sorted(
@@ -566,12 +586,12 @@ def _np_unique(chunk):
 def write_stream_exactly_once(
     df: DataFrame, out_dir: str, checkpoint_dir: str,
     available_now: bool = True, fault_after_write: str | None = None,
-    partition_by: tuple = (),
+    partition_by: tuple = (), compact_every: int | None = None,
 ):
     """Start a streaming write through the exactly-once sink."""
     sink = ExactlyOnceParquetSink(
         out_dir, fault_after_write=fault_after_write,
-        partition_by=partition_by,
+        partition_by=partition_by, compact_every=compact_every,
     )
     writer = (
         # append: every caller here emits finalized rows per micro-batch

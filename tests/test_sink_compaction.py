@@ -283,3 +283,54 @@ def test_partitioned_sink_compaction_and_pruning(spark, tmp_path):
     assert "part_min" in plan.split("PartitionFilters")[1][:200]
     exp = before[before["part_min"] == mn]
     assert sub.count() == len(exp)
+
+
+def test_auto_compaction_inline(spark, tmp_path):
+    """compact_every=K on the sink: the stream compacts ITSELF every K-th
+    committed batch (Iceberg-style commit-count maintenance scheduling,
+    no external job), stays exactly-once, and keeps auditing green across
+    a checkpoint resume that adds more batches and more segments."""
+    src, out, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    os.makedirs(src)
+    pdf = transcripts_pandas(600, 20)
+
+    def run():
+        reader = (
+            spark.readStream.schema(SCHEMA)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", 1)  # one chunk = one batch
+            .parquet(os.path.join(src, "*"))
+        )
+        agg = sliding_agg_stream(
+            reader, monoid_name="sum", value_expr="length(text)",
+            duration="2 minutes", out_col="wsum",
+        )
+        q, sink = write_stream_exactly_once(
+            agg, out, ckpt, compact_every=2)
+        q.awaitTermination(180)
+        return sink
+
+    for i in range(6):
+        _write_chunk(spark, src, pdf.iloc[i * 100:(i + 1) * 100], f"c{i}")
+    sink = run()
+    assert len(sink.committed_batches()) == 6
+    rep = audit_sink(out, deep=True)
+    assert rep["ok"] and not rep["notes"], rep
+    assert rep["segments"] >= 1  # the stream compacted itself mid-run
+    assert rep["rows"] == 600
+    df = _frame(spark, out)
+    assert len(df) == 600
+    assert df[["conv_id", "ts"]].drop_duplicates().shape[0] == 600
+
+    # resume: two more chunks -> two more batches, maintenance continues
+    _write_chunk(spark, src, pdf.iloc[500:550].assign(
+        turn_idx=lambda d: d.turn_idx + 10_000), "c6")
+    _write_chunk(spark, src, pdf.iloc[550:600].assign(
+        turn_idx=lambda d: d.turn_idx + 20_000), "c7")
+    sink = run()
+    assert len(sink.committed_batches()) == 8
+    rep2 = audit_sink(out, deep=True)
+    assert rep2["ok"] and not rep2["notes"], rep2
+    assert rep2["segments"] > rep["segments"]
+    assert rep2["rows"] == 700
