@@ -25,11 +25,14 @@ from sliding_window_aggregators_spark.streaming import (
 )
 
 
-def _build_sink(out: str, batches: list[list[int]]) -> None:
+def _build_sink(out: str, batches: list[list[int]],
+                partitioned: bool = False) -> None:
     """A sink dir in exactly ExactlyOnceParquetSink's layout: one dir per
     batch id with ``len(batches[b])`` files of the given row counts
     (possibly zero files — an empty micro-batch), per-batch metrics from
-    the footers, and _COMMIT_ markers."""
+    the footers, and _COMMIT_ markers. ``partitioned`` nests each file
+    under a hive-style ``pk=<i%2>/`` subdir (partition columns live in
+    the dir name, not the data — Spark's partitionBy layout)."""
     os.makedirs(os.path.join(out, "_commits"))
     os.makedirs(os.path.join(out, "_metrics"))
     rid = 0
@@ -39,6 +42,10 @@ def _build_sink(out: str, batches: list[list[int]]) -> None:
         per_file = {}
         for i, n in enumerate(files):
             name = f"part-{i:05d}.parquet"
+            if partitioned:
+                name = os.path.join(f"pk={i % 2}", name)
+                os.makedirs(os.path.join(bdir, f"pk={i % 2}"),
+                            exist_ok=True)
             table = pa.table(
                 {
                     "rid": pa.array(range(rid, rid + n), pa.int64()),
@@ -74,9 +81,13 @@ def _build_sink(out: str, batches: list[list[int]]) -> None:
 
 def _row_set(out: str) -> dict[int, tuple]:
     """Every committed row keyed by rid, reading the layout the way
-    read_committed does: segments first, covered batch dirs skipped."""
+    read_committed does: segments first, covered batch dirs skipped.
+    The row tuple leads with the hive partition subdir the file sits in
+    ('' when flat) — a compaction must preserve the rid→partition
+    mapping, not just the row payload."""
     from sliding_window_aggregators_spark.streaming.sink import (
         _committed_segments,
+        _parquet_files_rel,
     )
 
     sink = ExactlyOnceParquetSink(out)
@@ -91,14 +102,13 @@ def _row_set(out: str) -> dict[int, tuple]:
     for d in dirs:
         if not os.path.isdir(d):
             continue
-        for name in sorted(os.listdir(d)):
-            if not name.endswith(".parquet"):
-                continue
-            t = pq.read_table(os.path.join(d, name)).to_pydict()
+        for rel in _parquet_files_rel(d):
+            t = pq.read_table(os.path.join(d, rel)).to_pydict()
+            sub = os.path.dirname(rel)
             for j in range(len(t["rid"])):
                 rid = t["rid"][j]
                 assert rid not in rows, f"duplicate rid {rid}"
-                rows[rid] = tuple(
+                rows[rid] = (sub,) + tuple(
                     t[c][j]
                     for c in ("conv_id", "ts", "wsum", "_batch_id",
                               "_partition_id")
@@ -116,10 +126,12 @@ def _row_set(out: str) -> dict[int, tuple]:
     keep_last=st.integers(min_value=0, max_value=2),
     target=st.sampled_from([7, 25, 10_000]),
     crash=st.booleans(),
+    partitioned=st.booleans(),
 )
-def test_compact_fuzz(tmp_path_factory, batches, keep_last, target, crash):
+def test_compact_fuzz(tmp_path_factory, batches, keep_last, target, crash,
+                      partitioned):
     out = str(tmp_path_factory.mktemp("fuzz") / "out")
-    _build_sink(out, batches)
+    _build_sink(out, batches, partitioned=partitioned)
     before = _row_set(out)
     base_audit = audit_sink(out, deep=True)
     assert base_audit["ok"], base_audit
@@ -151,12 +163,17 @@ def test_compact_fuzz(tmp_path_factory, batches, keep_last, target, crash):
         lo, hi = 0, len(batches) - 1 - keep_last
         seg = os.path.join(out, f"segment={lo}-{hi}")
         assert os.path.isdir(seg)
+        from sliding_window_aggregators_spark.streaming.sink import (
+            _parquet_files_rel,
+        )
+
         covered_rows = sum(sum(f) for f in batches[: hi + 1])
-        n_files = len(
-            [n for n in os.listdir(seg) if n.endswith(".parquet")])
+        n_files = len(_parquet_files_rel(seg))
+        n_subdirs = 2 if partitioned else 1
         if covered_rows:
-            # file rolling honors the target (+1 for the trailing file)
-            assert n_files <= covered_rows // target + 1
+            # rolling honors the target per partition subdir (+1 trailing
+            # partial file per subdir)
+            assert n_files <= covered_rows // target + n_subdirs
         for b in range(lo, hi + 1):
             assert not os.path.isdir(os.path.join(out, f"batch_id={b}"))
 
