@@ -224,6 +224,7 @@ def compact_sink(
     min_batches: int = 2,
     target_rows_per_file: int = 4_000_000,
     compression: str = "zstd",
+    sort_by: tuple = (),
     _fault_after_marker: bool = False,
 ) -> dict:
     """Small-file compaction for an :class:`ExactlyOnceParquetSink` dir —
@@ -252,6 +253,15 @@ def compact_sink(
        audit_sink re-verifies), then commit with an atomic
        ``_COMPACT_<lo>_<hi>`` marker;
     4. remove the covered per-batch dirs and metrics files.
+
+    ``sort_by=("conv_id", "ts")`` additionally CLUSTERS each segment
+    (per partition subdir) on the given columns before writing —
+    Iceberg's sort rewrite: globally sorted rows make the parquet
+    min/max statistics selective, so a point/range read over the sort
+    key skips whole files and row groups instead of scanning the
+    segment. Costs memory proportional to the largest partition subdir
+    of the segment (the rows must be materialized to sort), so size
+    segments accordingly; the unsorted path stays streaming.
 
     A crash before step 3's marker leaves an orphan segment dir (flagged
     by :func:`audit_sink`, removed and redone by the next run); a crash
@@ -318,8 +328,33 @@ def compact_sink(
     # segment keeps the batch dirs' partition layout (and its pruning)
     rows_per_batch: dict[str, int] = {}
     writers: dict[str, list] = {}  # subdir -> [writer, rows_in_file, idx]
+    buffers: dict[str, list] = {}  # subdir -> tables (sort_by mode only)
     schema = None
     total = 0
+
+    def _write(sub: str, table) -> None:
+        w = writers.get(sub)
+        if w is None or w[0] is None:
+            os.makedirs(os.path.join(tmp_dir, sub), exist_ok=True)
+            idx = w[2] if w else 0
+            w = writers[sub] = [
+                pq.ParquetWriter(
+                    os.path.join(tmp_dir, sub, f"part-{idx}.parquet"),
+                    schema,
+                    # cold-data rewrite: trade write-once CPU for a
+                    # smaller storage footprint + less read IO (the
+                    # standard Iceberg rewrite practice)
+                    compression=compression,
+                ),
+                0,
+                idx,
+            ]
+        w[0].write_table(table)
+        w[1] += table.num_rows
+        if w[1] >= target_rows_per_file:
+            w[0].close()
+            w[0], w[1], w[2] = None, 0, w[2] + 1
+
     try:
         for b in run:
             bdir = os.path.join(out_dir, f"batch_id={b}")
@@ -331,33 +366,32 @@ def compact_sink(
                     # INT96-written files back as ns — normalize so the
                     # rewritten segment round-trips through spark.read
                     schema = _us_timestamps(table.schema)
+                    for c in sort_by:
+                        if c not in schema.names:
+                            raise ValueError(
+                                f"sort_by column {c!r} not in the sink "
+                                f"schema {schema.names}"
+                            )
                 if table.schema != schema:
                     table = table.cast(schema)  # raises if not unifiable
                 sub = os.path.dirname(rel)
-                w = writers.get(sub)
-                if w is None or w[0] is None:
-                    os.makedirs(os.path.join(tmp_dir, sub), exist_ok=True)
-                    idx = w[2] if w else 0
-                    w = writers[sub] = [
-                        pq.ParquetWriter(
-                            os.path.join(
-                                tmp_dir, sub, f"part-{idx}.parquet"),
-                            schema,
-                            # cold-data rewrite: trade write-once CPU for
-                            # a smaller storage footprint + less read IO
-                            # (the standard Iceberg rewrite practice)
-                            compression=compression,
-                        ),
-                        0,
-                        idx,
-                    ]
-                w[0].write_table(table)
-                w[1] += table.num_rows
                 rows_per_batch[str(b)] += table.num_rows
                 total += table.num_rows
-                if w[1] >= target_rows_per_file:
-                    w[0].close()
-                    w[0], w[1], w[2] = None, 0, w[2] + 1
+                if sort_by:
+                    buffers.setdefault(sub, []).append(table)
+                else:
+                    _write(sub, table)
+        if sort_by:
+            import pyarrow as pa
+
+            for sub, tables in buffers.items():
+                merged = pa.concat_tables(tables).sort_by(
+                    [(c, "ascending") for c in sort_by]
+                )
+                off = 0
+                while off < merged.num_rows:
+                    _write(sub, merged.slice(off, target_rows_per_file))
+                    off += target_rows_per_file
     finally:
         for w in writers.values():
             if w[0] is not None:

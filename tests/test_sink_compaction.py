@@ -334,3 +334,47 @@ def test_auto_compaction_inline(spark, tmp_path):
     assert rep2["ok"] and not rep2["notes"], rep2
     assert rep2["segments"] > rep["segments"]
     assert rep2["rows"] == 700
+
+
+def test_compact_sort_by_clustering(spark, built_sink, tmp_path):
+    """sort_by on compaction (Iceberg's sort rewrite): segment rows are
+    globally clustered on the key, so per-file parquet min/max stats
+    become selective — consecutive files cover non-overlapping key
+    ranges and a point read touches at most the boundary-straddling
+    files. Row set and audit unchanged."""
+    import pyarrow.parquet as pq
+
+    out = _copy(built_sink, tmp_path)
+    before = _frame(spark, out)
+
+    with pytest.raises(ValueError, match="sort_by column"):
+        compact_sink(out, keep_last=0, sort_by=("nope",))
+
+    rep = compact_sink(out, keep_last=0, min_batches=1,
+                       sort_by=("conv_id", "ts"), target_rows_per_file=120)
+    lo, hi = rep["segment"]
+    assert audit_sink(out, deep=True)["ok"]
+    pd.testing.assert_frame_equal(before, _frame(spark, out))
+
+    seg = os.path.join(out, f"segment={lo}-{hi}")
+    files = sorted(
+        os.path.join(seg, n) for n in os.listdir(seg)
+        if n.endswith(".parquet"))
+    assert len(files) >= 3  # enough files for clustering to mean anything
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f)
+        ci = md.schema_arrow.get_field_index("conv_id")
+        stats = [md.metadata.row_group(g).column(ci).statistics
+                 for g in range(md.metadata.num_row_groups)]
+        ranges.append((min(s.min for s in stats),
+                       max(s.max for s in stats)))
+    ranges.sort()
+    for (a_min, a_max), (b_min, b_max) in zip(ranges, ranges[1:]):
+        # global sort: file key ranges only touch at the boundaries
+        assert a_max <= b_min, ranges
+    # a point read over the hottest conv touches only the files whose
+    # range contains it — a strict subset of the segment
+    hot = before["conv_id"].value_counts().idxmax()
+    touching = [r for r in ranges if r[0] <= hot <= r[1]]
+    assert len(touching) < len(ranges)
