@@ -238,7 +238,7 @@ def _lpt_makespan(atoms: list[int], n: int) -> int:
     return max(cores)
 
 
-def skew_model(src: str) -> dict | None:
+def skew_model(src: str, lo: int = 2, hi: int = 8) -> dict | None:
     """The input's analytic scaling envelope. Per-key ordered state makes
     each of the 32 hash partitions an indivisible serial atom (true of ANY
     per-key stateful engine — the hottest conversation cannot be split
@@ -254,19 +254,19 @@ def skew_model(src: str) -> dict | None:
         return None
     d = _json.load(open(p))
     atoms = d["partition_rows_desc"]
-    t2, t8 = _lpt_makespan(atoms, 2), _lpt_makespan(atoms, 8)
+    t2, t8 = _lpt_makespan(atoms, lo), _lpt_makespan(atoms, hi)
     out = {
         "state_partitions": d["partitions"],
         "top_partition_share": round(atoms[0] / d["total_rows"], 4),
-        "ideal_eff_2_to_8": round((t2 / t8) / 4, 3),
+        "ideal_eff_2_to_8": round((t2 / t8) / (hi / lo), 3),
     }
     halo_atoms = d.get("partition_rows_desc_halo_top40_96h")
     if halo_atoms:
-        h2, h8 = _lpt_makespan(halo_atoms, 2), _lpt_makespan(halo_atoms, 8)
+        h2, h8 = _lpt_makespan(halo_atoms, lo), _lpt_makespan(halo_atoms, hi)
         out["halo_top_partition_share"] = round(
             halo_atoms[0] / d["total_rows"], 4
         )
-        out["halo_ideal_eff_2_to_8"] = round((h2 / h8) / 4, 3)
+        out["halo_ideal_eff_2_to_8"] = round((h2 / h8) / (hi / lo), 3)
     return out
 
 
@@ -288,21 +288,22 @@ def membw_probes() -> dict:
     29 GB/s): a run whose levels tie regardless of cpus was measured
     against the host's bandwidth cap, not the engine — record the window
     so the reader can tell (see BENCH/BASELINE.md variance table)."""
-    with mp.Pool(1) as p:
-        bw1 = sum(p.map(_bw, range(1)))
-    with mp.Pool(2) as p:
-        bw2 = sum(p.map(_bw, range(2)))
-    with mp.Pool(8) as p:
-        bw8 = sum(p.map(_bw, range(8)))
-    # bw8/bw2 is the bandwidth the box actually grants the 8-core level
-    # relative to the 2-core level: a bandwidth-bound job's best possible
-    # 2->8 throughput ratio (efficiency x4) — record it so measured
+    out = {}
+    for n in (1, 2, 4, 8, 16):
+        with mp.Pool(n) as p:
+            out[n] = sum(p.map(_bw, range(n)))
+    # bw_hi/bw_lo is the bandwidth the box actually grants the high level
+    # relative to the low level: a bandwidth-bound job's best possible
+    # lo->hi throughput ratio (efficiency x4) — record it so measured
     # efficiency can be normalized against the physical envelope
     return {
-        "membw_1proc_MBps": round(bw1),
-        "membw_2proc_MBps": round(bw2),
-        "membw_8proc_MBps": round(bw8),
-        "bw_ratio_8v2": round(bw8 / bw2, 2) if bw2 else None,
+        "membw_1proc_MBps": round(out[1]),
+        "membw_2proc_MBps": round(out[2]),
+        "membw_4proc_MBps": round(out[4]),
+        "membw_8proc_MBps": round(out[8]),
+        "membw_16proc_MBps": round(out[16]),
+        "bw_ratio_8v2": round(out[8] / out[2], 2) if out[2] else None,
+        "bw_ratio_16v4": round(out[16] / out[4], 2) if out[4] else None,
     }
 
 
@@ -335,7 +336,17 @@ def main() -> None:
                          "the pane job's serial-atom skew ceiling (the "
                          "hot partition's serial work becomes O(panes), "
                          "not O(rows))")
+    ap.add_argument("--levels", type=int, nargs=2, default=(2, 8),
+                    metavar=("N", "4N"),
+                    help="the two parallelism levels to compare (default "
+                         "2 8). Any N vs 4N pair satisfies the north "
+                         "rule; 4 16 exploits windows where the box "
+                         "grants 16 procs more aggregate bandwidth than "
+                         "8 (bw_ratio_16v4 in the probes)")
     args = ap.parse_args()
+    lo, hi = args.levels
+    if hi != 4 * lo:
+        ap.error(f"--levels must be N and 4N (got {lo} {hi})")
     if args.panes and (args.multi or args.halo):
         ap.error("--panes is its own single-monoid rollup shape; "
                  "--multi/--halo belong to the per-turn job")
@@ -361,10 +372,10 @@ def main() -> None:
                      cluster=args.cluster, halo=args.halo,
                      panes=args.panes, slide=args.slide,
                      pre_combine=args.pre_combine)
-        for c in (2, 8)
+        for c in (lo, hi)
     }
     eff = (
-        levels[8]["turns_per_sec"] / levels[2]["turns_per_sec"]
+        levels[hi]["turns_per_sec"] / levels[lo]["turns_per_sec"]
     ) / 4
     if args.panes:
         shape = f"pane-sliced rollup sum ({args.panes} / {args.slide})"
@@ -389,10 +400,11 @@ def main() -> None:
         "panes": args.panes,
         "pre_combine": args.pre_combine,
         "levels": levels,
+        "level_pair": [lo, hi],
         "scaling_efficiency_2_to_8": round(eff, 3),
         "vm_context": probes,
     }
-    sk = skew_model(src)
+    sk = skew_model(src, lo, hi)
     if sk:
         ideal = (
             sk.get("halo_ideal_eff_2_to_8")
