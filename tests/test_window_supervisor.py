@@ -34,7 +34,7 @@ BAD = {"bw1": 500, "bw2": 900, "bw8": 2000, "bw16": 5000, "ratio_8v2": 2.2}
 STARVED = {"bw1": 700, "bw2": 400, "bw8": 9000, "bw16": 11000, "ratio_8v2": 22.5}
 
 
-def _run(ws, seq, log, fired, max_wait=35):
+def _run(ws, seq, log, fired, max_wait=35, extra=()):
     it = iter(seq)
     ws.probe = lambda: next(it)
     ws.time.sleep = lambda s: None
@@ -67,6 +67,7 @@ def _run(ws, seq, log, fired, max_wait=35):
         "--stream-min-ratio", "3.3",
         "--stream-sustain", "3", "--sustain-gap-s", "1",
         "--log", str(log),
+        *extra,
     ]
     try:
         ws.main()
@@ -114,3 +115,33 @@ def test_starved_bw2_spike_never_starts_a_sustain_sequence(tmp_path):
     kinds = [r["gate"] for r in recs]
     assert kinds.count(None) >= 2 and not fired
     assert "stream-sustain-fail" not in kinds  # floor blocks at probe 1
+
+
+# a window where only the 4->16 pair's grant scales: 8v2 ratio too low,
+# 16v4 well over threshold with healthy floors
+ALT = {"bw1": 2500, "bw2": 6000, "bw4": 7000, "bw8": 12000, "bw16": 30000,
+       "ratio_8v2": 2.0, "ratio_16v4": 4.29}
+
+
+def test_alt_levels_gate_fires_4_16_pair(tmp_path):
+    """--stream-alt-levels: a window whose 16v4 grant clears the ratio
+    (and floors) while 8v2 does not fires the pair with --levels 4 16;
+    without the flag the same window never fires."""
+    ws = _load_ws()
+    fired: list = []
+    recs = _run(
+        ws, [ALT, ALT, ALT, BAD, BAD], tmp_path / "d.jsonl", fired,
+        extra=["--stream-alt-levels"],
+    )
+    fires = [r for r in recs if r["gate"] == "stream"]
+    assert len(fires) == 1 and len(fired) == 1
+    cmd = [str(c) for c in fired[0]]
+    i = cmd.index("--levels")
+    assert cmd[i + 1:i + 3] == ["4", "16"]
+    assert fires[0]["probe"]["pair"] == [4, 16]
+
+    ws2 = _load_ws()
+    fired2: list = []
+    recs2 = _run(ws2, [ALT, ALT, ALT], tmp_path / "e.jsonl", fired2)
+    assert not fired2
+    assert all(r["gate"] != "stream" for r in recs2)

@@ -56,10 +56,13 @@ def _bw(_):
 
 def probe() -> dict:
     out = {}
-    for procs, key in [(1, "bw1"), (2, "bw2"), (8, "bw8"), (16, "bw16")]:
+    for procs, key in [(1, "bw1"), (2, "bw2"), (4, "bw4"), (8, "bw8"),
+                       (16, "bw16")]:
         with mp.Pool(procs) as p:
             out[key] = round(sum(p.map(_bw, range(procs))))
     out["ratio_8v2"] = round(out["bw8"] / out["bw2"], 2) if out["bw2"] else 0.0
+    out["ratio_16v4"] = (
+        round(out["bw16"] / out["bw4"], 2) if out["bw4"] else 0.0)
     return out
 
 
@@ -111,6 +114,13 @@ def main() -> None:
                          "lift)")
     ap.add_argument("--stream-turns", type=int, default=16777216)
     ap.add_argument("--stream-convs", type=int, default=16384)
+    ap.add_argument("--stream-alt-levels", action="store_true",
+                    help="also gate the (4, 16) N-vs-4N pair: fire "
+                         "bench_scaling_stream --levels 4 16 when "
+                         "bw16/bw4 clears --stream-min-ratio (with bw16 "
+                         "over the bw8 floor and bw4 over the bw2 "
+                         "floor); when both pairs gate, the one with "
+                         "the larger grant ratio fires")
     ap.add_argument("--batch-halo", action="store_true",
                     help="fire the batch pair on the chunked-halo layout")
     ap.add_argument("--target", type=float, default=0.8)
@@ -169,10 +179,11 @@ def main() -> None:
              "err": r.stderr[-500:] if r.returncode != 0 else None})
         return eff is not None and eff >= args.target
 
-    def fire_stream(p):
+    def fire_stream(p, pair=(2, 8)):
         cmd = [sys.executable, os.path.join(HERE, "bench_scaling_stream.py"),
                "--turns", str(args.stream_turns),
-               "--convs", str(args.stream_convs)]
+               "--convs", str(args.stream_convs),
+               "--levels", str(pair[0]), str(pair[1])]
         if args.stream_panes:
             # the rollup shape is its own single-monoid mode (the
             # harness rejects --panes with --multi/--halo)
@@ -213,25 +224,42 @@ def main() -> None:
         if not done["batch"] and runs["batch"] < args.max_runs_per_gate \
                 and p["bw2"] >= args.batch_min_bw2 and p["bw16"] >= args.batch_min_bw16:
             matches.append(("batch", fire_batch))
-        def _stream_ok(pr):
+        def _stream_ok(pr, pair=(2, 8)):
+            if pair == (4, 16):
+                # scripted/legacy probes may lack the 4/16 keys
+                return (pr.get("bw16", 0) >= args.stream_min_bw8
+                        and pr.get("bw4", 0) >= args.stream_min_bw2
+                        and pr.get("ratio_16v4", 0.0)
+                        >= args.stream_min_ratio)
             return (pr["bw8"] >= args.stream_min_bw8
                     and pr["bw2"] >= args.stream_min_bw2
                     and pr["ratio_8v2"] >= args.stream_min_ratio)
 
+        pairs = [(2, 8)] + ([(4, 16)] if args.stream_alt_levels else [])
+        gated = [pp for pp in pairs if _stream_ok(p, pp)]
         if not done["stream"] and runs["stream"] < args.max_runs_per_gate \
-                and _stream_ok(p):
+                and gated:
+            def _ratio(pp):
+                return (p["ratio_8v2"] if pp == (2, 8)
+                        else p.get("ratio_16v4", 0.0))
+
+            pair = max(gated, key=_ratio)
             held = True
             confirms = [p]
             for _ in range(args.stream_sustain - 1):
                 time.sleep(args.sustain_gap_s)
                 pc = probe()
                 confirms.append(pc)
-                if not _stream_ok(pc):
+                if not _stream_ok(pc, pair):
                     held = False
                     break
             if held:
-                p = {"confirms": confirms, **confirms[-1]}
-                matches.append(("stream", fire_stream))
+                p = {"confirms": confirms, "pair": list(pair),
+                     **confirms[-1]}
+                matches.append((
+                    "stream",
+                    lambda pr, _pair=pair: fire_stream(pr, _pair),
+                ))
             else:
                 log({"gate": "stream-sustain-fail", "confirms": confirms})
                 time.sleep(args.interval)
