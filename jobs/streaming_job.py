@@ -168,6 +168,13 @@ def main() -> None:
                          "maintenance pass (Iceberg rewrite_data_files "
                          "equivalent); runs before --audit so the audit "
                          "verifies the compacted layout")
+    ap.add_argument("--compact-every", type=int, default=None, metavar="K",
+                    help="inline auto-compaction: the sink compacts "
+                         "itself after every K-th committed batch "
+                         "(commit-count maintenance scheduling, the way "
+                         "Iceberg tables schedule rewrite_data_files) — "
+                         "live batch-dir count stays bounded on a "
+                         "long-running query")
     ap.add_argument("--available-now", action="store_true",
                     help="drain available input then stop (batch-mode run)")
     ap.add_argument("--pin-executors", action="store_true",
@@ -539,6 +546,7 @@ def main() -> None:
             available_now=args.available_now,
             fault_after_write=args.fault_inject_sink,
             partition_by=part_cols,
+            compact_every=args.compact_every,
         )
     q.awaitTermination()
     # drain wall time EXCLUDING session/JVM boot (measured from query

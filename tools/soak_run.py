@@ -75,6 +75,12 @@ def main() -> None:
     ap.add_argument("--chunks", type=int, default=64)
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--duration", default="10 minutes")
+    ap.add_argument("--compact-every", type=int, default=None, metavar="K",
+                    help="soak the sink's inline auto-compaction: the "
+                         "query compacts itself every K committed "
+                         "batches; verdicts add live-file-count "
+                         "boundedness and the oracle reads through "
+                         "segments")
     ap.add_argument("--tws", action="store_true",
                     help="soak the transformWithStateInPandas path "
                          "(RocksDB state store) instead of "
@@ -107,7 +113,9 @@ def main() -> None:
             "--source", src, "--out", out, "--checkpoint", ckpt,
             "--available-now", "--audit", "--max-files-per-trigger", "1",
             "--duration", args.duration,
-        ] + (["--tws"] if args.tws else []),
+        ] + (["--tws"] if args.tws else [])
+        + (["--compact-every", str(args.compact_every)]
+           if args.compact_every else []),
         capture_output=True, text=True, cwd=HERE, timeout=7200, env=env,
     )
     wall = time.perf_counter() - t0
@@ -149,9 +157,13 @@ def main() -> None:
     import duckdb
 
     con = duckdb.connect()
+    # auto-compaction folds old batch dirs into segments mid-run: the
+    # oracle must read BOTH layouts (duckdb accepts a glob list)
+    sink_glob = (f"['{out}/batch_id=*/*.parquet', "
+                 f"'{out}/segment=*/*.parquet']")
     cnt, distinct = con.execute(
         f"select count(*), count(distinct (conv_id, ts)) "
-        f"from read_parquet('{out}/batch_id=*/*.parquet')"
+        f"from read_parquet({sink_glob})"
     ).fetchone()
     (mism,) = con.execute(f"""
         with exp as (
@@ -161,9 +173,13 @@ def main() -> None:
                    and current row) as exp_w
           from read_parquet('{src}/c*/*.parquet'))
         select count(*)
-        from read_parquet('{out}/batch_id=*/*.parquet') got
+        from read_parquet({sink_glob}) got
         join exp using (conv_id, ts) where got.wagg <> exp.exp_w
     """).fetchone()
+    live_batch_dirs = len(
+        [d for d in os.listdir(out) if d.startswith("batch_id=")])
+    segments = len(
+        [d for d in os.listdir(out) if d.startswith("segment=")])
 
     report = {
         "job": (
@@ -184,6 +200,14 @@ def main() -> None:
             "exactly_once": cnt == distinct == args.turns,
             "oracle_value_mismatches": mism,
             "lineage_audit_ok": audit_ok,
+            "live_batch_dirs": live_batch_dirs,
+            "segments": segments,
+            # boundedness: auto-compaction must keep the live batch-dir
+            # count O(compact_every), independent of total batches
+            "live_files_bounded": (
+                live_batch_dirs <= args.compact_every + 1 and segments >= 1
+                if args.compact_every else None
+            ),
         },
         "state_rows_series": state_rows,
         "state_memory_bytes_series": state_mem,
