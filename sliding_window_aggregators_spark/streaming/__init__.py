@@ -28,5 +28,6 @@ from .sink import (  # noqa: F401
     ExactlyOnceParquetSink,
     audit_sink,
     compact_sink,
+    expire_sink,
     write_stream_exactly_once,
 )

@@ -149,8 +149,10 @@ class ExactlyOnceParquetSink:
         disk is pending cleanup from a crash mid-compaction — skipped here,
         so a crash between the segment commit marker and the old-dir
         removal can never double-read)."""
+        expired = _expired_upto(self.out_dir)
         ids = self.committed_batches()
-        segs = _committed_segments(self.out_dir)
+        segs = [s for s in _committed_segments(self.out_dir)
+                if s[1] > expired]
         covered = {b for lo, hi in segs for b in range(lo, hi + 1)}
         paths = [
             os.path.join(self.out_dir, f"segment={lo}-{hi}")
@@ -158,7 +160,7 @@ class ExactlyOnceParquetSink:
         ] + [
             os.path.join(self.out_dir, f"batch_id={b}")
             for b in ids
-            if b not in covered
+            if b not in covered and b > expired
         ]
         if not paths:
             return None
@@ -215,6 +217,85 @@ def _committed_segments(out_dir: str) -> list[tuple[int, int]]:
             lo, hi = f[len("_COMPACT_"):].split("_")
             segs.append((int(lo), int(hi)))
     return sorted(segs)
+
+
+def _expired_upto(out_dir: str) -> int:
+    """Highest batch id covered by an ``_EXPIRE_<hi>`` retention marker
+    (-1 when nothing has been expired)."""
+    commit_dir = os.path.join(out_dir, "_commits")
+    if not os.path.isdir(commit_dir):
+        return -1
+    his = [
+        int(f[len("_EXPIRE_"):])
+        for f in os.listdir(commit_dir)
+        if f.startswith("_EXPIRE_") and not f.endswith(".tmp")
+    ]
+    return max(his, default=-1)
+
+
+def expire_sink(out_dir: str, upto: int) -> dict:
+    """Retention for an :class:`ExactlyOnceParquetSink` dir — the third
+    lifecycle stage (write → compact → EXPIRE): at 10^12 turns the sink
+    cannot keep every batch forever; old data must leave as cheap
+    directory drops (Iceberg's ``expireSnapshots`` + data-file GC for
+    the stand-in sink).
+
+    Expiry happens at SEGMENT granularity: every batch id in
+    ``[0, upto]`` must be covered by compacted segments that lie
+    entirely within the range (compact first; pick ``upto`` on a
+    segment boundary — the error message names the boundary). The
+    procedure is crash-safe the same way compaction is: an atomic
+    ``_EXPIRE_<upto>`` marker commits the expiry FIRST, then the covered
+    segment dirs + their metrics drop; a crash in between leaves
+    segments the audit flags as pending-expiry NOTEs and the next call
+    (any ``upto``) finishes removing. The per-batch ``_COMMIT_`` markers
+    are never removed (bytes-cheap; they keep the writer's replay-skip
+    and the audit's contiguity evidence intact across retention).
+    ``read_committed`` and :func:`audit_sink` skip expired ids, so the
+    visible row set shrinks by exactly the expired segments.
+    """
+    prev = _expired_upto(out_dir)
+    segs = _committed_segments(out_dir)
+    sink = ExactlyOnceParquetSink(out_dir)
+    removed, rows_removed = [], 0
+
+    def _drop_upto(bound: int) -> None:
+        nonlocal rows_removed
+        for lo, hi in segs:
+            if hi <= bound:
+                sdir = os.path.join(out_dir, f"segment={lo}-{hi}")
+                if os.path.isdir(sdir):
+                    rows_removed += _footer_row_count(sdir)
+                    _rmtree(sdir)
+                    removed.append(f"segment={lo}-{hi}")
+                mfile = os.path.join(
+                    out_dir, "_metrics", f"segment_{lo}_{hi}.json")
+                if os.path.exists(mfile):
+                    os.remove(mfile)
+
+    # idempotent finish of a crash-interrupted previous expiry
+    _drop_upto(prev)
+    if upto <= prev:
+        return {"expired_upto": prev, "removed_segments": removed,
+                "rows_removed": rows_removed}
+
+    covered = sorted(
+        b for lo, hi in segs for b in range(lo, hi + 1) if b <= upto)
+    want = [b for b in sink.committed_batches() if b <= upto]
+    if covered != want or any(lo <= upto < hi for lo, hi in segs):
+        boundaries = [hi for _, hi in segs]
+        raise ValueError(
+            f"expire upto={upto} must cover whole compacted segments: "
+            f"compact first, then pick a segment boundary from "
+            f"{boundaries}"
+        )
+    tmp = os.path.join(out_dir, "_commits", f"_EXPIRE_{upto}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write("ok")
+    os.rename(tmp, tmp[: -len(".tmp")])  # the commit point
+    _drop_upto(upto)
+    return {"expired_upto": upto, "removed_segments": removed,
+            "rows_removed": rows_removed}
 
 
 def compact_sink(
@@ -478,7 +559,13 @@ def audit_sink(out_dir: str, deep: bool = False) -> dict:
       per-batch counts — the row-level lineage proof;
     - a covered ``batch_id=`` dir still on disk is a NOTE (pending
       cleanup after a crash mid-compaction — harmless, readers skip it),
-      not a problem; an UNCOMMITTED segment dir is a problem.
+      not a problem; an UNCOMMITTED segment dir is a problem;
+    - :func:`expire_sink` retention: ids at or below the ``_EXPIRE_``
+      marker are exempt from every data check (their data is GONE by
+      design — they don't count toward rows); an expired segment dir
+      still on disk is a pending-expiry NOTE; a segment STRADDLING the
+      expire marker is a problem (retention must land on segment
+      boundaries).
 
     Returns ``{"ok": bool, "batches": n, "rows": total,
     "problems": [...], "notes": [...]}`` — raise or alert on
@@ -498,8 +585,14 @@ def audit_sink(out_dir: str, deep: bool = False) -> dict:
     if ids and ids[0] != 0:
         problems.append(f"first committed batch is {ids[0]}, not 0")
     segs = _committed_segments(out_dir)
+    expired = _expired_upto(out_dir)
     covered: dict[int, tuple[int, int]] = {}
     for lo, hi in segs:
+        if lo <= expired < hi:
+            problems.append(
+                f"segment ({lo}, {hi}) straddles the expire marker "
+                f"{expired}: retention must land on segment boundaries"
+            )
         for b in range(lo, hi + 1):
             if b in covered:
                 problems.append(
@@ -514,6 +607,8 @@ def audit_sink(out_dir: str, deep: bool = False) -> dict:
                 )
     total = 0
     for b in ids:
+        if b <= expired:
+            continue  # retention: the data is gone by design
         bpath = os.path.join(out_dir, f"batch_id={b}")
         if b in covered:
             if os.path.isdir(bpath):
@@ -539,6 +634,14 @@ def audit_sink(out_dir: str, deep: bool = False) -> dict:
     for lo, hi in segs:
         spath = os.path.join(out_dir, f"segment={lo}-{hi}")
         mpath = os.path.join(metrics_dir, f"segment_{lo}_{hi}.json")
+        if hi <= expired:
+            if os.path.isdir(spath):
+                notes.append(
+                    f"segment ({lo}, {hi}): expired, dir pending removal "
+                    "(crash between the expire marker and the drop; the "
+                    "next expire_sink call finishes it)"
+                )
+            continue  # expired: no data checks, no row contribution
         if not os.path.isdir(spath):
             problems.append(f"segment ({lo}, {hi}): committed but no dir")
             continue
@@ -588,6 +691,7 @@ def audit_sink(out_dir: str, deep: bool = False) -> dict:
         "ok": not problems,
         "batches": len(ids),
         "segments": len(segs),
+        "expired_upto": expired,
         "rows": total,
         "problems": problems,
         "notes": notes,

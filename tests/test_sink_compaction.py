@@ -378,3 +378,83 @@ def test_compact_sort_by_clustering(spark, built_sink, tmp_path):
     hot = before["conv_id"].value_counts().idxmax()
     touching = [r for r in ranges if r[0] <= hot <= r[1]]
     assert len(touching) < len(ranges)
+
+
+def test_expire_sink_retention(spark, built_sink, tmp_path):
+    """Retention (write -> compact -> expire): expired segments drop as
+    directory removals behind an atomic _EXPIRE_ marker; the visible row
+    set shrinks by exactly the expired rows, _COMMIT_ markers survive
+    (replay-skip + contiguity evidence intact), audit stays green, and
+    both crash sides are covered (pending-removal note; idempotent
+    finish). Expiry off a segment boundary is rejected."""
+    from sliding_window_aggregators_spark.streaming import expire_sink
+
+    out = _copy(built_sink, tmp_path)
+    ids = ExactlyOnceParquetSink(out).committed_batches()
+    before = _frame(spark, out)
+
+    # must compact first: nothing is covered yet
+    with pytest.raises(ValueError, match="segment boundary"):
+        expire_sink(out, upto=ids[0])
+
+    compact_sink(out, keep_last=1)  # segment (0, n-2)
+    hi = ids[-2]
+    # off-boundary upto rejected, boundary named in the error
+    with pytest.raises(ValueError, match=rf"\[{hi}\]"):
+        expire_sink(out, upto=hi - 1)
+
+    rep = expire_sink(out, upto=hi)
+    assert rep["expired_upto"] == hi
+    assert rep["removed_segments"] == [f"segment={ids[0]}-{hi}"]
+    assert rep["rows_removed"] > 0
+    assert not os.path.isdir(os.path.join(out, f"segment={ids[0]}-{hi}"))
+
+    audit = audit_sink(out, deep=True)
+    assert audit["ok"] and not audit["notes"], audit
+    assert audit["expired_upto"] == hi
+    # markers intact; the visible rows are exactly the kept batch
+    sink = ExactlyOnceParquetSink(out)
+    assert sink.committed_batches() == ids
+    kept = _frame(spark, out)
+    exp = (before[before["_batch_id"] > hi]
+           .sort_values(sorted(before.columns)).reset_index(drop=True))
+    pd.testing.assert_frame_equal(kept, exp)
+    assert len(kept) + rep["rows_removed"] == len(before)
+
+    # idempotent re-call is a no-op
+    rep2 = expire_sink(out, upto=hi)
+    assert rep2["expired_upto"] == hi and not rep2["removed_segments"]
+
+
+def test_expire_crash_window_and_resume(spark, built_sink, tmp_path):
+    """Crash between the _EXPIRE_ marker and the segment drop: the audit
+    notes the pending removal (still ok), readers already exclude the
+    expired rows, and the next expire call finishes the cleanup."""
+    from sliding_window_aggregators_spark.streaming import expire_sink
+    from sliding_window_aggregators_spark.streaming.sink import (
+        _expired_upto,
+    )
+
+    out = _copy(built_sink, tmp_path)
+    ids = ExactlyOnceParquetSink(out).committed_batches()
+    before = _frame(spark, out)
+    compact_sink(out, keep_last=1)
+    hi = ids[-2]
+
+    # simulate the crash: write the marker by hand, leave the segment
+    mark = os.path.join(out, "_commits", f"_EXPIRE_{hi}")
+    open(mark, "w").write("ok")
+    assert _expired_upto(out) == hi
+
+    mid = audit_sink(out, deep=True)
+    assert mid["ok"], mid
+    assert any("pending removal" in n for n in mid["notes"])
+    kept = _frame(spark, out)
+    assert set(kept["_batch_id"]) == {ids[-1]}  # reader excludes already
+
+    rep = expire_sink(out, upto=hi)  # finishes the drop
+    assert rep["removed_segments"] == [f"segment={ids[0]}-{hi}"]
+    done = audit_sink(out, deep=True)
+    assert done["ok"] and not done["notes"], done
+    pd.testing.assert_frame_equal(kept, _frame(spark, out))
+    assert len(kept) < len(before)
