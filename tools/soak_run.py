@@ -158,9 +158,14 @@ def main() -> None:
 
     con = duckdb.connect()
     # auto-compaction folds old batch dirs into segments mid-run: the
-    # oracle must read BOTH layouts (duckdb accepts a glob list)
-    sink_glob = (f"['{out}/batch_id=*/*.parquet', "
-                 f"'{out}/segment=*/*.parquet']")
+    # oracle must read BOTH layouts (duckdb accepts a glob list, but
+    # errors on a glob with zero matches — include each only if present)
+    globs = [
+        f"'{out}/{kind}=*/*.parquet'"
+        for kind in ("batch_id", "segment")
+        if any(d.startswith(f"{kind}=") for d in os.listdir(out))
+    ]
+    sink_glob = "[" + ", ".join(globs) + "]"
     cnt, distinct = con.execute(
         f"select count(*), count(distinct (conv_id, ts)) "
         f"from read_parquet({sink_glob})"
