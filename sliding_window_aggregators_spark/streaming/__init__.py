@@ -31,3 +31,10 @@ from .sink import (  # noqa: F401
     expire_sink,
     write_stream_exactly_once,
 )
+from .state_inspect import (  # noqa: F401
+    assert_state_bounded,
+    audit_state_bound,
+    group_state_stats,
+    read_state,
+    state_operators,
+)

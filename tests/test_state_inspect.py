@@ -1,0 +1,246 @@
+"""Checkpoint state inspection via Spark's State Data Source
+(SPARK-45511): operator lineage, distributed blob decode, the
+bounded-state audit, batchId time travel, and native reads of
+session-window and stream-stream-join state.
+
+The point of these tests: the engine's retention claims ("ordered state
+is evicted to youngest − 2·duration per key", engine.py
+_ooo_sliding_step) stop being operator folklore — they are recomputed
+here from the STATE FILES of a finished checkpoint, through the same
+reader an operator would use against a live production job."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sliding_window_aggregators_spark.streaming import (
+    assert_state_bounded,
+    audit_state_bound,
+    group_state_stats,
+    read_state,
+    session_stream,
+    sliding_agg_stream,
+    sliding_agg_stream_multi,
+    state_operators,
+    user_assistant_join,
+)
+from sliding_window_aggregators_spark.streaming.engine import (
+    STATE_PARTITION_FLOOR,
+    _interval_us,
+)
+
+SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp"
+)
+
+N_KEYS = 5
+DURATION = "10 seconds"
+DUR_US = _interval_us(DURATION)
+
+
+def _turns(n, start_i=0):
+    """Deterministic transcript chunk: key i%N_KEYS, ts on a 700 ms grid."""
+    i = np.arange(start_i, start_i + n, dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "conv_id": np.char.add("c", (i % N_KEYS).astype(str)),
+            "turn_idx": i.astype(np.int32),
+            "role": np.where(i % 3 == 0, "assistant", "user"),
+            "text": np.array(["t" * int(1 + k % 7) for k in i], dtype=object),
+            "tool": None,
+            "ts": pd.Timestamp("2026-01-01") + pd.to_timedelta(i * 700, unit="ms"),
+        }
+    )
+
+
+def _drain(res, out, ckpt, mode="append"):
+    q = (
+        res.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+@pytest.fixture(scope="module")
+def agg_ckpt(spark, tmp_path_factory):
+    """One sliding_agg_stream checkpoint drained over TWO micro-batch
+    commits (chunk2 arrives after the first drain), plus the pandas
+    frames needed to recompute expected state per key."""
+    base = tmp_path_factory.mktemp("state_inspect")
+    src, out, ckpt = str(base / "src"), str(base / "out"), str(base / "ckpt")
+    os.makedirs(src)
+    c1, c2 = _turns(300), _turns(120, start_i=300)
+
+    def stream():
+        s = spark.readStream.schema(SCHEMA).option(
+            "pathGlobFilter", "*.parquet"
+        ).parquet(src + "/*")
+        return sliding_agg_stream(
+            s, monoid_name="sum", value_expr="length(text)",
+            duration=DURATION, watermark="5 seconds",
+        )
+
+    spark.createDataFrame(c1, schema=SCHEMA).coalesce(1).write.parquet(src + "/chunk1")
+    _drain(stream(), out, ckpt)
+    spark.createDataFrame(c2, schema=SCHEMA).coalesce(1).write.parquet(src + "/chunk2")
+    _drain(stream(), out, ckpt)
+    return ckpt, c1, c2
+
+
+def _expected_state(frames):
+    """Per-key retained rows after the engine's evict: ts ≥ youngest −
+    2·duration (bulk_evict removes ts ≤ youngest − 2·duration − 1)."""
+    pdf = pd.concat(frames, ignore_index=True)
+    us = pdf["ts"].astype("datetime64[us]").astype(np.int64)
+    exp = {}
+    for key, grp in us.groupby(pdf["conv_id"]):
+        youngest = int(grp.max())
+        kept = grp[grp >= youngest - 2 * DUR_US]
+        exp[key] = (len(kept), int(kept.min()), int(kept.max()))
+    return exp
+
+
+def test_metadata_lists_operator_and_partition_floor(spark, agg_ckpt):
+    ckpt, _, _ = agg_ckpt
+    meta = state_operators(spark, ckpt).collect()
+    assert len(meta) == 1
+    row = meta[0]
+    assert row["operatorName"] == "applyInPandasWithState"
+    # the §2 state-partition floor is frozen into the checkpoint
+    assert row["numPartitions"] == STATE_PARTITION_FLOOR
+    # two committed drains → batch range covers both
+    assert row["minBatchId"] == 0 and row["maxBatchId"] >= 1
+
+
+def test_group_state_stats_match_recompute(spark, agg_ckpt):
+    ckpt, c1, c2 = agg_ckpt
+    got = {
+        r["key_json"]: r
+        for r in group_state_stats(spark, ckpt).collect()
+    }
+    exp = _expected_state([c1, c2])
+    assert set(got) == {f'{{"conv_id":"{k}"}}' for k in exp}
+    for k, (rows, tmin, tmax) in exp.items():
+        r = got[f'{{"conv_id":"{k}"}}']
+        assert r["kind"] == "ordered"
+        assert r["state_rows"] == rows
+        assert (r["ts_min_us"], r["ts_max_us"]) == (tmin, tmax)
+        assert r["span_us"] == tmax - tmin
+        assert r["blob_bytes"] > 0
+
+
+def test_batch_id_time_travel_shows_state_movement(spark, agg_ckpt):
+    """Reading the same store at batchId=0 must reproduce the state as
+    of the FIRST commit — chunk1 only — while the latest read reflects
+    both chunks (per-partition lineage, not just a latest snapshot)."""
+    ckpt, c1, c2 = agg_ckpt
+    at0 = {
+        r["key_json"]: (r["state_rows"], r["ts_min_us"], r["ts_max_us"])
+        for r in group_state_stats(spark, ckpt, batch_id=0).collect()
+    }
+    exp0 = _expected_state([c1])
+    assert at0 == {
+        f'{{"conv_id":"{k}"}}': v for k, v in exp0.items()
+    }
+    assert exp0 != _expected_state([c1, c2])  # the travel is non-trivial
+
+
+def test_audit_passes_at_engine_bound_and_flags_tighter_claim(spark, agg_ckpt):
+    ckpt, _, _ = agg_ckpt
+    n = assert_state_bounded(spark, ckpt, DURATION)
+    assert n == N_KEYS
+    # negative control: audit a claim the engine does NOT make (¼ the
+    # duration) — the auditor must actually flag, not rubber-stamp
+    tight = audit_state_bound(spark, ckpt, "2 seconds")
+    assert tight.filter(~F.col("ok")).count() == N_KEYS
+    with pytest.raises(AssertionError, match="exceed the retention bound"):
+        assert_state_bounded(spark, ckpt, "2 seconds")
+
+
+def test_multi_duration_blob_list_decodes(spark, tmp_path):
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "o"), str(tmp_path / "c")
+    os.makedirs(src)
+    spark.createDataFrame(_turns(200), schema=SCHEMA).coalesce(1).write.parquet(src + "/chunk1")
+    s = spark.readStream.schema(SCHEMA).parquet(src + "/*")
+    res = sliding_agg_stream_multi(
+        s,
+        monoids=("sum", "max"),
+        durations=(DURATION, "20 seconds"),
+        value_expr="length(text)",
+        watermark="5 seconds",
+    )
+    _drain(res, out, ckpt)
+    rows = group_state_stats(spark, ckpt).collect()
+    assert len(rows) == N_KEYS
+    assert all(r["kind"] == "ordered_multi" for r in rows)
+    assert all(r["state_rows"] > 0 for r in rows)
+
+
+def test_session_window_state_reads_native(spark, tmp_path):
+    """Built-in stateful operators store typed rows — no blob: the open
+    sessions' (start, end, count) come straight out of the checkpoint."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "o"), str(tmp_path / "c")
+    os.makedirs(src)
+    pdf = _turns(200)
+    spark.createDataFrame(pdf, schema=SCHEMA).coalesce(1).write.parquet(src + "/chunk1")
+    s = spark.readStream.schema(SCHEMA).parquet(src + "/*")
+    # gap (5s) > per-key arrival spacing (3.5s): one open session per key
+    _drain(session_stream(s, gap="5 seconds", watermark="5 seconds"), out, ckpt)
+    st = read_state(spark, ckpt)
+    got = (
+        st.groupBy("key.conv_id")
+        .agg(F.sum("value.count").alias("n"), F.count("*").alias("sessions"))
+        .collect()
+    )
+    per_key = pdf.groupby("conv_id").size()
+    assert {r["conv_id"]: r["n"] for r in got} == per_key.to_dict()
+    assert all(r["sessions"] == 1 for r in got)
+
+
+def test_join_state_reads_both_sides(spark, tmp_path):
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "o"), str(tmp_path / "c")
+    os.makedirs(src)
+    spark.createDataFrame(_turns(200), schema=SCHEMA).coalesce(1).write.parquet(src + "/chunk1")
+    s = spark.readStream.schema(SCHEMA).parquet(src + "/*")
+    _drain(
+        user_assistant_join(s, horizon="10 seconds", watermark="5 seconds"),
+        out, ckpt,
+    )
+    meta = state_operators(spark, ckpt)
+    assert meta.filter(F.col("operatorName") == "symmetricHashJoin").count() == 4
+    left = read_state(spark, ckpt, join_side="left")
+    right = read_state(spark, ckpt, join_side="right")
+    assert left.count() > 0 and right.count() > 0
+    # the buffered rows are typed: user turns left, replies right
+    assert "u_ts" in left.select("value.*").columns
+
+
+def test_state_report_cli_fresh_session(agg_ckpt):
+    """The ops case: a BRAND-NEW driver (subprocess, own JVM) inspects a
+    checkpoint another session wrote. Regression for the lazy
+    StateStoreCoordinator: without _ensure_state_coordinator the batch
+    statestore read dies with CANNOT_LOAD_STATE_STORE /
+    RpcEndpointNotFoundException in any session that never started a
+    streaming query."""
+    import subprocess
+    import sys
+
+    ckpt, c1, c2 = agg_ckpt
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "state_report.py"),
+         ckpt, "--duration", DURATION, "--cpus", "4"],
+        capture_output=True, text=True, timeout=420, cwd=repo,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert f"audit (2 x {DURATION}): OK" in r.stdout
+    n_keys = pd.concat([c1, c2])["conv_id"].nunique()
+    assert f"|{n_keys}   " in r.stdout  # keys row of the summary table
