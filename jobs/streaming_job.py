@@ -155,6 +155,14 @@ def main() -> None:
                          "sink (commit-log contiguity, metrics vs parquet "
                          "footers, orphan batch dirs, compacted segments) "
                          "and print the report")
+    ap.add_argument("--audit-state", action="store_true",
+                    help="after the drain, recompute the per-key retention "
+                         "bound (retained event-time span <= 2 x duration) "
+                         "straight from the CHECKPOINT's state files "
+                         "(streaming/state_inspect) and print the verdict; "
+                         "exit 5 on violation. Applies to the per-turn "
+                         "sliding groupState modes (default / "
+                         "--multi-monoids)")
     ap.add_argument("--partition-by", default=None, metavar="NAME:EXPR",
                     help="stamp a partition column NAME = SQL EXPR over "
                          "the aggregate's output rows and write each batch "
@@ -272,6 +280,12 @@ def main() -> None:
         ap.error("--multi-value-exprs requires --multi-monoids (the "
                  "single-monoid path takes --value-expr); refusing to "
                  "silently ignore it")
+    if args.audit_state and (args.tumbling or args.panes or args.tws):
+        ap.error("--audit-state recomputes the ordered-state 2x-duration "
+                 "bound from groupState blobs; --tumbling/--panes/--tws "
+                 "keep state in other layouts (native window rows / "
+                 "pane partials / transformWithState value state) — "
+                 "inspect those with tools/state_report.py instead")
     if args.pre_combine and not args.panes:
         ap.error("--pre-combine is the map-side pane partial-aggregation "
                  "path; it requires --panes (the per-turn sliding modes "
@@ -575,6 +589,30 @@ def main() -> None:
         print("lineage audit: " + _json.dumps(report), file=sys.stderr)
         if not report["ok"]:
             sys.exit(3)
+    if args.audit_state:
+        from sliding_window_aggregators_spark.streaming import (
+            assert_state_bounded,
+        )
+
+        if args.multi_monoids:
+            from sliding_window_aggregators_spark.streaming.engine import (
+                _interval_us,
+            )
+
+            # multi blobs share one span across durations: bound by the max
+            dur = max(
+                (d.strip() for d in args.multi_durations.split(",")),
+                key=_interval_us,
+            )
+        else:
+            dur = args.duration
+        try:
+            n = assert_state_bounded(spark, args.checkpoint, dur)
+            print(f"state audit: OK ({n} keys within 2 x {dur})",
+                  file=sys.stderr)
+        except AssertionError as exc:
+            print(f"state audit: FAIL {exc}", file=sys.stderr)
+            sys.exit(5)
     # per-batch duration breakdown (planning vs execution vs offset/WAL
     # commits vs state-store commit) so a scaling study can tell engine
     # work from fixed micro-batch machinery — one compact JSON line

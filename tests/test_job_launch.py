@@ -14,13 +14,13 @@ from conftest import brute_max_gap, brute_streak
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run_job(src, out, ckpt):
+def _run_job(src, out, ckpt, *extra):
     return subprocess.run(
         [
             sys.executable,
             os.path.join(ROOT, "jobs", "streaming_job.py"),
             "--source", src, "--out", out, "--checkpoint", ckpt,
-            "--available-now",
+            "--available-now", *extra,
         ],
         capture_output=True,
         text=True,
@@ -49,10 +49,13 @@ def test_streaming_job_resumes_from_checkpoint(spark, tmp_path):
     spark.createDataFrame(pdf.iloc[150:]).coalesce(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(src, "c1"))
-    r2 = _run_job(src, out, ckpt)
+    # resume + the post-drain checkpoint state audit (span <= 2x duration
+    # recomputed from the state files, streaming/state_inspect)
+    r2 = _run_job(src, out, ckpt, "--audit-state")
     assert r2.returncode == 0, r2.stderr[-2000:]
     # batch 0 NOT recomputed; batch 1 appended
     assert "committed batches: [0, 1]" in r2.stderr
+    assert "state audit: OK (10 keys within 2 x 10 minutes)" in r2.stderr
 
     total = spark.read.parquet(*glob.glob(out + "/batch_id=*")).count()
     assert total == 300
