@@ -35,6 +35,7 @@ from .state_inspect import (  # noqa: F401
     assert_state_bounded,
     audit_state_bound,
     group_state_stats,
+    hot_keys_from_state,
     read_state,
     state_operators,
 )

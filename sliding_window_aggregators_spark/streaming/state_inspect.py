@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "state_operators",
+    "hot_keys_from_state",
     "read_state",
     "group_state_stats",
     "audit_state_bound",
@@ -199,6 +200,58 @@ def group_state_stats(
             )
 
     return st.mapInPandas(decode, _STATS_SCHEMA)
+
+
+def hot_keys_from_state(
+    spark: SparkSession,
+    checkpoint: str,
+    *,
+    key: str = "conv_id",
+    top_n: int = 40,
+    min_share: float = 0.0,
+    operator_id: int | None = None,
+    batch_id: int | None = None,
+    state_col: str = "value.groupState.blob",
+) -> list:
+    """Checkpoint-side twin of ``engine.discover_hot_keys``: the keys
+    holding the most RETAINED STATE rows right now, hottest first — the
+    ``hot_keys=`` input of a chunk-halo re-plan, read from a live job's
+    committed state instead of a source scan.
+
+    The two rankings answer different questions: source counts rank
+    all-time row volume; state rows rank volume inside each key's live
+    2·duration horizon — a conversation that went quiet falls off this
+    list even if it dominates the table. ``min_share`` filters to keys
+    actually holding at least that fraction of all retained rows (same
+    contract as discover_hot_keys: non-skewed state → ``[]``, so a
+    monitoring loop can wire it in unconditionally). Ties break on the
+    key value for determinism.
+
+    Scale shape: the partition-parallel state read + mapInPandas decode
+    of :func:`group_state_stats` (one stats row per key), one TopK
+    bounded by ``top_n``, one sum for ``min_share`` — no source scan at
+    all."""
+    import json
+
+    stats = group_state_stats(
+        spark, checkpoint,
+        operator_id=operator_id, batch_id=batch_id, state_col=state_col,
+    ).persist()
+    try:
+        top = (
+            stats.orderBy(F.desc("state_rows"), F.asc("key_json"))
+            .limit(top_n)
+            .collect()
+        )
+        if min_share > 0.0:
+            total = stats.agg(F.sum("state_rows")).first()[0] or 0
+            top = [
+                r for r in top
+                if total and (r["state_rows"] or 0) / total >= min_share
+            ]
+    finally:
+        stats.unpersist()
+    return [json.loads(r["key_json"])[key] for r in top]
 
 
 def audit_state_bound(

@@ -244,3 +244,52 @@ def test_state_report_cli_fresh_session(agg_ckpt):
     assert f"audit (2 x {DURATION}): OK" in r.stdout
     n_keys = pd.concat([c1, c2])["conv_id"].nunique()
     assert f"|{n_keys}   " in r.stdout  # keys row of the summary table
+
+
+def test_hot_keys_from_state_ranks_retained_rows(spark, tmp_path):
+    """State-side skew discovery ranks RETAINED rows (each key's live
+    youngest - 2*duration horizon), not all-time volume: a dense recent
+    key outranks a longer conversation whose history is evicted."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "o"), str(tmp_path / "c")
+    os.makedirs(src)
+    base = pd.Timestamp("2026-01-01")
+    frames = [_turns(150)]
+    # c_old: most rows all-time, sparse tail -> thin retained horizon
+    old_i = np.arange(400, dtype=np.int64)
+    frames.append(pd.DataFrame({
+        "conv_id": "c_old", "turn_idx": old_i.astype(np.int32),
+        "role": "user", "text": "x", "tool": None,
+        "ts": base + pd.to_timedelta(old_i * 200, unit="ms"),
+    }))
+    # c_hot: fewer rows overall but dense inside its final 2x-duration
+    hot_i = np.arange(120, dtype=np.int64)
+    frames.append(pd.DataFrame({
+        "conv_id": "c_hot", "turn_idx": hot_i.astype(np.int32),
+        "role": "user", "text": "x", "tool": None,
+        "ts": base + pd.Timedelta(seconds=90)
+        + pd.to_timedelta(hot_i * 120, unit="ms"),
+    }))
+    pdf = pd.concat(frames, ignore_index=True).sort_values("ts")
+    spark.createDataFrame(pdf, schema=SCHEMA).coalesce(1).write.parquet(
+        src + "/chunk1"
+    )
+    s = spark.readStream.schema(SCHEMA).parquet(src + "/*")
+    _drain(
+        sliding_agg_stream(
+            s, monoid_name="sum", value_expr="length(text)",
+            duration=DURATION, watermark="5 seconds",
+        ),
+        out, ckpt,
+    )
+    from sliding_window_aggregators_spark.streaming import hot_keys_from_state
+
+    # expected ranking from the SAME retention rule, recomputed in pandas
+    exp = _expected_state([pdf])
+    order = sorted(exp, key=lambda k: (-exp[k][0], k))
+    assert exp["c_hot"][0] > exp["c_old"][0]  # the scenario is as designed
+    assert order[0] == "c_hot"
+    got = hot_keys_from_state(spark, ckpt, top_n=3)
+    assert got == order[:3], (got, order)
+    total = sum(v[0] for v in exp.values())
+    floor = [k for k in order if exp[k][0] / total >= 0.3]
+    assert hot_keys_from_state(spark, ckpt, top_n=8, min_share=0.3) == floor
