@@ -161,8 +161,8 @@ def main() -> None:
                          "straight from the CHECKPOINT's state files "
                          "(streaming/state_inspect) and print the verdict; "
                          "exit 5 on violation. Applies to the per-turn "
-                         "sliding groupState modes (default / "
-                         "--multi-monoids)")
+                         "sliding modes (default / --multi-monoids / "
+                         "--tws)")
     ap.add_argument("--partition-by", default=None, metavar="NAME:EXPR",
                     help="stamp a partition column NAME = SQL EXPR over "
                          "the aggregate's output rows and write each batch "
@@ -280,12 +280,12 @@ def main() -> None:
         ap.error("--multi-value-exprs requires --multi-monoids (the "
                  "single-monoid path takes --value-expr); refusing to "
                  "silently ignore it")
-    if args.audit_state and (args.tumbling or args.panes or args.tws):
+    if args.audit_state and (args.tumbling or args.panes):
         ap.error("--audit-state recomputes the ordered-state 2x-duration "
-                 "bound from groupState blobs; --tumbling/--panes/--tws "
-                 "keep state in other layouts (native window rows / "
-                 "pane partials / transformWithState value state) — "
-                 "inspect those with tools/state_report.py instead")
+                 "bound; --tumbling/--panes keep state in other layouts "
+                 "(native window rows / pane partials, whose bound is a "
+                 "pane count, not a time span) — inspect those with "
+                 "tools/state_report.py instead")
     if args.pre_combine and not args.panes:
         ap.error("--pre-combine is the map-side pane partial-aggregation "
                  "path; it requires --panes (the per-turn sliding modes "
@@ -607,7 +607,10 @@ def main() -> None:
         else:
             dur = args.duration
         try:
-            n = assert_state_bounded(spark, args.checkpoint, dur)
+            n = assert_state_bounded(
+                spark, args.checkpoint, dur,
+                state_var="ordered" if args.tws else None,
+            )
             print(f"state audit: OK ({n} keys within 2 x {dur})",
                   file=sys.stderr)
         except AssertionError as exc:

@@ -96,6 +96,7 @@ def read_state(
     batch_id: int | None = None,
     store_name: str | None = None,
     join_side: str | None = None,
+    state_var: str | None = None,
 ) -> DataFrame:
     """Raw per-key state rows of one store as a DataFrame
     (``key struct, value struct, partition_id``).
@@ -104,7 +105,13 @@ def read_state(
     ``[minBatchId, maxBatchId]`` range (default: latest). For
     stream-stream joins pass ``join_side='left'|'right'`` instead of a
     ``store_name`` — Spark assembles the keyToNumValues /
-    keyWithIndexToValue store pair into plain value rows."""
+    keyWithIndexToValue store pair into plain value rows. For
+    ``transformWithState`` operators pass ``state_var`` — the state
+    variable name the processor registered (this engine: ``"ordered"``
+    for sliding_agg_stream_tws, ``"panes"`` for
+    sliding_panes_stream_tws, ``"kernel"`` for
+    sliding_count_stream_tws; the full list is in state-metadata's
+    ``operatorProperties.stateVariables``)."""
     _ensure_state_coordinator(spark)
     r = spark.read.format("statestore")
     if operator_id is not None:
@@ -115,6 +122,8 @@ def read_state(
         r = r.option("storeName", store_name)
     if join_side is not None:
         r = r.option("joinSide", join_side)
+    if state_var is not None:
+        r = r.option("stateVarName", state_var)
     return r.load(checkpoint)
 
 
@@ -165,17 +174,24 @@ def group_state_stats(
     operator_id: int | None = None,
     batch_id: int | None = None,
     state_col: str = "value.groupState.blob",
+    state_var: str | None = None,
 ) -> DataFrame:
-    """Per-key state statistics for an ``applyInPandasWithState``
-    operator, decoded distributed (mapInPandas — the blobs never leave
-    the executors): one row per key with the blob kind, buffered row
-    count, event-time span of the retained state (µs), and blob size.
+    """Per-key state statistics for a blob-state operator, decoded
+    distributed (mapInPandas — the blobs never leave the executors):
+    one row per key with the blob kind, buffered row count, event-time
+    span of the retained state (µs), and blob size.
 
-    ``state_col`` defaults to the engine's groupState blob; pass e.g.
-    ``"value.panes.value"`` for a transformWithState value-state column.
+    ``state_col`` defaults to the engine's ``applyInPandasWithState``
+    groupState blob; for a ``transformWithState`` operator pass
+    ``state_var`` (the registered variable name — this engine's TWS
+    twins store the SAME pickled blobs under ``value.blob``, which
+    becomes the default column when ``state_var`` is given).
     """
+    if state_var is not None and state_col == "value.groupState.blob":
+        state_col = "value.blob"
     st = read_state(
-        spark, checkpoint, operator_id=operator_id, batch_id=batch_id
+        spark, checkpoint, operator_id=operator_id, batch_id=batch_id,
+        state_var=state_var,
     ).select(
         F.to_json(F.col("key")).alias("key_json"),
         F.col(state_col).alias("_blob"),
@@ -212,6 +228,7 @@ def hot_keys_from_state(
     operator_id: int | None = None,
     batch_id: int | None = None,
     state_col: str = "value.groupState.blob",
+    state_var: str | None = None,
 ) -> list:
     """Checkpoint-side twin of ``engine.discover_hot_keys``: the keys
     holding the most RETAINED STATE rows right now, hottest first — the
@@ -234,8 +251,8 @@ def hot_keys_from_state(
     import json
 
     stats = group_state_stats(
-        spark, checkpoint,
-        operator_id=operator_id, batch_id=batch_id, state_col=state_col,
+        spark, checkpoint, operator_id=operator_id, batch_id=batch_id,
+        state_col=state_col, state_var=state_var,
     ).persist()
     try:
         top = (
@@ -262,6 +279,7 @@ def audit_state_bound(
     operator_id: int | None = None,
     batch_id: int | None = None,
     state_col: str = "value.groupState.blob",
+    state_var: str | None = None,
 ) -> DataFrame:
     """:func:`group_state_stats` plus the retention verdict: the engine
     evicts ordered state to ``youngest − 2·duration`` per key, so every
@@ -273,8 +291,8 @@ def audit_state_bound(
 
     allowed = 2 * _interval_us(duration)
     stats = group_state_stats(
-        spark, checkpoint,
-        operator_id=operator_id, batch_id=batch_id, state_col=state_col,
+        spark, checkpoint, operator_id=operator_id, batch_id=batch_id,
+        state_col=state_col, state_var=state_var,
     )
     return stats.withColumn("allowed_span_us", F.lit(allowed)).withColumn(
         "ok", F.coalesce(F.col("span_us") <= F.lit(allowed), F.lit(False))
@@ -289,6 +307,7 @@ def assert_state_bounded(
     operator_id: int | None = None,
     batch_id: int | None = None,
     state_col: str = "value.groupState.blob",
+    state_var: str | None = None,
     sample: int = 20,
 ) -> int:
     """Raise ``AssertionError`` naming up to ``sample`` offending keys if
@@ -298,6 +317,7 @@ def assert_state_bounded(
     audited = audit_state_bound(
         spark, checkpoint, duration,
         operator_id=operator_id, batch_id=batch_id, state_col=state_col,
+        state_var=state_var,
     )
     agg = audited.agg(
         F.count("*").alias("n"),

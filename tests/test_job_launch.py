@@ -359,7 +359,7 @@ def test_streaming_job_tws_mode_survives_executor_loss(spark, tmp_path):
             sys.executable, os.path.join(ROOT, "jobs", "streaming_job.py"),
             "--source", src, "--out", out, "--checkpoint",
             str(tmp_path / "ckpt"), "--available-now", "--audit", "--tws",
-            "--fault-inject-executor", marker,
+            "--audit-state", "--fault-inject-executor", marker,
         ],
         capture_output=True, text=True, cwd=ROOT, timeout=420, env=env,
     )
@@ -367,6 +367,8 @@ def test_streaming_job_tws_mode_survives_executor_loss(spark, tmp_path):
     assert os.path.exists(marker)
     assert "ExecutorLostFailure" in r.stderr, r.stderr[-2000:]
     assert '"ok": true' in r.stderr
+    # post-drain checkpoint retention audit over the TWS ValueState
+    assert "state audit: OK (8 keys within 2 x 10 minutes)" in r.stderr
 
     con = duckdb.connect()
     n, distinct = con.execute(

@@ -293,3 +293,79 @@ def test_hot_keys_from_state_ranks_retained_rows(spark, tmp_path):
     total = sum(v[0] for v in exp.values())
     floor = [k for k in order if exp[k][0] / total >= 0.3]
     assert hot_keys_from_state(spark, ckpt, top_n=8, min_share=0.3) == floor
+
+
+def test_tws_state_inspects_with_state_var(spark, tmp_path):
+    """The production arbitrary-state API (transformWithStateInPandas +
+    RocksDB) stores the SAME pickled OrderedAggState blob under a named
+    ValueState; state_var='ordered' routes the whole inspection stack —
+    stats, retention audit, hot keys, and the CLI's operatorProperties
+    parse — at it."""
+    from sliding_window_aggregators_spark.compat import protobuf_available
+
+    if not protobuf_available():
+        pytest.skip("no google.protobuf and the vendored runtime failed")
+    from sliding_window_aggregators_spark.streaming import (
+        hot_keys_from_state,
+        sliding_agg_stream_tws,
+    )
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "o"), str(tmp_path / "c")
+    os.makedirs(src)
+    pdf = _turns(300)
+    spark.createDataFrame(pdf, schema=SCHEMA).coalesce(1).write.parquet(
+        src + "/chunk1"
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        s = spark.readStream.schema(SCHEMA).parquet(src + "/*")
+        res = sliding_agg_stream_tws(
+            s, monoid_name="sum", value_expr="length(text)",
+            duration=DURATION, watermark="5 seconds",
+        )
+        _drain(res, out, ckpt)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+    meta = state_operators(spark, ckpt).collect()
+    assert meta[0]["operatorName"] == "transformWithStateInPandasExec"
+    stats = {
+        r["key_json"]: r
+        for r in group_state_stats(spark, ckpt, state_var="ordered").collect()
+    }
+    exp = _expected_state([pdf])
+    assert len(stats) == N_KEYS
+    for key, (rows, tmin, tmax) in exp.items():
+        r = stats[f'{{"conv_id":"{key}"}}']
+        assert r["kind"] == "ordered"
+        assert (r["state_rows"], r["ts_min_us"], r["ts_max_us"]) == (
+            rows, tmin, tmax,
+        )
+    assert assert_state_bounded(spark, ckpt, DURATION, state_var="ordered") \
+        == N_KEYS
+    assert len(hot_keys_from_state(spark, ckpt, state_var="ordered",
+                                   top_n=2)) == 2
+
+    # the CLI discovers the ValueState from operatorProperties on its own
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "state_report.py"),
+         ckpt, "--duration", DURATION, "--cpus", "4"],
+        capture_output=True, text=True, timeout=420, cwd=repo,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "state_var 'ordered'" in r.stdout
+    assert f"audit (2 x {DURATION}): OK" in r.stdout

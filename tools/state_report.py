@@ -46,17 +46,31 @@ def main() -> int:
     print("== operators ==")
     meta.show(truncate=False)
 
-    blob_ops = [
-        r["operatorId"]
-        for r in meta.collect()
-        if r["operatorName"] == "applyInPandasWithState"
-        and (args.operator_id is None or r["operatorId"] == args.operator_id)
-    ]
+    import json as _json
+
+    # blob-state operators: (operatorId, state_var) pairs — groupState
+    # blobs for applyInPandasWithState, each registered ValueState for
+    # transformWithState (variable names from operatorProperties)
+    blob_ops = []
+    for r in meta.collect():
+        if args.operator_id is not None and r["operatorId"] != args.operator_id:
+            continue
+        if r["operatorName"] == "applyInPandasWithState":
+            blob_ops.append((r["operatorId"], None))
+        elif r["operatorName"] == "transformWithStateInPandasExec":
+            props = _json.loads(r["operatorProperties"] or "{}")
+            blob_ops.extend(
+                (r["operatorId"], v["stateName"])
+                for v in props.get("stateVariables", [])
+                if v.get("stateVariableType") == "ValueState"
+            )
     rc = 0
-    for op in blob_ops:
-        print(f"== operator {op}: per-key state ==")
+    for op, var in blob_ops:
+        label = f"operator {op}" + (f" state_var {var!r}" if var else "")
+        print(f"== {label}: per-key state ==")
         stats = group_state_stats(
-            spark, args.checkpoint, operator_id=op, batch_id=args.batch_id
+            spark, args.checkpoint, operator_id=op, batch_id=args.batch_id,
+            state_var=var,
         ).cache()
         stats.agg(
             F.count("*").alias("keys"),
@@ -70,7 +84,7 @@ def main() -> int:
         if args.duration:
             audited = audit_state_bound(
                 spark, args.checkpoint, args.duration,
-                operator_id=op, batch_id=args.batch_id,
+                operator_id=op, batch_id=args.batch_id, state_var=var,
             )
             bad = audited.filter(~F.col("ok"))
             n_bad = bad.count()
