@@ -37,5 +37,6 @@ from .state_inspect import (  # noqa: F401
     group_state_stats,
     hot_keys_from_state,
     read_state,
+    state_delta,
     state_operators,
 )

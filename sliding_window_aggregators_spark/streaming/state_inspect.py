@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "state_operators",
     "hot_keys_from_state",
+    "state_delta",
     "read_state",
     "group_state_stats",
     "audit_state_bound",
@@ -216,6 +217,66 @@ def group_state_stats(
             )
 
     return st.mapInPandas(decode, _STATS_SCHEMA)
+
+
+def state_delta(
+    spark: SparkSession,
+    checkpoint: str,
+    batch_a: int,
+    batch_b: int,
+    *,
+    operator_id: int | None = None,
+    state_col: str = "value.groupState.blob",
+    state_var: str | None = None,
+) -> DataFrame:
+    """How state moved between two committed batches, per key: the
+    same store read at ``batch_a`` and ``batch_b`` (full-outer joined on
+    the key), with ``d_rows`` / ``d_bytes`` / ``d_span_us`` deltas and a
+    ``change`` verdict — ``'appeared'`` (key had no state at a),
+    ``'cleared'`` (state gone by b: timer/eviction closed it), ``'grew'``,
+    ``'shrank'``, or ``'steady'``. This is the "which keys is batch N
+    responsible for" drilldown behind the per-batch ``stateRows`` /
+    ``stateMemoryBytes`` lineage the job prints."""
+    a = group_state_stats(
+        spark, checkpoint, operator_id=operator_id, batch_id=batch_a,
+        state_col=state_col, state_var=state_var,
+    ).select(
+        "key_json",
+        F.col("state_rows").alias("rows_a"),
+        F.col("blob_bytes").alias("bytes_a"),
+        F.col("span_us").alias("span_a"),
+        F.col("ts_max_us").alias("ts_max_a"),
+    )
+    b = group_state_stats(
+        spark, checkpoint, operator_id=operator_id, batch_id=batch_b,
+        state_col=state_col, state_var=state_var,
+    ).select(
+        "key_json",
+        F.col("state_rows").alias("rows_b"),
+        F.col("blob_bytes").alias("bytes_b"),
+        F.col("span_us").alias("span_b"),
+        F.col("ts_max_us").alias("ts_max_b"),
+    )
+    j = a.join(b, "key_json", "full_outer")
+    d_rows = F.coalesce("rows_b", F.lit(0)) - F.coalesce("rows_a", F.lit(0))
+    return j.select(
+        "key_json",
+        "rows_a", "rows_b",
+        d_rows.alias("d_rows"),
+        (F.coalesce("bytes_b", F.lit(0))
+         - F.coalesce("bytes_a", F.lit(0))).alias("d_bytes"),
+        (F.coalesce("span_b", F.lit(0))
+         - F.coalesce("span_a", F.lit(0))).alias("d_span_us"),
+        # how far the key's retained horizon moved forward (steady row
+        # counts with a sliding horizon = healthy turnover, not stasis)
+        (F.col("ts_max_b") - F.col("ts_max_a")).alias("advanced_us"),
+        F.when(F.col("rows_a").isNull(), F.lit("appeared"))
+        .when(F.col("rows_b").isNull(), F.lit("cleared"))
+        .when(d_rows > 0, F.lit("grew"))
+        .when(d_rows < 0, F.lit("shrank"))
+        .otherwise(F.lit("steady"))
+        .alias("change"),
+    )
 
 
 def hot_keys_from_state(

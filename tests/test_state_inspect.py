@@ -369,3 +369,29 @@ def test_tws_state_inspects_with_state_var(spark, tmp_path):
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "state_var 'ordered'" in r.stdout
     assert f"audit (2 x {DURATION}): OK" in r.stdout
+
+
+def test_state_delta_between_commits(spark, agg_ckpt):
+    """state_delta(0, 1) per key equals the difference of the pandas
+    retention recomputes at each commit; verdict column classifies."""
+    from sliding_window_aggregators_spark.streaming import state_delta
+
+    ckpt, c1, c2 = agg_ckpt
+    got = {r["key_json"]: r for r in state_delta(spark, ckpt, 0, 1).collect()}
+    e0, e1 = _expected_state([c1]), _expected_state([c1, c2])
+    assert len(got) == N_KEYS
+    for k in e0:
+        r = got[f'{{"conv_id":"{k}"}}']
+        assert (r["rows_a"], r["rows_b"]) == (e0[k][0], e1[k][0])
+        assert r["d_rows"] == e1[k][0] - e0[k][0]
+        assert r["d_span_us"] == (e1[k][2] - e1[k][1]) - (e0[k][2] - e0[k][1])
+        exp_change = (
+            "grew" if r["d_rows"] > 0 else
+            "shrank" if r["d_rows"] < 0 else "steady"
+        )
+        assert r["change"] == exp_change
+    # steady ROW COUNTS here (eviction balances admission on the 700 ms
+    # grid) — the horizon itself must have advanced for every key
+    for k in e0:
+        r = got[f'{{"conv_id":"{k}"}}']
+        assert r["advanced_us"] == e1[k][2] - e0[k][2] > 0
