@@ -161,7 +161,8 @@ def _blob_stats(blob: bytes):
     if isinstance(obj, dict):
         for kind, ts_field in (("ordered", "ts"), ("panes", "pane_ts")):
             ts = obj.get(ts_field)
-            if isinstance(ts, np.ndarray) and ts.ndim == 1:
+            if isinstance(ts, np.ndarray) and ts.ndim == 1 \
+                    and ts.dtype.kind in "iu":
                 if len(ts) == 0:
                     return kind, 0, None, None
                 return kind, int(len(ts)), int(ts.min()), int(ts.max())

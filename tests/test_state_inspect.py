@@ -395,3 +395,79 @@ def test_state_delta_between_commits(spark, agg_ckpt):
     for k in e0:
         r = got[f'{{"conv_id":"{k}"}}']
         assert r["advanced_us"] == e1[k][2] - e0[k][2] > 0
+
+
+def test_blob_stats_never_crashes_on_garbage():
+    """A corrupt or foreign state file must classify, not crash the
+    auditor: arbitrary byte strings and arbitrary picklable objects all
+    land in a known kind, and non-engine layouts fail closed (the audit
+    marks them not-ok rather than skipping them)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sliding_window_aggregators_spark.streaming.state_inspect import (
+        _blob_stats,
+    )
+
+    kinds = {"ordered", "ordered_multi", "panes", "opaque", "undecodable"}
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=64))
+    def raw_bytes(b):
+        kind, rows, tmin, tmax = _blob_stats(b)
+        assert kind in kinds
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.recursive(
+            st.none() | st.integers() | st.text(max_size=5)
+            | st.binary(max_size=8),
+            lambda c: st.lists(c, max_size=3)
+            | st.dictionaries(st.text(max_size=3), c, max_size=3),
+            max_leaves=10,
+        )
+    )
+    def pickled_objects(obj):
+        import pickle
+
+        kind, rows, tmin, tmax = _blob_stats(pickle.dumps(obj))
+        assert kind in kinds
+        if kind in ("opaque", "undecodable"):
+            assert rows is None and tmin is None and tmax is None
+
+    raw_bytes()
+    pickled_objects()
+
+    # the real layouts still classify as themselves (no false opaque)
+    import pickle
+
+    ordered = pickle.dumps(
+        {"ts": np.array([1, 5], dtype=np.int64),
+         "partials": {"s": np.array([2.0, 3.0])}, "v": 1}
+    )
+    assert _blob_stats(ordered) == ("ordered", 2, 1, 5)
+    assert _blob_stats(pickle.dumps([ordered, ordered])) == (
+        "ordered_multi", 4, 1, 5,
+    )
+    panes = pickle.dumps(
+        {"pane_ts": np.array([10], dtype=np.int64), "partials": {},
+         "last_emit": 0, "v": 1}
+    )
+    assert _blob_stats(panes) == ("panes", 1, 10, 10)
+
+
+def test_blob_stats_non_integer_ts_is_opaque():
+    """A dict that apes the engine layout with a non-integer ts axis
+    must classify opaque (and so fail the audit closed), not crash on
+    int(min())."""
+    import pickle
+
+    from sliding_window_aggregators_spark.streaming.state_inspect import (
+        _blob_stats,
+    )
+
+    for ts in (np.array(["a", "b"], dtype=object),
+               np.array([1.5, 2.5]),
+               np.array([[1, 2]], dtype=np.int64)):
+        blob = pickle.dumps({"ts": ts, "partials": {}, "v": 1})
+        assert _blob_stats(blob) == ("opaque", None, None, None)
