@@ -111,7 +111,8 @@ def main() -> None:
         [
             sys.executable, os.path.join(HERE, "jobs", "streaming_job.py"),
             "--source", src, "--out", out, "--checkpoint", ckpt,
-            "--available-now", "--audit", "--max-files-per-trigger", "1",
+            "--available-now", "--audit", "--audit-state",
+            "--max-files-per-trigger", "1",
             "--duration", args.duration,
         ] + (["--tws"] if args.tws else [])
         + (["--compact-every", str(args.compact_every)]
@@ -128,6 +129,7 @@ def main() -> None:
     batches = json.loads(m.group(1)) if m else []
     drain = re.search(r"drain seconds: ([0-9.]+)", r.stderr)
     audit_ok = '"ok": true' in r.stderr
+    st_audit = re.search(r"state audit: OK \((\d+) keys", r.stderr)
 
     add_ms = [b["durationMs"].get("addBatch", 0) for b in batches
               if b.get("numInputRows")]
@@ -218,6 +220,12 @@ def main() -> None:
         "state_memory_bytes_series": state_mem,
         "add_batch_ms_series": add_ms,
         "verdicts": {
+            # post-drain retention bound recomputed from the checkpoint's
+            # STATE FILES by the job itself (--audit-state; exit 5 would
+            # have failed the soak): every key's span <= 2 x duration
+            "checkpoint_state_audit_keys": int(st_audit.group(1))
+            if st_audit else None,
+            "checkpoint_state_audit_ok": bool(st_audit),
             "state_plateau_ok": plateau_ok,
             "state_rows_warm_max": warm_hi,
             "state_rows_late_max": late_hi,
