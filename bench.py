@@ -647,10 +647,10 @@ def main() -> None:
                 round(drain, 3) if drain is not None else None
             )
             note = (
-                f"  [8 checkpointed micro-batches; stream drain only: "
+                f"  [8 data micro-batches + watermark tail; stream drain only: "
                 f"{drain:.3f}s — rest is cached-layout check + readback]"
                 if drain is not None
-                else "  [8 checkpointed micro-batches]"
+                else "  [8 data micro-batches + watermark tail]"
             )
         elif name == "conv_timeout_30m":
             from sliding_window_aggregators_spark.plans import events_queries

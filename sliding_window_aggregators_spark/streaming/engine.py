@@ -327,6 +327,27 @@ def _chunk_timeout(state: GroupState, ck, span_us: int, dur_us: int) -> None:
     state.setTimeoutTimestamp(max(end_ms, wm + 1))
 
 
+def _idle_timeout(state: GroupState, youngest_us, dur_us: int) -> None:
+    """Arm idle-key GC: once the event-time watermark strictly passes
+    ``youngest + duration``, every future in-watermark row's window
+    ``[ts − duration, ts]`` starts after the retained horizon (Spark's
+    pre-stateful watermark filter guarantees ts ≥ wm > youngest +
+    duration), so removing the WHOLE key cannot change any future
+    emission. This is what bounds total state by ACTIVE conversations
+    instead of every conversation ever seen — at 10^12 turns the
+    difference between O(live convs) and O(all convs) state. The fired
+    timeout lands in the caller's ``hasTimedOut`` branch, which
+    removes the state."""
+    if youngest_us is None:
+        return
+    deadline_ms = (int(youngest_us) + dur_us) // 1000 + 1
+    try:
+        wm = state.getCurrentWatermarkMs()
+    except Exception:
+        wm = 0
+    state.setTimeoutTimestamp(max(deadline_ms, wm + 1))
+
+
 def sliding_agg_stream(
     df: DataFrame,
     *,
@@ -372,6 +393,20 @@ def sliding_agg_stream(
     Accumulators are at-least-once under task retries: a monitoring
     signal (exact in a healthy run), never data.
 
+    State lifetime: within a live key, ordered state is evicted to
+    ``youngest − 2·duration`` (covers the per-key admission rule's
+    ``youngest − duration`` lookback); a key that goes QUIET is removed
+    entirely by idle-key GC (:func:`_idle_timeout` — an event-time
+    timeout at ``youngest + duration``, past which Spark's watermark
+    filter makes the retained rows unreachable by any future window).
+    Total state is therefore O(conversations live inside the watermark
+    horizon), not O(conversations ever seen) — the difference between
+    a bounded and an ever-growing store at 10^12 turns. The cleanup is
+    exact, not heuristic (tests/test_idle_gc.py pins byte-identical
+    revival emissions); a returning conversation simply starts fresh
+    state, which is correct because its new windows cannot reach the
+    dropped rows.
+
     Emits one row per turn: (key, ts, *id_cols, agg of the key's rows
     with ts ∈ [ts − duration, ts] seen so far, in event-time order within
     each micro-batch). ``id_cols`` ride along from the arriving rows —
@@ -413,7 +448,10 @@ def sliding_agg_stream(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        if chunked and state.hasTimedOut:
+        if state.hasTimedOut:
+            # chunk expiry (chunked hot keys) or idle-key GC: either
+            # armed deadline guarantees no admissible future row can
+            # still see this state
             state.remove()
             return
         if state.exists:
@@ -428,8 +466,10 @@ def sliding_agg_stream(
             drop_counter=dropped_late_counter,
         )
         state.update((bytearray(st.dumps()),))
-        if chunked:
+        if chunked and key_tuple[1] is not None and int(key_tuple[1]) >= 0:
             _chunk_timeout(state, key_tuple[1], span_us, dur_us)
+        else:
+            _idle_timeout(state, st.youngest(), dur_us)
         if out is not None:
             yield out
 
@@ -467,8 +507,7 @@ def sliding_agg_stream(
         prepared.groupBy(*group_cols)
         .applyInPandasWithState(
             fn, out_schema, STATE_SCHEMA, "append",
-            GroupStateTimeout.EventTimeTimeout if chunked
-            else GroupStateTimeout.NoTimeout,
+            GroupStateTimeout.EventTimeTimeout,
         )
     )
 
@@ -584,7 +623,8 @@ def sliding_agg_stream_multi(
     ) -> Iterator[pd.DataFrame]:
         from ..operators.kernels import interval_fold
 
-        if chunked and state.hasTimedOut:
+        if state.hasTimedOut:
+            # chunk expiry or idle-key GC (see _idle_timeout)
             state.remove()
             return
         if state.exists:
@@ -638,8 +678,10 @@ def sliding_agg_stream_multi(
         state.update(
             (bytearray(pickle.dumps([st.dumps() for st in sts])),)
         )
-        if chunked:
+        if chunked and key_tuple[1] is not None and int(key_tuple[1]) >= 0:
             _chunk_timeout(state, key_tuple[1], span_us, max_dur)
+        else:
+            _idle_timeout(state, sts[0].youngest(), max_dur)
         if outs:
             yield pd.concat(outs)
 
@@ -674,8 +716,7 @@ def sliding_agg_stream_multi(
     group_cols = [key, "_ck"] if chunked else [key]
     return prepared.groupBy(*group_cols).applyInPandasWithState(
         fn, out_schema, STATE_SCHEMA, "append",
-        GroupStateTimeout.EventTimeTimeout if chunked
-        else GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.EventTimeTimeout,
     )
 
 
@@ -1791,14 +1832,18 @@ def sliding_agg_stream_tws(
                 deadline = -(
                     ((int(key_tuple[1]) + 1) * span_us + 2 * dur_us) // -1000
                 )
-                for t in list(self._handle.listTimers()):
-                    self._handle.deleteTimer(t)
-                self._handle.registerTimer(deadline)
+            else:
+                # production-timer twin of _idle_timeout: GC the key
+                # once the watermark strictly passes youngest + duration
+                deadline = (int(st.youngest()) + dur_us) // 1000 + 1
+            for t in list(self._handle.listTimers()):
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(deadline)
             return iter([out] if out is not None else [])
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-            # the chunk's watermark deadline passed: no in-watermark row
-            # can still target it — drop the dead ordered state
+            # the armed deadline passed (chunk expiry or idle-key GC):
+            # no in-watermark row can still target this state — drop it
             self._state.clear()
             return iter([])
 
@@ -1838,7 +1883,7 @@ def sliding_agg_stream_tws(
         statefulProcessor=OooSlidingProcessor(),
         outputStructType=out_schema,
         outputMode="Append",
-        timeMode="EventTime" if chunked else "None",
+        timeMode="EventTime",
     )
 
 

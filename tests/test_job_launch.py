@@ -44,7 +44,9 @@ def test_streaming_job_resumes_from_checkpoint(spark, tmp_path):
 
     r1 = _run_job(src, out, ckpt)
     assert r1.returncode == 0, r1.stderr[-2000:]
-    assert "committed batches: [0]" in r1.stderr
+    # data batch 0 + the watermark-advance tail batch 1 (the idle-GC
+    # mode's no-data micro-batch; the sink commits zero-row batches)
+    assert "committed batches: [0, 1]" in r1.stderr
 
     spark.createDataFrame(pdf.iloc[150:]).coalesce(1).write.mode(
         "overwrite"
@@ -53,8 +55,8 @@ def test_streaming_job_resumes_from_checkpoint(spark, tmp_path):
     # recomputed from the state files, streaming/state_inspect)
     r2 = _run_job(src, out, ckpt, "--audit-state")
     assert r2.returncode == 0, r2.stderr[-2000:]
-    # batch 0 NOT recomputed; batch 1 appended
-    assert "committed batches: [0, 1]" in r2.stderr
+    # batches 0/1 NOT recomputed; data batch 2 + tail batch 3 appended
+    assert "committed batches: [0, 1, 2, 3]" in r2.stderr
     assert "state audit: OK (10 keys within 2 x 10 minutes)" in r2.stderr
 
     total = spark.read.parquet(*glob.glob(out + "/batch_id=*")).count()
@@ -170,7 +172,7 @@ def test_streaming_job_exactly_once_survives_worker_crash(spark, tmp_path):
     assert os.path.exists(marker), "fault stage never fired"
     # scheduler-level evidence the kill landed and was retried
     assert "Lost task" in r1.stderr, r1.stderr[-2000:]
-    assert "committed batches: [0]" in r1.stderr
+    assert "committed batches: [0, 1]" in r1.stderr
     assert '"ok": true' in r1.stderr  # lineage audit over the sink
 
     r2 = run("out2", "ckpt2", fault=False, master="local[4,2]")
@@ -238,7 +240,7 @@ def test_streaming_job_exactly_once_survives_driver_crash_before_commit(
 
     r2 = run(fault=False)
     assert r2.returncode == 0, r2.stderr[-2000:]
-    assert "committed batches: [0]" in r2.stderr
+    assert "committed batches: [0, 1]" in r2.stderr
     assert '"ok": true' in r2.stderr
 
     con = duckdb.connect()
@@ -307,7 +309,7 @@ def test_streaming_job_exactly_once_survives_executor_jvm_loss(
     assert r1.returncode == 0, r1.stderr[-2000:]
     assert os.path.exists(marker), "executor-kill stage never fired"
     assert "ExecutorLostFailure" in r1.stderr, r1.stderr[-2000:]
-    assert "committed batches: [0]" in r1.stderr
+    assert "committed batches: [0, 1]" in r1.stderr
     assert '"ok": true' in r1.stderr
 
     con = duckdb.connect()

@@ -90,9 +90,14 @@ def agg_ckpt(spark, tmp_path_factory):
 
     spark.createDataFrame(c1, schema=SCHEMA).coalesce(1).write.parquet(src + "/chunk1")
     _drain(stream(), out, ckpt)
+    # the EventTimeTimeout mode makes availableNow run an extra
+    # watermark-advance batch per drain, so per-drain commit ids are
+    # read back from state-metadata instead of assumed 0/1
+    b1 = state_operators(spark, ckpt).collect()[0]["maxBatchId"]
     spark.createDataFrame(c2, schema=SCHEMA).coalesce(1).write.parquet(src + "/chunk2")
     _drain(stream(), out, ckpt)
-    return ckpt, c1, c2
+    b2 = state_operators(spark, ckpt).collect()[0]["maxBatchId"]
+    return ckpt, c1, c2, (b1, b2)
 
 
 def _expected_state(frames):
@@ -109,7 +114,7 @@ def _expected_state(frames):
 
 
 def test_metadata_lists_operator_and_partition_floor(spark, agg_ckpt):
-    ckpt, _, _ = agg_ckpt
+    ckpt, _, _, _ = agg_ckpt
     meta = state_operators(spark, ckpt).collect()
     assert len(meta) == 1
     row = meta[0]
@@ -121,7 +126,7 @@ def test_metadata_lists_operator_and_partition_floor(spark, agg_ckpt):
 
 
 def test_group_state_stats_match_recompute(spark, agg_ckpt):
-    ckpt, c1, c2 = agg_ckpt
+    ckpt, c1, c2, _ = agg_ckpt
     got = {
         r["key_json"]: r
         for r in group_state_stats(spark, ckpt).collect()
@@ -138,13 +143,13 @@ def test_group_state_stats_match_recompute(spark, agg_ckpt):
 
 
 def test_batch_id_time_travel_shows_state_movement(spark, agg_ckpt):
-    """Reading the same store at batchId=0 must reproduce the state as
-    of the FIRST commit — chunk1 only — while the latest read reflects
-    both chunks (per-partition lineage, not just a latest snapshot)."""
-    ckpt, c1, c2 = agg_ckpt
+    """Reading the same store at the first drain's commit must reproduce
+    the state as of chunk1 only — while the latest read reflects both
+    chunks (per-partition lineage, not just a latest snapshot)."""
+    ckpt, c1, c2, (b1, _) = agg_ckpt
     at0 = {
         r["key_json"]: (r["state_rows"], r["ts_min_us"], r["ts_max_us"])
-        for r in group_state_stats(spark, ckpt, batch_id=0).collect()
+        for r in group_state_stats(spark, ckpt, batch_id=b1).collect()
     }
     exp0 = _expected_state([c1])
     assert at0 == {
@@ -154,7 +159,7 @@ def test_batch_id_time_travel_shows_state_movement(spark, agg_ckpt):
 
 
 def test_audit_passes_at_engine_bound_and_flags_tighter_claim(spark, agg_ckpt):
-    ckpt, _, _ = agg_ckpt
+    ckpt, _, _, _ = agg_ckpt
     n = assert_state_bounded(spark, ckpt, DURATION)
     assert n == N_KEYS
     # negative control: audit a claim the engine does NOT make (¼ the
@@ -233,7 +238,7 @@ def test_state_report_cli_fresh_session(agg_ckpt):
     import subprocess
     import sys
 
-    ckpt, c1, c2 = agg_ckpt
+    ckpt, c1, c2, _ = agg_ckpt
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run(
         [sys.executable, os.path.join(repo, "tools", "state_report.py"),
@@ -283,10 +288,18 @@ def test_hot_keys_from_state_ranks_retained_rows(spark, tmp_path):
     )
     from sliding_window_aggregators_spark.streaming import hot_keys_from_state
 
-    # expected ranking from the SAME retention rule, recomputed in pandas
-    exp = _expected_state([pdf])
+    # expected ranking from the SAME retention rule, recomputed in
+    # pandas — minus the keys idle-GC removes (youngest + duration
+    # behind the final watermark; c_old's sparse tail is exactly that)
+    final_wm_us = int(
+        pdf["ts"].astype("datetime64[us]").astype(np.int64).max()
+    ) - 5_000_000
+    exp = {
+        k: v for k, v in _expected_state([pdf]).items()
+        if v[2] + DUR_US >= final_wm_us
+    }
+    assert "c_old" not in exp and "c_hot" in exp  # scenario as designed
     order = sorted(exp, key=lambda k: (-exp[k][0], k))
-    assert exp["c_hot"][0] > exp["c_old"][0]  # the scenario is as designed
     assert order[0] == "c_hot"
     got = hot_keys_from_state(spark, ckpt, top_n=3)
     assert got == order[:3], (got, order)
@@ -376,8 +389,10 @@ def test_state_delta_between_commits(spark, agg_ckpt):
     retention recomputes at each commit; verdict column classifies."""
     from sliding_window_aggregators_spark.streaming import state_delta
 
-    ckpt, c1, c2 = agg_ckpt
-    got = {r["key_json"]: r for r in state_delta(spark, ckpt, 0, 1).collect()}
+    ckpt, c1, c2, (b1, b2) = agg_ckpt
+    got = {
+        r["key_json"]: r for r in state_delta(spark, ckpt, b1, b2).collect()
+    }
     e0, e1 = _expected_state([c1]), _expected_state([c1, c2])
     assert len(got) == N_KEYS
     for k in e0:

@@ -2047,16 +2047,21 @@ def test_dropped_late_counter(spark, stream_dirs):
             }
         )
 
-    # batch 1 ends at 200s; duration 60s → admission horizon 140s.
-    # batch 2: one admissible late row (150s) and TWO too-late rows
-    # (100s, 30s) that must be dropped and counted.
+    # batch 1 ends at 200s. watermark 2 min → wm 80s (Spark's input
+    # filter, which the EventTimeTimeout idle-GC mode enforces);
+    # duration 60s → per-key admission horizon 140s (the engine's
+    # stricter rule). batch 2 exercises all three strata: 150s
+    # (admissible), 100s (inside the watermark but behind the per-key
+    # horizon → ENGINE drops and counts), 30s (behind the watermark →
+    # SPARK drops before the operator; the counter never sees it).
     _write_chunk(spark, src, mk([(0, 1), (100, 2), (200, 4)]), "c0")
     acc = spark.sparkContext.accumulator(0)
 
     def run():
         stream = sliding_agg_stream(
             _read_stream(spark, src), monoid_name="sum",
-            value_expr="length(text)", duration="1 minute", out_col="wsum",
+            value_expr="length(text)", duration="1 minute",
+            watermark="2 minutes", out_col="wsum",
             id_cols=("turn_idx",), dropped_late_counter=acc,
         )
         q, sink = write_stream_exactly_once(stream, out, ckpt)
@@ -2067,7 +2072,7 @@ def test_dropped_late_counter(spark, stream_dirs):
     assert acc.value == 0  # in-order batch drops nothing
     _write_chunk(spark, src, mk([(150, 8), (100, 16), (30, 32)], 3), "c1")
     sink = run()
-    assert acc.value == 2  # exactly the two inadmissible rows
+    assert acc.value == 1  # exactly the engine-layer drop (100s)
     got = sink.read_committed(spark).toPandas()
     # 3 rows from batch 1 + only the admissible late row from batch 2
     assert len(got) == 4
