@@ -162,6 +162,12 @@ class ExactlyOnceParquetSink:
             for b in ids
             if b not in covered and b > expired
         ]
+        # A zero-row committed batch (e.g. the no-data watermark-advance
+        # micro-batch an availableNow drain appends) under partition_by
+        # writes NO part files, so its dir would break schema inference.
+        # Zero parquet files == zero rows: skipping the dir reads the
+        # same committed rows exactly once.
+        paths = [p for p in paths if _parquet_files_rel(p)]
         if not paths:
             return None
         try:

@@ -410,7 +410,9 @@ def test_soak_runner_small(tmp_path):
     )
     assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-2000:])
     rep = json.load(open(out_json))
-    assert rep["batches"] == 8
+    # 8 data batches + the no-data watermark-advance batch the idle-GC
+    # timers append to an availableNow drain
+    assert rep["batches"] == 9
     assert rep["sink"]["exactly_once"] is True
     assert rep["sink"]["oracle_value_mismatches"] == 0
     assert rep["sink"]["lineage_audit_ok"] is True
@@ -452,12 +454,15 @@ def test_streaming_job_compact_flag(spark, tmp_path):
     assert r3.returncode == 0, r3.stderr[-2000:]
     crep = json.loads(
         r3.stderr.split("compaction: ", 1)[1].splitlines()[0])
-    assert crep["segment"] == [0, 1]
+    # each availableNow drain = 1 data batch + 1 watermark-advance batch
+    # (idle-GC timers), so three runs commit batches 0..5; keep_last=1
+    # leaves batch 5 live and compacts 0-4
+    assert crep["segment"] == [0, 4]
     arep = json.loads(
         r3.stderr.split("lineage audit: ", 1)[1].splitlines()[0])
     assert arep["ok"] and arep["segments"] == 1, arep
 
-    assert os.path.isdir(os.path.join(out, "segment=0-1"))
+    assert os.path.isdir(os.path.join(out, "segment=0-4"))
     assert not os.path.isdir(os.path.join(out, "batch_id=0"))
     paths = glob.glob(out + "/segment=*") + glob.glob(out + "/batch_id=*")
     total = spark.read.parquet(*paths)
@@ -504,14 +509,16 @@ def test_streaming_job_partition_by_flag(spark, tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     crep = json.loads(
         r2.stderr.split("compaction: ", 1)[1].splitlines()[0])
-    assert crep["segment"] == [0, 1]
+    # two drains = batches 0..3 (each run appends its watermark-advance
+    # batch); keep_last=0 compacts them all
+    assert crep["segment"] == [0, 3]
     arep = json.loads(
         r2.stderr.split("lineage audit: ", 1)[1].splitlines()[0])
     assert arep["ok"], arep
 
-    seg_files = glob.glob(out + "/segment=0-1/part_min=*/*.parquet")
+    seg_files = glob.glob(out + "/segment=0-3/part_min=*/*.parquet")
     assert seg_files  # the segment keeps the hive layout
-    total = spark.read.parquet(out + "/segment=0-1")
+    total = spark.read.parquet(out + "/segment=0-3")
     assert total.count() == 200
     assert "part_min" in total.columns
     assert total.select("conv_id", "ts").distinct().count() == 200

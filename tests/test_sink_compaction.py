@@ -314,7 +314,8 @@ def test_auto_compaction_inline(spark, tmp_path):
     for i in range(6):
         _write_chunk(spark, src, pdf.iloc[i * 100:(i + 1) * 100], f"c{i}")
     sink = run()
-    assert len(sink.committed_batches()) == 6
+    # 6 data batches + the drain's no-data watermark-advance batch
+    assert len(sink.committed_batches()) == 7
     rep = audit_sink(out, deep=True)
     assert rep["ok"] and not rep["notes"], rep
     assert rep["segments"] >= 1  # the stream compacted itself mid-run
@@ -324,12 +325,18 @@ def test_auto_compaction_inline(spark, tmp_path):
     assert df[["conv_id", "ts"]].drop_duplicates().shape[0] == 600
 
     # resume: two more chunks -> two more batches, maintenance continues
+    # (ts shifted FORWARD of run 1's watermark so the rows are
+    # admissible new data, not watermark-filtered late arrivals)
     _write_chunk(spark, src, pdf.iloc[500:550].assign(
-        turn_idx=lambda d: d.turn_idx + 10_000), "c6")
+        turn_idx=lambda d: d.turn_idx + 10_000,
+        ts=lambda d: d.ts + pd.Timedelta(hours=1)), "c6")
     _write_chunk(spark, src, pdf.iloc[550:600].assign(
-        turn_idx=lambda d: d.turn_idx + 20_000), "c7")
+        turn_idx=lambda d: d.turn_idx + 20_000,
+        ts=lambda d: d.ts + pd.Timedelta(hours=2)), "c7")
     sink = run()
-    assert len(sink.committed_batches()) == 8
+    # +2 data batches +1 watermark-advance batch (the new ts range
+    # moves the watermark, so the drain appends its no-data batch)
+    assert len(sink.committed_batches()) == 10
     rep2 = audit_sink(out, deep=True)
     assert rep2["ok"] and not rep2["notes"], rep2
     assert rep2["segments"] > rep["segments"]
@@ -438,8 +445,10 @@ def test_expire_crash_window_and_resume(spark, built_sink, tmp_path):
     out = _copy(built_sink, tmp_path)
     ids = ExactlyOnceParquetSink(out).committed_batches()
     before = _frame(spark, out)
-    compact_sink(out, keep_last=1)
-    hi = ids[-2]
+    # keep the last DATA batch (ids[-2]) live — ids[-1] is the drain's
+    # zero-row watermark-advance batch, which carries no rows to keep
+    compact_sink(out, keep_last=2)
+    hi = ids[-3]
 
     # simulate the crash: write the marker by hand, leave the segment
     mark = os.path.join(out, "_commits", f"_EXPIRE_{hi}")
@@ -450,7 +459,9 @@ def test_expire_crash_window_and_resume(spark, built_sink, tmp_path):
     assert mid["ok"], mid
     assert any("pending removal" in n for n in mid["notes"])
     kept = _frame(spark, out)
-    assert set(kept["_batch_id"]) == {ids[-1]}  # reader excludes already
+    # reader excludes the expired segment already; the only live rows
+    # are the last data batch's (the zero-row tail contributes none)
+    assert set(kept["_batch_id"]) == {ids[-2]}
 
     rep = expire_sink(out, upto=hi)  # finishes the drop
     assert rep["removed_segments"] == [f"segment={ids[0]}-{hi}"]
