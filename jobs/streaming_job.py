@@ -253,6 +253,29 @@ def main() -> None:
                          "crash window. Relaunch with the same "
                          "--checkpoint: the replayed batch must be "
                          "rewritten idempotently (exactly-once, audit ok)")
+    ap.add_argument("--source-format", choices=("parquet-dir", "iceberg"),
+                    default="parquet-dir",
+                    help="'iceberg': --source is a jar-less Iceberg table "
+                         "(sliding_window_aggregators_spark.iceberg); the "
+                         "current snapshot's planned files are symlinked "
+                         "into <checkpoint>/_iceberg_links and tailed by "
+                         "the file stream source — offsets stay "
+                         "checkpoint-resumable, later snapshots are picked "
+                         "up by re-launch (north rule: ingest the Iceberg "
+                         "transcripts table as a stream)")
+    ap.add_argument("--sink-format", choices=("parquet-dir", "iceberg"),
+                    default="parquet-dir",
+                    help="'iceberg': commit each micro-batch as one "
+                         "Iceberg append snapshot with the batch id in "
+                         "the snapshot summary (idempotent replay = "
+                         "exactly-once); the table's atomic metadata swap "
+                         "is the commit log, so this survives driver "
+                         "failover on shared storage")
+    ap.add_argument("--iceberg-partition", default=None,
+                    metavar="COL:TRANSFORM,...",
+                    help="Iceberg sink partition spec, e.g. "
+                         "'conv_id:bucket[16],ts:hour' (identity/hour/"
+                         "bucket[N] per the Iceberg spec)")
     ap.add_argument("--combine-sink", action="store_true",
                     help="fold each micro-batch's per-turn results to one "
                          "row (count + per-column sums) before the "
@@ -291,6 +314,17 @@ def main() -> None:
                  "path; it requires --panes (the per-turn sliding modes "
                  "emit one row per TURN, which is not decomposable "
                  "map-side)")
+    if args.sink_format == "iceberg" and (
+            args.compact is not None or args.compact_every is not None
+            or args.partition_by or args.combine_sink
+            or args.fault_inject_sink):
+        ap.error("--compact/--compact-every/--partition-by/--combine-sink/"
+                 "--fault-inject-sink belong to the parquet-dir sink; the "
+                 "Iceberg sink partitions via --iceberg-partition, "
+                 "compacts via its own file layout, and drills crashes "
+                 "through iceberg.writer's fault_before_commit")
+    if args.iceberg_partition and args.sink_format != "iceberg":
+        ap.error("--iceberg-partition requires --sink-format iceberg")
 
     from pyspark.sql import SparkSession
 
@@ -331,9 +365,18 @@ def main() -> None:
         )
 
         t_hot = _time.perf_counter()
+        if args.source_format == "iceberg":
+            from sliding_window_aggregators_spark.iceberg import (
+                IcebergTable,
+            )
+
+            hot_src = IcebergTable(args.source).read(spark)
+        else:
+            hot_src = spark.read.option(
+                "pathGlobFilter", "*.parquet"
+            ).parquet(os.path.join(args.source, "*"))
         hot_keys = discover_hot_keys(
-            spark.read.option("pathGlobFilter", "*.parquet")
-            .parquet(os.path.join(args.source, "*")),
+            hot_src,
             key="conv_id",
             top_n=args.hot_keys_top,
         )
@@ -343,16 +386,30 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # glob one level so both flat files and per-arrival chunk directories
-    # under the source root are picked up
-    reader = spark.readStream.schema(TRANSCRIPTS_SCHEMA).option(
-        "pathGlobFilter", "*.parquet"
-    )
-    if args.max_files_per_trigger:
-        reader = reader.option(
-            "maxFilesPerTrigger", args.max_files_per_trigger
+    if args.source_format == "iceberg":
+        from sliding_window_aggregators_spark.iceberg.source import (
+            stream_from_iceberg,
         )
-    stream = reader.parquet(os.path.join(args.source, "*"))
+
+        stream = stream_from_iceberg(
+            spark, args.source,
+            os.path.join(args.checkpoint, "_iceberg_links"),
+            max_files_per_trigger=args.max_files_per_trigger,
+            columns=tuple(
+                c.split()[0] for c in TRANSCRIPTS_SCHEMA.split(", ")
+            ),
+        )
+    else:
+        # glob one level so both flat files and per-arrival chunk
+        # directories under the source root are picked up
+        reader = spark.readStream.schema(TRANSCRIPTS_SCHEMA).option(
+            "pathGlobFilter", "*.parquet"
+        )
+        if args.max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", args.max_files_per_trigger
+            )
+        stream = reader.parquet(os.path.join(args.source, "*"))
     if args.fault_inject and args.fault_inject_executor:
         ap.error("--fault-inject and --fault-inject-executor are separate "
                  "drills; run one at a time")
@@ -554,6 +611,21 @@ def main() -> None:
         if args.available_now:
             writer = writer.trigger(availableNow=True)
         q = writer.start()
+    elif args.sink_format == "iceberg":
+        from sliding_window_aggregators_spark.streaming.iceberg_sink import (
+            write_stream_exactly_once_iceberg,
+        )
+
+        pspec = tuple(
+            tuple(p.split(":", 1))
+            for p in (args.iceberg_partition or "").split(",")
+            if p
+        )
+        q, sink = write_stream_exactly_once_iceberg(
+            agg, args.out, args.checkpoint,
+            available_now=args.available_now,
+            partition_spec=pspec,
+        )
     else:
         q, sink = write_stream_exactly_once(
             agg, args.out, args.checkpoint,
@@ -583,9 +655,17 @@ def main() -> None:
     if args.audit:
         import json as _json
 
-        from sliding_window_aggregators_spark.streaming import audit_sink
+        if args.sink_format == "iceberg":
+            from sliding_window_aggregators_spark.streaming.iceberg_sink \
+                import audit_iceberg_sink
 
-        report = audit_sink(args.out)
+            report = audit_iceberg_sink(args.out)
+        else:
+            from sliding_window_aggregators_spark.streaming import (
+                audit_sink,
+            )
+
+            report = audit_sink(args.out)
         print("lineage audit: " + _json.dumps(report), file=sys.stderr)
         if not report["ok"]:
             sys.exit(3)

@@ -123,6 +123,45 @@ def write_stream_exactly_once_iceberg(
     return writer.start(), sink
 
 
+def audit_iceberg_sink(location: str) -> dict:
+    """Lineage audit from the table's own metadata: every snapshot's
+    summary row/file counts must equal what its manifests record, batch
+    ids must be unique, and every live data file must exist on disk at
+    its manifest-recorded size (the Iceberg twin of sink.audit_sink)."""
+    from ..iceberg.source import added_files
+
+    table = IcebergTable(location)
+    notes = []
+    seen_batches = set()
+    for s in table.snapshots:
+        sid = s["snapshot-id"]
+        added = added_files(table, from_snapshot=sid - 1, to_snapshot=sid)
+        rows = sum(f["record_count"] for f in added)
+        summ = s.get("summary", {})
+        if int(summ.get("added-records", -1)) != rows:
+            notes.append(f"snapshot {sid}: summary added-records "
+                         f"{summ.get('added-records')} != manifests {rows}")
+        if int(summ.get("added-data-files", -1)) != len(added):
+            notes.append(f"snapshot {sid}: summary added-data-files "
+                         f"{summ.get('added-data-files')} != "
+                         f"manifests {len(added)}")
+        b = summ.get("spark-graft.batch-id")
+        if b is not None:
+            if b in seen_batches:
+                notes.append(f"duplicate batch id {b} (snapshot {sid})")
+            seen_batches.add(b)
+    live = table.plan_files()
+    for f in live:
+        if not os.path.exists(f["path"]):
+            notes.append(f"missing data file {f['path']}")
+        elif os.path.getsize(f["path"]) != f["file_size_in_bytes"]:
+            notes.append(f"size mismatch {f['path']}")
+    return {"ok": not notes, "snapshots": len(table.snapshots),
+            "batches": len(seen_batches),
+            "rows": sum(f["record_count"] for f in live),
+            "files": len(live), "notes": notes}
+
+
 def remove_orphan_files(location: str) -> list[str]:
     """Delete data files referenced by NO snapshot (failed-attempt
     debris left before a commit — Iceberg's remove_orphan_files)."""

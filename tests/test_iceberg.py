@@ -434,6 +434,131 @@ def test_iceberg_sink_replay_skips(spark, tmp_path):
     assert sink.read_committed(spark).count() == 200
 
 
+# ---------------------------------------------------------------------------
+# iceberg as a stream SOURCE + the launch artifact end-to-end
+# ---------------------------------------------------------------------------
+
+
+def test_added_files_incremental(table):
+    from sliding_window_aggregators_spark.iceberg.source import added_files
+    loc = table.location
+    s1 = table.append_files([_fake_file(loc, 0, 0, 1),
+                             _fake_file(loc, 1, 1, 2)])
+    s2 = table.append_files([_fake_file(loc, 2, 2, 3)])
+    s3 = table.append_files([_fake_file(loc, 3, 3, 4)])
+    inc = added_files(table, from_snapshot=s1["snapshot-id"],
+                      to_snapshot=s2["snapshot-id"])
+    assert [f["path"] for f in inc] == [_fake_file(loc, 2, 2, 3)["path"]]
+    full = added_files(table, from_snapshot=None)
+    assert len(full) == 4
+    assert {f["snapshot_id"] for f in full} == {
+        s1["snapshot-id"], s2["snapshot-id"], s3["snapshot-id"]}
+
+
+def test_stream_from_iceberg_source_resume(spark, tmp_path):
+    """Iceberg table as the STREAM SOURCE: materialized links + the
+    file-source checkpoint give snapshot-incremental exactly-once."""
+    from sliding_window_aggregators_spark.iceberg.source import (
+        materialize_scan, stream_from_iceberg)
+    from sliding_window_aggregators_spark.streaming.engine import \
+        sliding_agg_stream
+    from sliding_window_aggregators_spark.streaming.iceberg_sink import \
+        write_stream_exactly_once_iceberg
+
+    src_loc = str(tmp_path / "src_tbl")
+    out_loc = str(tmp_path / "out_tbl")
+    ckpt = str(tmp_path / "ckpt")
+    links = str(tmp_path / "links")
+    pdf = _turns_pdf(400, 7)
+    df1 = spark.createDataFrame(pdf.iloc[:200])
+    src_t = IcebergTable.create(src_loc, df1.schema,
+                                partition_spec=[("ts", "hour")])
+    write_dataframe(df1, src_t, summary={"spark-graft.batch-id": 0})
+
+    def drain():
+        stream = stream_from_iceberg(spark, src_loc, links)
+        res = sliding_agg_stream(stream, monoid_name="sum",
+                                 value_expr="length(text)",
+                                 duration="30 seconds")
+        q, sink = write_stream_exactly_once_iceberg(
+            res, out_loc, ckpt, partition_spec=[("ts", "hour")])
+        q.awaitTermination()
+        return sink
+
+    drain()
+    # second snapshot appended to the SOURCE table; links re-materialize
+    # idempotently (only the new files appear) and the resumed query's
+    # file-source log skips everything already consumed
+    df2 = spark.createDataFrame(
+        pdf.iloc[200:].assign(ts=lambda d: d.ts + pd.Timedelta(hours=1)))
+    src_t.refresh()
+    write_dataframe(df2, src_t, summary={"spark-graft.batch-id": 1})
+    before = set(os.listdir(links))
+    new_links = materialize_scan(src_loc, links)
+    assert new_links and set(os.listdir(links)) > before
+    sink = drain()
+
+    got = sink.read_committed(spark)
+    assert got.count() == 400
+    assert got.groupBy("conv_id", "ts").count() \
+              .filter("count > 1").count() == 0
+    # materialize again: idempotent, zero new links
+    assert materialize_scan(src_loc, links) == []
+
+
+@pytest.mark.slow
+def test_streaming_job_iceberg_to_iceberg(spark, tmp_path):
+    """The launch artifact with --source-format/--sink-format iceberg:
+    Iceberg in, Iceberg out, exactly-once across a process resume,
+    lineage audited from the output table's own metadata."""
+    import subprocess as sp
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src_loc = str(tmp_path / "src_tbl")
+    out_loc = str(tmp_path / "out_tbl")
+    ckpt = str(tmp_path / "ckpt")
+    pdf = _turns_pdf(300, 10)
+    df1 = spark.createDataFrame(pdf.iloc[:150])
+    src_t = IcebergTable.create(src_loc, df1.schema,
+                                partition_spec=[("ts", "hour")])
+    write_dataframe(df1, src_t)
+
+    def run():
+        return sp.run(
+            [sys.executable, os.path.join(root, "jobs", "streaming_job.py"),
+             "--source", src_loc, "--out", out_loc, "--checkpoint", ckpt,
+             "--available-now", "--source-format", "iceberg",
+             "--sink-format", "iceberg",
+             "--iceberg-partition", "conv_id:bucket[4],ts:hour",
+             "--audit"],
+            capture_output=True, text=True, cwd=root, timeout=420)
+
+    r1 = run()
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert '"ok": true' in r1.stderr.split("lineage audit: ", 1)[1]
+
+    src_t.refresh()
+    write_dataframe(
+        spark.createDataFrame(
+            pdf.iloc[150:].assign(ts=lambda d: d.ts +
+                                  pd.Timedelta(hours=1))), src_t)
+    r2 = run()
+    assert r2.returncode == 0, r2.stderr[-2000:]
+
+    out_t = IcebergTable(out_loc)
+    got = out_t.read(spark)
+    assert got.count() == 300
+    assert got.groupBy("conv_id", "ts").count() \
+              .filter("count > 1").count() == 0
+    # the sink table is hour+bucket partitioned: planned files carry
+    # both partition values
+    f = out_t.plan_files()[0]
+    assert set(f["partition"]) == {"conv_id_bucket", "ts_hour"}
+    from sliding_window_aggregators_spark.streaming.iceberg_sink import \
+        audit_iceberg_sink
+    rep = audit_iceberg_sink(out_loc)
+    assert rep["ok"] and rep["rows"] == 300, rep
+
+
 DR_SCRIPT = r"""
 import os, sys
 sys.path.insert(0, "/root/repo")
