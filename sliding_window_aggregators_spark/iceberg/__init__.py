@@ -19,12 +19,15 @@ replay = Iceberg's own exactly-once recipe), and scans plan files
 through manifest pruning.
 """
 
+from .maintenance import expire_snapshots, rewrite_data_files
 from .table import (CommitConflict, IcebergTable, iceberg_to_spark_schema,
                     partition_range_filter)
-from .writer import murmur3_long_np, ts_micros, write_dataframe
+from .writer import (murmur3_long_np, stage_dataframe, ts_micros,
+                     write_dataframe)
 
 __all__ = [
     "IcebergTable", "CommitConflict", "partition_range_filter",
-    "iceberg_to_spark_schema", "write_dataframe", "ts_micros",
-    "murmur3_long_np",
+    "iceberg_to_spark_schema", "write_dataframe", "stage_dataframe",
+    "ts_micros", "murmur3_long_np", "rewrite_data_files",
+    "expire_snapshots",
 ]

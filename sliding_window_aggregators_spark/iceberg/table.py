@@ -230,15 +230,31 @@ class IcebergTable:
         Retries on CommitConflict with a refreshed base (optimistic
         concurrency per the spec's commit model). Returns the snapshot.
         """
+        return self._commit_with_retry(files, summary or {}, "append",
+                                       True, max_retries)
+
+    def replace_files(self, files, *, summary=None, max_retries: int = 10):
+        """Commit a REPLACE snapshot: ``files`` become the table's whole
+        live file set (previous manifests are NOT carried forward) —
+        the commit shape of rewrite_data_files / compaction. Earlier
+        snapshots keep referencing the old files, so time travel is
+        intact until expire_snapshots drops them."""
+        return self._commit_with_retry(files, summary or {}, "replace",
+                                       False, max_retries)
+
+    def _commit_with_retry(self, files, summary, operation, carry_forward,
+                           max_retries):
         for attempt in range(max_retries):
             try:
-                return self._try_append(files, summary or {})
+                return self._try_append(files, summary, operation,
+                                        carry_forward)
             except CommitConflict:
                 if attempt == max_retries - 1:
                     raise
                 self.refresh()
 
-    def _try_append(self, files, summary):
+    def _try_append(self, files, summary, operation="append",
+                    carry_forward=True):
         base = self._meta
         seq = base["last-sequence-number"] + 1
         snap_id = seq  # monotonic; any unique long is spec-valid
@@ -340,10 +356,11 @@ class IcebergTable:
             ] or None,
         }
 
-        # the snapshot's manifest list = previous snapshot's + the new one
+        # append: the snapshot's manifest list = previous snapshot's +
+        # the new one; replace: the new manifest stands alone
         prev = self.current_snapshot()
         prev_manifests = []
-        if prev is not None:
+        if carry_forward and prev is not None:
             _, prev_manifests = avro.read_container(prev["manifest-list"])
         mlist_path = os.path.join(
             self.meta_dir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro")
@@ -362,7 +379,7 @@ class IcebergTable:
             "timestamp-ms": _now_ms(),
             "manifest-list": mlist_path,
             "schema-id": self._meta["current-schema-id"],
-            "summary": {"operation": "append",
+            "summary": {"operation": operation,
                         "added-data-files": str(len(files)),
                         "added-records": str(added_rows),
                         **{k: str(v) for k, v in summary.items()}},
@@ -381,6 +398,13 @@ class IcebergTable:
             {"timestamp-ms": base["last-updated-ms"],
              "metadata-file": self._meta_path(self._version)}])[-10:]
 
+        self._commit_metadata(new_meta)
+        return snap
+
+    def _commit_metadata(self, new_meta) -> None:
+        """Atomically publish ``new_meta`` as the next metadata version
+        (the single commit point for appends, replaces, and expiry)."""
+        new_meta["last-updated-ms"] = _now_ms()
         new_v = self._version + 1
         path = self._meta_path(new_v)
         tmp = path + f".tmp-{uuid.uuid4().hex}"
@@ -394,7 +418,6 @@ class IcebergTable:
             os.unlink(tmp)
         self._write_hint(self.meta_dir, new_v)
         self._meta, self._version = new_meta, new_v
-        return snap
 
     # -- scan planning ---------------------------------------------------------
 
@@ -412,9 +435,14 @@ class IcebergTable:
         ``bounds_filter``: dict column -> (min, max) — file skipped when
         its column bounds prove no overlap (Iceberg's min/max pruning).
         """
-        snap = (self.current_snapshot() if snapshot_id is None
-                else next(s for s in self._meta["snapshots"]
-                          if s["snapshot-id"] == snapshot_id))
+        if snapshot_id is None:
+            snap = self.current_snapshot()
+        else:
+            snap = next((s for s in self._meta["snapshots"]
+                         if s["snapshot-id"] == snapshot_id), None)
+            if snap is None:
+                raise KeyError(
+                    f"snapshot {snapshot_id} not in table (expired?)")
         if snap is None:
             return []
         _, manifests = avro.read_container(snap["manifest-list"])

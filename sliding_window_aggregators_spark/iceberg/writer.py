@@ -96,6 +96,25 @@ def write_dataframe(df: DataFrame, table: IcebergTable, *,
     ``fault_before_commit``: DR-drill kill switch — die AFTER the data
     files land in data/, BEFORE the snapshot commit (the crash window
     Iceberg's visibility rule exists for; the files stay orphans)."""
+    files = stage_dataframe(df, table, bounds_columns=bounds_columns,
+                            target_partitions=target_partitions)
+    if fault_before_commit is not None:
+        try:
+            os.close(os.open(fault_before_commit,
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            os._exit(70)  # driver power cut: data on disk, no snapshot
+        except FileExistsError:
+            pass
+    snap = table.append_files(files, summary=summary)
+    return snap, files
+
+
+def stage_dataframe(df: DataFrame, table: IcebergTable, *,
+                    bounds_columns=("ts",),
+                    target_partitions: int | None = None):
+    """Write ``df``'s parquet files into data/ WITHOUT committing a
+    snapshot — invisible until registered (Iceberg's visibility rule).
+    Returns the file descriptors append_files / replace commits take."""
     spark = df.sparkSession
     spark.conf.set("spark.sql.parquet.outputTimestampType",
                    "TIMESTAMP_MICROS")
@@ -122,16 +141,7 @@ def write_dataframe(df: DataFrame, table: IcebergTable, *,
         w = w.partitionBy(*pt_cols)
     w.parquet(staging)
 
-    files = _promote_staged(staging, table, pfields, bounds_columns)
-    if fault_before_commit is not None:
-        try:
-            os.close(os.open(fault_before_commit,
-                             os.O_CREAT | os.O_EXCL | os.O_WRONLY))
-            os._exit(70)  # driver power cut: data on disk, no snapshot
-        except FileExistsError:
-            pass
-    snap = table.append_files(files, summary=summary)
-    return snap, files
+    return _promote_staged(staging, table, pfields, bounds_columns)
 
 
 def _promote_staged(staging: str, table: IcebergTable, pfields,

@@ -435,6 +435,90 @@ def test_iceberg_sink_replay_skips(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# maintenance: rewrite_data_files + expire_snapshots (the lifecycle)
+# ---------------------------------------------------------------------------
+
+
+def test_rewrite_and_expire_lifecycle(spark, tmp_path):
+    """write (many small per-batch files) -> rewrite (one REPLACE
+    snapshot, few files, time travel intact) -> expire (old snapshots
+    dropped, their files physically GC'd, current read untouched)."""
+    from sliding_window_aggregators_spark.iceberg import (
+        expire_snapshots, rewrite_data_files)
+    from sliding_window_aggregators_spark.streaming.iceberg_sink import (
+        ExactlyOnceIcebergSink, audit_iceberg_sink)
+
+    loc = str(tmp_path / "tbl")
+    pdf = _turns_pdf(600, 7)
+    sink = ExactlyOnceIcebergSink(loc, partition_spec=[("ts", "hour")],
+                                  target_partitions=2)
+    for b in range(6):  # six micro-batches -> many small files
+        sink(spark.createDataFrame(pdf.iloc[b * 100:(b + 1) * 100]), b)
+    t = IcebergTable(loc)
+    before_files = t.plan_files()
+    before_rows = t.total_rows()
+    pre_rewrite_snap = t.current_snapshot()["snapshot-id"]
+    expect = t.read(spark).toPandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    rep = rewrite_data_files(spark, loc)
+    assert rep["rewritten"] and rep["files_after"] < rep["files_before"]
+    t.refresh()
+    assert t.total_rows() == before_rows
+    assert len(t.plan_files()) == rep["files_after"]
+    got = t.read(spark).toPandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  expect[sorted(expect.columns)])
+    # time travel to the pre-rewrite snapshot still reads the OLD files
+    old_plan = t.plan_files(snapshot_id=pre_rewrite_snap)
+    assert {f["path"] for f in old_plan} == \
+        {f["path"] for f in before_files}
+    assert t.read(spark, snapshot_id=pre_rewrite_snap).count() == \
+        before_rows
+    # the audit tolerates the replace snapshot
+    rep_a = audit_iceberg_sink(loc)
+    assert rep_a["ok"], rep_a
+
+    # expire: metadata commit first, then physical GC of the old files
+    erep = expire_snapshots(loc, keep_last=1)
+    assert len(erep["expired_snapshots"]) == 6
+    assert erep["removed_data_files"] == len(before_files)
+    t.refresh()
+    assert len(t.snapshots) == 1
+    assert t.total_rows() == before_rows
+    for f in before_files:
+        assert not os.path.exists(f["path"])
+    for f in t.plan_files():
+        assert os.path.exists(f["path"])
+    with pytest.raises(KeyError):
+        t.plan_files(snapshot_id=pre_rewrite_snap)
+    # idempotent re-run: nothing left to expire
+    assert expire_snapshots(loc, keep_last=1)["expired_snapshots"] == []
+
+
+def test_rewrite_sort_by_clusters_files(spark, tmp_path):
+    """sort-rewrite: within-file conv_id ranges become disjoint-ish
+    (clustering evidence from footer stats), rows unchanged."""
+    from sliding_window_aggregators_spark.iceberg import (
+        rewrite_data_files, write_dataframe)
+    loc = str(tmp_path / "tbl")
+    pdf = _turns_pdf(400, 11)
+    df = spark.createDataFrame(pdf)
+    t = IcebergTable.create(loc, df.schema)  # unpartitioned
+    write_dataframe(df.repartition(6), t)
+    rep = rewrite_data_files(spark, loc, target_partitions=2,
+                             sort_by=("conv_id",),
+                             bounds_columns=("ts", "conv_id"))
+    assert rep["rewritten"] and rep["files_after"] <= 2
+    t.refresh()
+    assert t.total_rows() == 400
+    # footer-derived conv_id bounds present on the rewritten files
+    for f in t.plan_files():
+        assert f["record_count"] > 0
+
+
+# ---------------------------------------------------------------------------
 # iceberg as a stream SOURCE + the launch artifact end-to-end
 # ---------------------------------------------------------------------------
 
