@@ -87,6 +87,35 @@ print("GEN_OK")
 """
 
 
+ICB_GEN = r"""
+import os, sys
+sys.path.insert(0, {here!r})
+from pyspark.sql import SparkSession
+from sliding_window_aggregators_spark.iceberg import (
+    IcebergTable, write_dataframe)
+spark = (SparkSession.builder.master("local[16]").appName("swag-icb-gen")
+    .config("spark.ui.enabled","false")
+    .config("spark.ui.showConsoleProgress","false")
+    .config("spark.driver.memory","16g").getOrCreate())
+src, loc = {src!r}, {loc!r}
+if not os.path.exists(os.path.join(loc, "metadata", "version-hint.text")):
+    # one append snapshot per arrival chunk — the accumulated-by-appends
+    # shape a real Iceberg transcripts table has; bucket[8] on conv_id is
+    # the north star's (conv_id, hash-bucket) layout
+    t = None
+    for c in range(8):
+        df = spark.read.parquet(os.path.join(src, f"c{{c}}"))
+        if t is None:
+            t = IcebergTable.create(
+                loc, df.schema,
+                partition_spec=[("conv_id", "bucket[8]")])
+        write_dataframe(df, t, bounds_columns=("ts",),
+                        summary={{"chunk": c}}, target_partitions=4)
+spark.stop()
+print("ICB_GEN_OK")
+"""
+
+
 def build_zip(dst: str) -> None:
     pkg = os.path.join(HERE, "sliding_window_aggregators_spark")
     with zipfile.ZipFile(dst, "w", zipfile.ZIP_DEFLATED) as zf:
@@ -101,6 +130,7 @@ def run_level(
     cpus: int, src: str, zip_path: str, turns: int, multi: bool = False,
     cluster: bool = False, halo: bool = False, panes: str | None = None,
     slide: str = "30 minutes", pre_combine: bool = False,
+    iceberg: bool = False,
 ) -> dict:
     work = tempfile.mkdtemp(prefix=f"swag_stream_{cpus}_")
     # cluster mode: N REAL single-core executor JVMs (Spark's
@@ -152,6 +182,10 @@ def run_level(
         "--source", src,
         "--out", os.path.join(work, "out"),
         "--checkpoint", os.path.join(work, "ckpt"),
+        # the literal north-rule shape: Iceberg transcripts table in,
+        # exactly-once Iceberg sink out (jar-less iceberg/ package)
+        *(["--source-format", "iceberg", "--sink-format", "iceberg",
+           "--iceberg-partition", "conv_id:bucket[8]"] if iceberg else []),
         "--monoid", "sum",
         # pane mode is the rollup shape: one (size, slide) window row per
         # slide at watermark closure, per-key state bounded by PANES
@@ -199,16 +233,23 @@ def run_level(
     # wall time but FLAG it so a scaling ratio over estimated drains is
     # never mistaken for the documented boot-excluded metric
     drain = float(m.group(1)) if m else wall
-    import pyarrow.dataset as ds
+    if iceberg:
+        # exact committed row count from the sink table's own metadata
+        sys.path.insert(0, HERE)
+        from sliding_window_aggregators_spark.iceberg import IcebergTable
 
-    data = ds.dataset(os.path.join(work, "out"), format="parquet",
-                      partitioning="hive")
-    if multi and "rows" in data.schema.names:
-        # combine sink: one folded row per batch carrying the per-batch
-        # turn count — sum the column so `rows` still reports turns
-        rows = sum(data.to_table(columns=["rows"])["rows"].to_pylist())
+        rows = IcebergTable(os.path.join(work, "out")).total_rows()
     else:
-        rows = data.count_rows()
+        import pyarrow.dataset as ds
+
+        data = ds.dataset(os.path.join(work, "out"), format="parquet",
+                          partitioning="hive")
+        if multi and "rows" in data.schema.names:
+            # combine sink: one folded row per batch carrying the
+            # per-batch turn count — `rows` still reports turns
+            rows = sum(data.to_table(columns=["rows"])["rows"].to_pylist())
+        else:
+            rows = data.count_rows()
     shutil.rmtree(work)
     out = {
         "cpus": cpus,
@@ -336,6 +377,14 @@ def main() -> None:
                          "the pane job's serial-atom skew ceiling (the "
                          "hot partition's serial work becomes O(panes), "
                          "not O(rows))")
+    ap.add_argument("--iceberg", action="store_true",
+                    help="the literal north-rule I/O shape: the source "
+                         "chunks are appended into a jar-less Iceberg "
+                         "table (one snapshot per arrival chunk, "
+                         "bucket[8] on conv_id) and the job runs "
+                         "--source-format/--sink-format iceberg — "
+                         "Iceberg transcripts in, exactly-once Iceberg "
+                         "snapshot-per-micro-batch out")
     ap.add_argument("--levels", type=int, nargs=2, default=(2, 8),
                     metavar=("N", "4N"),
                     help="the two parallelism levels to compare (default "
@@ -353,6 +402,10 @@ def main() -> None:
     if args.pre_combine and not args.panes:
         ap.error("--pre-combine requires --panes (per-turn sliding "
                  "output is not decomposable map-side)")
+    if args.iceberg and (args.multi or args.panes):
+        ap.error("--iceberg runs the per-turn sliding job (--multi uses "
+                 "the combine sink, --panes its own rollup sink); "
+                 "compose it with --halo/--cluster/--levels")
 
     src = f"/tmp/swag_stream_src_{args.turns}_{args.convs}"
     r = subprocess.run(
@@ -363,15 +416,29 @@ def main() -> None:
     if r.returncode != 0:
         raise RuntimeError(f"gen failed:\n{r.stderr[-3000:]}")
 
+    if args.iceberg:
+        icb = src + "_iceberg"
+        r = subprocess.run(
+            [sys.executable, "-c",
+             ICB_GEN.format(here=HERE, src=src, loc=icb)],
+            capture_output=True, text=True, timeout=1800,
+        )
+        if r.returncode != 0:
+            raise RuntimeError(f"iceberg gen failed:\n{r.stderr[-3000:]}")
+        src_for_job = icb
+    else:
+        src_for_job = src
+
     zip_path = os.path.join(tempfile.gettempdir(), "swag_spark_pkg.zip")
     build_zip(zip_path)
 
     probes = membw_probes()
     levels = {
-        c: run_level(c, src, zip_path, args.turns, multi=args.multi,
+        c: run_level(c, src_for_job, zip_path, args.turns,
+                     multi=args.multi,
                      cluster=args.cluster, halo=args.halo,
                      panes=args.panes, slide=args.slide,
-                     pre_combine=args.pre_combine)
+                     pre_combine=args.pre_combine, iceberg=args.iceberg)
         for c in (lo, hi)
     }
     eff = (
@@ -385,6 +452,8 @@ def main() -> None:
         shape = "window-shared 5 monoids x 3 durations"
     else:
         shape = "sliding sum 10m"
+    if args.iceberg:
+        shape += " (Iceberg source table -> Iceberg exactly-once sink)"
     if args.halo:
         shape += " + hot-key chunk-halo (top-40, 96h spans)"
     report = {
@@ -397,6 +466,7 @@ def main() -> None:
                  "executor JVMs" if args.cluster else "local[N]"),
         "cluster": args.cluster,
         "halo": args.halo,
+        "iceberg": args.iceberg,
         "panes": args.panes,
         "pre_combine": args.pre_combine,
         "levels": levels,

@@ -49,6 +49,10 @@ def main() -> None:
                          "rollup shape)")
     ap.add_argument("--slide", default="30 minutes",
                     help="pane width for --panes")
+    ap.add_argument("--iceberg", action="store_true",
+                    help="pass --iceberg to the pair (the literal "
+                         "north-rule I/O: Iceberg transcripts source "
+                         "table -> exactly-once Iceberg sink)")
     ap.add_argument("--pre-combine", action="store_true",
                     help="pass --pre-combine to the pair (map-side pane "
                          "partials before the stateful shuffle — the "
@@ -105,6 +109,8 @@ def main() -> None:
             cmd += ["--panes", args.panes, "--slide", args.slide]
         if args.pre_combine:
             cmd.append("--pre-combine")
+        if args.iceberg:
+            cmd.append("--iceberg")
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=7200)
         if r.returncode != 0:
             print(f"run failed:\n{r.stderr[-2000:]}", flush=True)
