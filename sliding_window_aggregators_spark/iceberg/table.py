@@ -238,9 +238,29 @@ class IcebergTable:
         live file set (previous manifests are NOT carried forward) —
         the commit shape of rewrite_data_files / compaction. Earlier
         snapshots keep referencing the old files, so time travel is
-        intact until expire_snapshots drops them."""
-        return self._commit_with_retry(files, summary or {}, "replace",
-                                       False, max_retries)
+        intact until expire_snapshots drops them.
+
+        Unlike appends, a replace must NOT blindly retry on conflict: a
+        concurrent append's files are absent from the planned set, and
+        re-committing it over the new base would silently drop them.
+        So a conflict whose refreshed current snapshot differs from the
+        plan base raises (the caller replans — Iceberg's own rewrite
+        validation); only same-snapshot races (e.g. an expiry's pure
+        metadata bump) retry."""
+        base = self._meta.get("current-snapshot-id", -1)
+        for attempt in range(max_retries):
+            try:
+                return self._try_append(files, summary or {}, "replace",
+                                        False)
+            except CommitConflict:
+                self.refresh()
+                if self._meta.get("current-snapshot-id", -1) != base:
+                    raise CommitConflict(
+                        "table data changed since the replace was "
+                        "planned (concurrent append?) — replan the "
+                        "rewrite instead of dropping the new files")
+                if attempt == max_retries - 1:
+                    raise
 
     def _commit_with_retry(self, files, summary, operation, carry_forward,
                            max_retries):

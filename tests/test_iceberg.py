@@ -497,6 +497,22 @@ def test_rewrite_and_expire_lifecycle(spark, tmp_path):
     assert expire_snapshots(loc, keep_last=1)["expired_snapshots"] == []
 
 
+def test_replace_aborts_on_concurrent_append(table):
+    """A rewrite planned before a concurrent append must NOT retry its
+    stale file set over the new base — that would silently drop the
+    appended files. It raises; the caller replans."""
+    loc = table.location
+    table.append_files([_fake_file(loc, 0, 0, 1)])
+    t2 = IcebergTable(loc)  # the rewriter's handle (plans here)
+    planned = [_fake_file(loc, 9, 0, 1)]
+    table.append_files([_fake_file(loc, 1, 1, 2)])  # concurrent append
+    with pytest.raises(CommitConflict, match="replan"):
+        t2.replace_files(planned)
+    # nothing lost: both appends' files still live
+    t3 = IcebergTable(loc)
+    assert t3.total_rows() == 200
+
+
 def test_rewrite_sort_by_clusters_files(spark, tmp_path):
     """sort-rewrite: within-file conv_id ranges become disjoint-ish
     (clustering evidence from footer stats), rows unchanged."""
