@@ -276,6 +276,14 @@ def main() -> None:
                     help="Iceberg sink partition spec, e.g. "
                          "'conv_id:bucket[16],ts:hour' (identity/hour/"
                          "bucket[N] per the Iceberg spec)")
+    ap.add_argument("--iceberg-maintain", type=int, default=None,
+                    metavar="KEEP_SNAPSHOTS",
+                    help="post-drain maintenance for --sink-format "
+                         "iceberg: rewrite_data_files (one REPLACE "
+                         "snapshot compacting the per-batch small "
+                         "files) then expire_snapshots keeping the "
+                         "last KEEP_SNAPSHOTS — the Iceberg twin of "
+                         "--compact's write->compact->expire lifecycle")
     ap.add_argument("--combine-sink", action="store_true",
                     help="fold each micro-batch's per-turn results to one "
                          "row (count + per-column sums) before the "
@@ -325,6 +333,12 @@ def main() -> None:
                  "through iceberg.writer's fault_before_commit")
     if args.iceberg_partition and args.sink_format != "iceberg":
         ap.error("--iceberg-partition requires --sink-format iceberg")
+    if args.iceberg_maintain is not None and args.sink_format != "iceberg":
+        ap.error("--iceberg-maintain requires --sink-format iceberg "
+                 "(the parquet-dir sink maintains via --compact)")
+    if args.iceberg_maintain is not None and args.iceberg_maintain < 1:
+        ap.error("--iceberg-maintain must keep >= 1 snapshot (the "
+                 "current one can never be expired)")
 
     from pyspark.sql import SparkSession
 
@@ -652,6 +666,19 @@ def main() -> None:
         crep = compact_sink(args.out, keep_last=args.compact)
         crep["segment"] = list(crep["segment"]) if crep["segment"] else None
         print("compaction: " + _json.dumps(crep), file=sys.stderr)
+    if args.iceberg_maintain is not None:
+        import json as _json
+
+        from sliding_window_aggregators_spark.iceberg import (
+            expire_snapshots,
+            rewrite_data_files,
+        )
+
+        mrep = rewrite_data_files(spark, args.out)
+        mrep["expire"] = expire_snapshots(
+            args.out, keep_last=args.iceberg_maintain)
+        print("iceberg maintenance: " + _json.dumps(mrep),
+              file=sys.stderr)
     if args.audit:
         import json as _json
 

@@ -622,14 +622,14 @@ def test_streaming_job_iceberg_to_iceberg(spark, tmp_path):
                                 partition_spec=[("ts", "hour")])
     write_dataframe(df1, src_t)
 
-    def run():
+    def run(*extra):
         return sp.run(
             [sys.executable, os.path.join(root, "jobs", "streaming_job.py"),
              "--source", src_loc, "--out", out_loc, "--checkpoint", ckpt,
              "--available-now", "--source-format", "iceberg",
              "--sink-format", "iceberg",
              "--iceberg-partition", "conv_id:bucket[4],ts:hour",
-             "--audit"],
+             "--audit", *extra],
             capture_output=True, text=True, cwd=root, timeout=420)
 
     r1 = run()
@@ -641,8 +641,15 @@ def test_streaming_job_iceberg_to_iceberg(spark, tmp_path):
         spark.createDataFrame(
             pdf.iloc[150:].assign(ts=lambda d: d.ts +
                                   pd.Timedelta(hours=1))), src_t)
-    r2 = run()
+    # resume + post-drain maintenance: rewrite REPLACE + expire, audit
+    # runs AFTER maintenance and must still pass on the compacted table
+    r2 = run("--iceberg-maintain", "1")
     assert r2.returncode == 0, r2.stderr[-2000:]
+    mrep = json.loads(
+        r2.stderr.split("iceberg maintenance: ", 1)[1].splitlines()[0])
+    assert mrep["rewritten"] and mrep["files_after"] < mrep["files_before"]
+    assert mrep["expire"]["expired_snapshots"], mrep
+    assert '"ok": true' in r2.stderr.split("lineage audit: ", 1)[1]
 
     out_t = IcebergTable(out_loc)
     got = out_t.read(spark)
