@@ -81,6 +81,13 @@ def main() -> None:
                          "batches; verdicts add live-file-count "
                          "boundedness and the oracle reads through "
                          "segments")
+    ap.add_argument("--iceberg", action="store_true",
+                    help="drain into the jar-less Iceberg sink (one "
+                         "snapshot per micro-batch, bucket[8] on "
+                         "conv_id) and run post-drain maintenance "
+                         "(rewrite REPLACE + expire keep_last=1); the "
+                         "value oracle then reads the COMPACTED table's "
+                         "live files")
     ap.add_argument("--tws", action="store_true",
                     help="soak the transformWithStateInPandas path "
                          "(RocksDB state store) instead of "
@@ -115,6 +122,9 @@ def main() -> None:
             "--max-files-per-trigger", "1",
             "--duration", args.duration,
         ] + (["--tws"] if args.tws else [])
+        + (["--sink-format", "iceberg",
+            "--iceberg-partition", "conv_id:bucket[8]",
+            "--iceberg-maintain", "1"] if args.iceberg else [])
         + (["--compact-every", str(args.compact_every)]
            if args.compact_every else []),
         capture_output=True, text=True, cwd=HERE, timeout=7200, env=env,
@@ -162,12 +172,30 @@ def main() -> None:
     # auto-compaction folds old batch dirs into segments mid-run: the
     # oracle must read BOTH layouts (duckdb accepts a glob list, but
     # errors on a glob with zero matches — include each only if present)
-    globs = [
-        f"'{out}/{kind}=*/*.parquet'"
-        for kind in ("batch_id", "segment")
-        if any(d.startswith(f"{kind}=") for d in os.listdir(out))
-    ]
-    sink_glob = "[" + ", ".join(globs) + "]"
+    if args.iceberg:
+        # post-maintenance the table's live set IS data/ (rewrite +
+        # expire removed every superseded file); assert that equivalence
+        # from the metadata before trusting the glob
+        sys.path.insert(0, HERE)
+        from sliding_window_aggregators_spark.iceberg import IcebergTable
+
+        tbl = IcebergTable(out)
+        live = sorted(os.path.realpath(f["path"])
+                      for f in tbl.plan_files())
+        on_disk = sorted(
+            os.path.realpath(os.path.join(r_, f_))
+            for r_, _, fs in os.walk(os.path.join(out, "data"))
+            for f_ in fs if f_.endswith(".parquet"))
+        assert live == on_disk, (
+            f"{len(live)} planned vs {len(on_disk)} on disk")
+        sink_glob = f"['{out}/data/**/*.parquet']"
+    else:
+        globs = [
+            f"'{out}/{kind}=*/*.parquet'"
+            for kind in ("batch_id", "segment")
+            if any(d.startswith(f"{kind}=") for d in os.listdir(out))
+        ]
+        sink_glob = "[" + ", ".join(globs) + "]"
     cnt, distinct = con.execute(
         f"select count(*), count(distinct (conv_id, ts)) "
         f"from read_parquet({sink_glob})"
@@ -187,10 +215,19 @@ def main() -> None:
         [d for d in os.listdir(out) if d.startswith("batch_id=")])
     segments = len(
         [d for d in os.listdir(out) if d.startswith("segment=")])
+    iceberg_info = None
+    if args.iceberg:
+        mrep = re.search(r"iceberg maintenance: (\{.*\})", r.stderr)
+        iceberg_info = {
+            "snapshots_live": len(tbl.snapshots),
+            "files_live": len(live),
+            "maintenance": json.loads(mrep.group(1)) if mrep else None,
+        }
 
     report = {
         "job": (
-            f"soak{' (tws/RocksDB)' if args.tws else ''}: "
+            f"soak{' (tws/RocksDB)' if args.tws else ''}"
+            f"{' (iceberg sink)' if args.iceberg else ''}: "
             f"sliding sum {args.duration} over {args.turns} turns / "
             f"{args.convs} convs, {args.chunks} chunks drained at "
             f"maxFilesPerTrigger=1 on local[{args.cpus}]"
@@ -215,6 +252,7 @@ def main() -> None:
                 live_batch_dirs <= args.compact_every + 1 and segments >= 1
                 if args.compact_every else None
             ),
+            "iceberg": iceberg_info,
         },
         "state_rows_series": state_rows,
         "state_memory_bytes_series": state_mem,
