@@ -116,8 +116,14 @@ def stage_dataframe(df: DataFrame, table: IcebergTable, *,
     snapshot — invisible until registered (Iceberg's visibility rule).
     Returns the file descriptors append_files / replace commits take."""
     spark = df.sparkSession
-    spark.conf.set("spark.sql.parquet.outputTimestampType",
-                   "TIMESTAMP_MICROS")
+    # Iceberg requires INT64-micros timestamps (INT96 is non-conformant
+    # and stat-less) — but ONLY for this write: leaving the conf set
+    # session-wide changes every later parquet write's physical type
+    # (and e.g. DuckDB reads annotated micros as TIMESTAMPTZ where it
+    # reads INT96 as naive), so save/restore around the job.
+    _TS_KEY = "spark.sql.parquet.outputTimestampType"
+    prev_ts = spark.conf.get(_TS_KEY, None)
+    spark.conf.set(_TS_KEY, "TIMESTAMP_MICROS")
     pfields = table.partition_fields
     pt_cols = []
     for f in pfields:
@@ -136,10 +142,16 @@ def stage_dataframe(df: DataFrame, table: IcebergTable, *,
                            f"_staging-{uuid.uuid4().hex}")
     if target_partitions:
         df = df.coalesce(target_partitions)
-    w = df.write.mode("overwrite")
-    if pt_cols:
-        w = w.partitionBy(*pt_cols)
-    w.parquet(staging)
+    try:
+        w = df.write.mode("overwrite")
+        if pt_cols:
+            w = w.partitionBy(*pt_cols)
+        w.parquet(staging)
+    finally:
+        if prev_ts is None:
+            spark.conf.unset(_TS_KEY)
+        else:
+            spark.conf.set(_TS_KEY, prev_ts)
 
     return _promote_staged(staging, table, pfields, bounds_columns)
 
