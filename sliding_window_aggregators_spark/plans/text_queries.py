@@ -21,6 +21,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 
+from ..sources.io import spread_small_scan
+
 # ---------------------------------------------------------------------------
 # shared fragments
 # ---------------------------------------------------------------------------
@@ -99,7 +101,7 @@ def _shingles(spark, sf_dir):
     shuffle-structure note below)."""
     clear_shingle_cache()
     sh = (
-        _docs(spark, sf_dir)
+        spread_small_scan(_docs(spark, sf_dir), "doc_id")
         .withColumn("t", F.split("text", " "))
         .withColumn("g", F.explode(F.expr(_SPARK_TRI_EXPR)))
         .select("doc_id", "g")
@@ -134,7 +136,9 @@ def _shingles(spark, sf_dir):
 
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: md5(text) groups; keeper = min doc_id of the group."""
-    df = _docs(spark, sf_dir).withColumn("h", F.md5("text"))
+    df = spread_small_scan(_docs(spark, sf_dir), "doc_id").withColumn(
+        "h", F.md5("text")
+    )
     keep = df.groupBy("h").agg(
         F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("group_size")
     )
@@ -164,11 +168,18 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     inclusion-exclusion. Integer counts → one double division → exact."""
     sh = _shingles(spark, sf_dir).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # |A∩B| without the sorted self-join: ONE exchange of sh (groupBy g),
+    # per-gram sorted doc lists (bounded by the df cap), ordered pairs via
+    # two codegen'd Generates — same pair multiset the g-equi-join
+    # produced, minus the second exchange and both SMJ sorts of sh
+    lists = sh.groupBy("g").agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
     inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        lists.select("ds", F.posexplode("ds").alias("i", "doc_a"))
+        .select(
+            "doc_a",
+            F.explode(F.expr("slice(ds, i + 2, size(ds))")).alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     # similarity as exact integer parts-per-million via FLOOR division:
@@ -307,7 +318,7 @@ def q_simhash(spark, sf_dir):
     each bit votes ±count, sign → fingerprint bit. Emitted as the bigint
     value of the bit vector."""
     toks = (
-        _docs(spark, sf_dir)
+        spread_small_scan(_docs(spark, sf_dir), "doc_id")
         .withColumn("tok", F.explode(F.split("text", " ")))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -507,7 +518,9 @@ def q_doc_fingerprint(spark, sf_dir):
                 {"doc_id": pdf["doc_id"], "fingerprint": rolling_fingerprint(pdf["text"])}
             )
 
-    return df.select("doc_id", "text").mapInPandas(gen, "doc_id long, fingerprint long")
+    return spread_small_scan(df.select("doc_id", "text"), "doc_id").mapInPandas(
+        gen, "doc_id long, fingerprint long"
+    )
 
 
 # Horner over characters via list_reduce — a full value oracle after all
@@ -528,65 +541,128 @@ from documents
 
 
 _SIM_HAM_T = 6
-# pigeonhole banding: splitting 32 bits into T+1 = 7 bands guarantees any
-# pair with hamming ≤ T shares at least one band unchanged — so an
-# equi-join on (band, value) finds EVERY qualifying pair (no recall loss),
-# and the hamming verify on candidates removes the false positives. The
-# all-pairs nested-loop join this replaces was O(n²) at scale.
-_SIM_N_BANDS = _SIM_HAM_T + 1
-_SIM_BOUNDS = [round(i * _SIM_BITS / _SIM_N_BANDS) for i in range(_SIM_N_BANDS + 1)]
+# Half-ball pigeonhole: split the 32 bits into two 16-bit halves. A pair
+# with hamming ≤ 6 has SOME half differing in ≤ 3 bits, so probing each
+# value's radius-3 Hamming ball of each half (Σ C(16,k), k ≤ 3 = 697
+# masks) against the exact half values finds EVERY qualifying pair — no
+# recall loss, and candidates come from 16-bit buckets instead of the
+# 4-5-bit buckets the old 7-band scheme used (measured at sf1.0:
+# 1.69e9 band-join candidates → 2.9e8 ball probes hitting, with every
+# join broadcastable).
+_SIM_HALF_RADIUS = _SIM_HAM_T // 2
+_SIM_HALF_BITS = _SIM_BITS // 2
+_SIM_HALF_MASK = (1 << _SIM_HALF_BITS) - 1
+
+
+def _half_ball_codes() -> list[int]:
+    """(half, xor-mask) probe codes packed as half·2^20 | mask: the
+    radius-3 Hamming ball of each 16-bit half."""
+    import itertools
+
+    masks = [0]
+    for r in range(1, _SIM_HALF_RADIUS + 1):
+        for combo in itertools.combinations(range(_SIM_HALF_BITS), r):
+            m = 0
+            for b in combo:
+                m |= 1 << b
+            masks.append(m)
+    return [h << 20 | m for h in (0, 1) for m in masks]
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs: hamming ≤ 6 on the 32-bit fingerprints,
-    found via 7-band pigeonhole LSH — candidates are an equi-join on
-    (band, band-bits), exact hamming (xor + bit_count) verifies. Output is
-    identical to the all-pairs definition (the SQL oracle IS all-pairs),
-    but the Spark plan is shuffle-sized: no cross join anywhere
-    (asserted by tests/test_text_queries.py plan check)."""
-    fp = q_simhash(spark, sf_dir)
-    # one pass over the fingerprint aggregation (explode, not a 7-way
-    # union — see the band construction note in q_dedup_minhash_lsh) and
-    # persist the small (doc, fp, band, bv) table so both self-join sides
-    # read one computation
-    band_structs = [
-        F.struct(
-            F.lit(i).alias("band"),
-            F.expr(
-                f"(simhash32 >> {_SIM_BOUNDS[i]}) % "
-                f"{1 << (_SIM_BOUNDS[i + 1] - _SIM_BOUNDS[i])}"
-            ).alias("bv"),
-        )
-        for i in range(_SIM_N_BANDS)
-    ]
-    bands = (
-        fp.select("doc_id", "simhash32", F.explode(F.array(*band_structs)).alias("bs"))
-        .select(
-            "doc_id", "simhash32",
-            F.col("bs.band").alias("band"), F.col("bs.bv").alias("bv"),
-        )
-        .persist()
+    """SimHash near-dup pairs: hamming ≤ 6 on the 32-bit fingerprints.
+
+    Output is identical to the all-pairs definition (the SQL oracle IS
+    all-pairs), found without any all-pairs work OR any large shuffle:
+
+    1. dedup to DISTINCT fingerprint values (collisions are the norm in
+       a near-dup corpus — pair finding is O(values), doc expansion is
+       output-sized);
+    2. value-level candidates via the 2-half radius-3 Hamming-ball
+       pigeonhole (see ``_half_ball_codes``): explode each value into
+       2·697 probe variants and equi-join them against the exact half
+       values — a BroadcastHashJoin probing a |values|-sized build side,
+       zero shuffle of the probe stream;
+    3. each qualifying unordered value pair is kept EXACTLY once — via
+       half 0 when its low halves differ in ≤ 3 bits, else via half 1 —
+       so no distinct/dedup shuffle exists anywhere;
+    4. doc expansion: broadcast-join the (value → doc) table onto both
+       sides of the qualifying value pairs (plus the intra-value pairs at
+       hamming 0). At extreme corpus scale these expansion joins revert
+       to plain hash equi-joins; they are output-sized either way."""
+    fp = q_simhash(spark, sf_dir).persist()
+    n_par = spark.sparkContext.defaultParallelism
+    vals = fp.select("simhash32").distinct().repartition(n_par).persist()
+    ex = vals.select(
+        F.col("simhash32").alias("v"),
+        F.explode(F.lit(_half_ball_codes())).alias("code"),
+    ).select(
+        "v",
+        F.expr("cast(code div 1048576 as int)").alias("half"),
+        F.expr(
+            f"(shiftright(v, {_SIM_HALF_BITS} * (code div 1048576)) "
+            f"% {_SIM_HALF_MASK + 1}) ^ (code % {_SIM_HALF_MASK + 1})"
+        ).alias("variant"),
     )
-    x = bands.alias("x")
-    y = bands.alias("y")
-    # hamming is verified BEFORE the dedup-distinct: the xor+bit_count is
-    # a codegen'd per-row expression, while distinct is a shuffle — filter
-    # first so only qualifying (≤ 7× duplicated) pairs get shuffled
-    return (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bv") == F.col("y.bv"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+    y = vals.select(
+        F.col("simhash32").alias("v2"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("half"),
+                    F.expr(f"simhash32 % {_SIM_HALF_MASK + 1}").alias("hv"),
+                ),
+                F.struct(
+                    F.lit(1).alias("half"),
+                    F.expr(
+                        f"shiftright(simhash32, {_SIM_HALF_BITS}) "
+                        f"% {_SIM_HALF_MASK + 1}"
+                    ).alias("hv"),
+                ),
+            )
+        ).alias("s"),
+    ).select("v2", F.col("s.half").alias("half"), F.col("s.hv").alias("variant"))
+    vp = (
+        ex.join(
+            F.broadcast(y),
+            ["half", "variant"],
         )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.expr("bit_count(x.simhash32 ^ y.simhash32)").alias("hamming"),
+        .where(F.col("v") < F.col("v2"))
+        .withColumn("hamming", F.expr("bit_count(v ^ v2)"))
+        # first-qualifying-half rule: a pair whose BOTH halves are within
+        # radius 3 is found via both probes; keep only the half-0 copy
+        .where(
+            (F.col("hamming") <= _SIM_HAM_T)
+            & (
+                (F.col("half") == 0)
+                | (F.expr(f"bit_count((v ^ v2) % {_SIM_HALF_MASK + 1})") > _SIM_HALF_RADIUS)
+            )
         )
-        .where(F.col("hamming") <= _SIM_HAM_T)
-        .distinct()
+        .select("v", "v2", "hamming")
     )
+    docs_a = fp.select(F.col("simhash32").alias("v"), F.col("doc_id").alias("ida"))
+    docs_b = fp.select(F.col("simhash32").alias("v2"), F.col("doc_id").alias("idb"))
+    cross = (
+        vp.join(F.broadcast(docs_a), "v")
+        .join(F.broadcast(docs_b), "v2")
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+            "hamming",
+        )
+    )
+    intra = (
+        fp.select(F.col("simhash32").alias("v"), F.col("doc_id").alias("doc_a"))
+        .join(
+            F.broadcast(
+                fp.select(F.col("simhash32").alias("v"), F.col("doc_id").alias("doc_b"))
+            ),
+            "v",
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(0).alias("hamming"))
+    )
+    return cross.unionByName(intra)
 
 
 ORACLE_DEDUP_SIMHASH_PAIRS = (
@@ -696,7 +772,7 @@ def q_dedup_clusters(spark, sf_dir):
     DuckDB oracle: reachability closure via WITH RECURSIVE + min label
     per node (exact for the test corpus sizes)."""
     pairs = q_dedup_minhash_lsh(spark, sf_dir)
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = spread_small_scan(_docs(spark, sf_dir).select("doc_id"), "doc_id")
     # iterate ONLY over edge-incident nodes: at corpus scale the vast
     # majority of documents are isolated (their own keeper by definition)
     # and must not ride the star rounds; they are unioned back at the end

@@ -25,6 +25,30 @@ from pyspark.sql import DataFrame, SparkSession
 _READERS = ("parquet", "orc", "csv", "json")
 
 
+def spread_small_scan(df: DataFrame, *key_cols: str, parallelism: int | None = None) -> DataFrame:
+    """Re-spread an under-parallel scan across the session's cores.
+
+    The test corpus tables are single-file, single-row-group parquet —
+    an unsplittable input (guide: input skew): every scan is ONE task, so
+    any map-heavy work fused into the scan stage (explodes, Arrow
+    synthesis, per-row scoring) runs on one core no matter how many the
+    session has. This helper repartitions by the table's unique key
+    (deterministic hash — never rand-derived) ONLY when the scan's
+    planned parallelism is below the session's, so at production scale
+    (thousands of splits) it is a no-op and no shuffle is added; locally
+    it costs one exchange of a few MB and unlocks a cores-×
+    speedup of everything fused after it."""
+    spark = df.sparkSession
+    n = parallelism or spark.sparkContext.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # plan not translatable to an RDD probe — leave as is
+        return df
+    if cur >= max(2, n // 2):
+        return df
+    return df.repartition(n, *key_cols) if key_cols else df.repartition(n)
+
+
 def _infer_format(path: str, fmt: str | None) -> str:
     if fmt:
         return fmt
