@@ -165,6 +165,54 @@ def media_metadata(media: DataFrame, max_side: int = 128) -> DataFrame:
     )
 
 
+def _plane_stats_batch(blobs, widths, heights):
+    """mean / std / 4-bin histogram of each row's (fake-)decoded plane,
+    computed WITHOUT materializing the planes whenever the plane is an
+    exact whole-number tiling of the blob (the decoder tiles the blob to
+    width·height; when width·height % len(blob) == 0 the plane is the
+    blob repeated k times, and mean, population std and histogram
+    PROPORTIONS are tiling-invariant: sums scale by k, lengths scale by
+    k, and both divisions are correctly-rounded quotients of the same
+    real value). The non-divisible general case falls back to the tiled
+    plane. All rows of the batch are then reduced in one vectorized pass
+    (np.add.reduceat over the concatenated bytes) instead of one small
+    numpy call per row — ~16× less memory traffic and no per-row Python
+    in the hot path."""
+    n = len(blobs)
+    if n == 0:
+        z = np.empty(0, dtype=np.float64)
+        return z, z, []
+    raws = []
+    lens = np.empty(n, dtype=np.int64)
+    for i, (b, w, h) in enumerate(zip(blobs, widths, heights)):
+        raw = np.frombuffer(b, dtype=np.uint8)
+        need = int(w) * int(h)
+        if len(raw) == 0:  # empty blob → zero plane (decoder contract)
+            raw = np.zeros(need, dtype=np.uint8)
+        elif need % len(raw) != 0:
+            reps = -(-need // len(raw))
+            raw = np.tile(raw, reps)[:need]
+        raws.append(raw)
+        lens[i] = len(raw)
+    cat = np.concatenate(raws)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    fl = lens.astype(np.float64)
+    sums = np.add.reduceat(cat.astype(np.int64), starts)
+    mean = sums / fl
+    dev = cat.astype(np.float64)
+    dev -= np.repeat(mean, lens)
+    dev *= dev
+    var = np.add.reduceat(dev, starts) / fl
+    std = np.sqrt(var)
+    bins = (cat >> 6).astype(np.int64) + 4 * np.repeat(
+        np.arange(n, dtype=np.int64), lens
+    )
+    counts = np.bincount(bins, minlength=4 * n).reshape(n, 4)
+    hist = list((counts / fl[:, None]).astype("float32"))
+    return mean, std, hist
+
+
 def media_features(media: DataFrame, max_side: int = 128) -> DataFrame:
     """Decode (stub) → resize dims → per-media features, one mapInPandas
     pass: mean/std of the decoded plane, a 4-bin histogram feature vector,
@@ -172,13 +220,9 @@ def media_features(media: DataFrame, max_side: int = 128) -> DataFrame:
 
     def gen(batches):
         for pdf in batches:
-            planes = decode_image_batch(pdf)
-            mean = np.array([float(p.mean()) for p in planes])
-            std = np.array([float(p.std()) for p in planes])
-            hist = [
-                (np.bincount(p.ravel() >> 6, minlength=4) / p.size).astype("float32")
-                for p in planes
-            ]
+            mean, std, hist = _plane_stats_batch(
+                pdf["blob"], pdf["width"], pdf["height"]
+            )
             meta = _meta_columns(pdf, max_side)
             yield pd.DataFrame(
                 {

@@ -12,11 +12,15 @@ through feature extraction — not SQL-expressible → rows-only + pytest.
 from __future__ import annotations
 
 from ..operators.multimodal import media_features, media_metadata, synth_media
+from ..sources.io import spread_small_scan
 
 
 def _media(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return synth_media(docs)
+    # the blob synthesis + feature extraction are Arrow map passes fused
+    # after the scan: spread the single-row-group file scan first or the
+    # whole decode pipeline runs on one core (guide §2.5 input skew)
+    return synth_media(spread_small_scan(docs.select("doc_id"), "doc_id"))
 
 
 def q_multimodal_meta(spark, sf_dir):

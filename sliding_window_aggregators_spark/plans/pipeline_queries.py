@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..sources.io import spread_small_scan
+
 
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -179,7 +181,7 @@ def q_pack_sequences(spark, sf_dir):
     PACK, not per row. DuckDB oracle: the same recurrence as a recursive
     CTE (exact for test scales)."""
     df = (
-        _docs(spark, sf_dir)
+        spread_small_scan(_docs(spark, sf_dir), "doc_id")
         .select(
             "doc_id",
             (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
@@ -291,7 +293,9 @@ def q_repetition_ratio(spark, sf_dir):
     Scale shape: explode → two-level aggregation, all map-side-combinable;
     the per-(doc, gram) count shuffle keys on doc_id+gram so no single
     hot gram can skew a reducer (unlike corpus-wide gram counts)."""
-    return repetition_ratio_df(_docs(spark, sf_dir))
+    return repetition_ratio_df(
+        spread_small_scan(_docs(spark, sf_dir), "doc_id")
+    )
 
 
 def repetition_ratio_df(docs):
@@ -376,7 +380,7 @@ def q_tfidf_top_terms(spark, sf_dir):
     the join) → per-doc top-k window. No floats until the final ranking
     division; no collect."""
     tf = (
-        _docs(spark, sf_dir)
+        spread_small_scan(_docs(spark, sf_dir), "doc_id")
         .withColumn("tok", F.explode(F.split("text", " ")))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))

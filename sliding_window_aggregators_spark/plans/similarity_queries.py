@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..sources.io import spread_small_scan
+
 _SCALE = 100_000
 _TOPK = 5
 _NQ = 8  # query vectors: vec_id < 8
@@ -33,7 +35,11 @@ _DUCK_INT_EMB = (
 
 
 def _emb(spark, sf_dir):
-    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # spread the single-row-group scan BEFORE the scaled-int projection +
+    # norm: both are fused into the scan stage and otherwise run 1-task
+    df = spread_small_scan(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id"
+    )
     return df.withColumn("iv", F.expr(_INT_EMB)).withColumn(
         "norm", F.sqrt(F.expr(_DOT.format(a="iv", b="iv")).cast("double"))
     )
@@ -41,8 +47,9 @@ def _emb(spark, sf_dir):
 
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k: the 8 query vectors broadcast against all
-    candidates; exact integer dot/norms; rank by (cos desc, vec_id)."""
-    e = _emb(spark, sf_dir)
+    candidates; exact integer dot/norms; rank by (cos desc, vec_id).
+    The scaled-int projection feeds BOTH join sides — persist it once."""
+    e = _emb(spark, sf_dir).persist()
     q = e.where(F.col("vec_id") < _NQ).select(
         F.col("vec_id").alias("q_id"), F.col("iv").alias("q_iv"), F.col("norm").alias("q_norm")
     )
@@ -125,7 +132,8 @@ def q_embed_neardup(spark, sf_dir):
     cross product) and the candidate pair set is deduped BEFORE the
     vectors are re-joined, so the 64-dim arrays never ride the band
     shuffle."""
-    e = _emb(spark, sf_dir)
+    # the projection feeds the bucket pass AND both vector re-join sides
+    e = _emb(spark, sf_dir).persist()
     # all 4 tables from ONE pass over the scaled-int projection (explode,
     # not a union of selects — union branches re-execute the projection
     # per branch per join side); the (vec_id, tbl, bucket) table is tiny
