@@ -63,6 +63,13 @@ _OUT_SPARK_TYPE = {
 }
 
 
+# rows per kernel feed slice inside a mapInPandas batch: bounds the
+# interval-fold's transient allocations (log-levels × slice × partial
+# width) to a cache-resident working set that the allocator recycles
+# across slices — see the feed-slicing note in the partitioned gens
+_KERNEL_FEED_ROWS = 8192
+
+
 def _lexsort_frame(pdf: pd.DataFrame, order_cols: Sequence[str]) -> np.ndarray:
     """Stable row order by order_cols (primary first) — numpy lexsort is
     several× cheaper than pandas sort_values in the per-group hot path."""
@@ -264,10 +271,25 @@ def sliding_rows_kernel_partitioned(
             if dtype == np.int64:
                 vals = vals.astype(np.int64)
             if monoid_name == "argmax":
-                p = m.lift((pdf[id_cols[-1]].to_numpy(), vals))
-            else:
-                p = m.lift(vals)
-            res = m.lower(kernel.process(segkey, p))
+                aux = pdf[id_cols[-1]].to_numpy()
+            # feed the kernel in bounded slices (cross-slice carry is the
+            # kernel's own cross-batch mechanism): the interval-fold
+            # builds log-levels of FULL-slice partial arrays, so a whole
+            # 1M-row Arrow batch of a wide-partial monoid (bloom = 512
+            # B/row) means hundreds of MB of one-shot allocations —
+            # measured 9x slower cold than the same rows in 8k slices,
+            # which recycle one cache-resident working set
+            parts = []
+            for i in range(0, n, _KERNEL_FEED_ROWS):
+                sl = slice(i, min(i + _KERNEL_FEED_ROWS, n))
+                if monoid_name == "argmax":
+                    p = m.lift((aux[sl], vals[sl]))
+                else:
+                    p = m.lift(vals[sl])
+                parts.append(
+                    m.lower(kernel.process(tuple(k[sl] for k in segkey), p))
+                )
+            res = np.concatenate(parts) if len(parts) > 1 else parts[0]
             if monoid_name in ("stddev", "relvar"):
                 res = np.where(np.isnan(res), None, res)
             cols = {c: pdf[c].to_numpy() for c in id_cols}
@@ -276,7 +298,7 @@ def sliding_rows_kernel_partitioned(
                 cols = {c: v[keep] for c, v in cols.items()}
                 res = res[keep]
             cols[out] = res
-            yield pd.DataFrame(cols)
+            yield pd.DataFrame(cols, copy=False)
 
     return sorted_df.mapInPandas(gen, schema)
 
@@ -317,7 +339,8 @@ def sliding_rows_kernel_partitioned_multi(
         ms = [get_monoid(s[1], np.int64 if s[4] else np.float64) for s in specs]
         kernels = [SegmentedSlidingKernel(m, s[2]) for m, s in zip(ms, specs)]
         for pdf in batches:
-            if len(pdf) == 0:
+            n = len(pdf)
+            if n == 0:
                 continue
             segkey = pdf[key].to_numpy()
             cols = {c: pdf[c].to_numpy() for c in id_cols}
@@ -328,14 +351,21 @@ def sliding_rows_kernel_partitioned_multi(
                 if int_values:
                     vals = vals.astype(np.int64)
                 if mname == "argmax":
-                    p = m.lift((pdf[id_cols[-1]].to_numpy(), vals))
-                else:
-                    p = m.lift(vals)
-                res = m.lower(kern.process(segkey, p))
+                    aux = pdf[id_cols[-1]].to_numpy()
+                # bounded feed slices — see sliding_rows_kernel_partitioned
+                parts = []
+                for i in range(0, n, _KERNEL_FEED_ROWS):
+                    sl = slice(i, min(i + _KERNEL_FEED_ROWS, n))
+                    if mname == "argmax":
+                        p = m.lift((aux[sl], vals[sl]))
+                    else:
+                        p = m.lift(vals[sl])
+                    parts.append(m.lower(kern.process(segkey[sl], p)))
+                res = np.concatenate(parts) if len(parts) > 1 else parts[0]
                 if mname in ("stddev", "relvar"):
                     res = np.where(np.isnan(res), None, res)
                 cols[out] = res
-            yield pd.DataFrame(cols)
+            yield pd.DataFrame(cols, copy=False)
 
     return sorted_df.mapInPandas(gen, schema)
 
