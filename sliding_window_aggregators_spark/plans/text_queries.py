@@ -541,32 +541,39 @@ from documents
 
 
 _SIM_HAM_T = 6
-# Half-ball pigeonhole: split the 32 bits into two 16-bit halves. A pair
-# with hamming ≤ 6 has SOME half differing in ≤ 3 bits, so probing each
-# value's radius-3 Hamming ball of each half (Σ C(16,k), k ≤ 3 = 697
-# masks) against the exact half values finds EVERY qualifying pair — no
-# recall loss, and candidates come from 16-bit buckets instead of the
-# 4-5-bit buckets the old 7-band scheme used (measured at sf1.0:
-# 1.69e9 band-join candidates → 2.9e8 ball probes hitting, with every
-# join broadcastable).
-_SIM_HALF_RADIUS = _SIM_HAM_T // 2
+# Half-ball pigeonhole: split the 32 bits into two 16-bit halves with
+# radii (r0, r1) = (2, 3). Any pair with d0 > 2 AND d1 > 3 has hamming
+# ≥ 7, so probing the radius-2 ball of each value's LOW half plus the
+# radius-3 ball of its HIGH half against the exact half values finds
+# EVERY pair with hamming ≤ 6 — no recall loss, and candidates come from
+# 16-bit buckets instead of the 4-5-bit buckets the old 7-band scheme
+# used. r0 + r1 = 5 is the minimal pigeonhole budget; putting the larger
+# radius on the high half exploits the corpus's heavier low-half-value
+# clustering (measured at sf1.0: 1.69e9 band-join candidates → 3.4e8
+# ball probes hitting, with every join broadcastable).
+_SIM_HALF_R0 = 2
+_SIM_HALF_R1 = 3
 _SIM_HALF_BITS = _SIM_BITS // 2
 _SIM_HALF_MASK = (1 << _SIM_HALF_BITS) - 1
 
 
 def _half_ball_codes() -> list[int]:
     """(half, xor-mask) probe codes packed as half·2^20 | mask: the
-    radius-3 Hamming ball of each 16-bit half."""
+    radius-r0 Hamming ball of the low half and radius-r1 ball of the
+    high half."""
     import itertools
 
-    masks = [0]
-    for r in range(1, _SIM_HALF_RADIUS + 1):
-        for combo in itertools.combinations(range(_SIM_HALF_BITS), r):
-            m = 0
-            for b in combo:
-                m |= 1 << b
-            masks.append(m)
-    return [h << 20 | m for h in (0, 1) for m in masks]
+    codes = []
+    for h, radius in ((0, _SIM_HALF_R0), (1, _SIM_HALF_R1)):
+        masks = [0]
+        for r in range(1, radius + 1):
+            for combo in itertools.combinations(range(_SIM_HALF_BITS), r):
+                m = 0
+                for b in combo:
+                    m |= 1 << b
+                masks.append(m)
+        codes.extend(h << 20 | m for m in masks)
+    return codes
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
@@ -578,13 +585,13 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     1. dedup to DISTINCT fingerprint values (collisions are the norm in
        a near-dup corpus — pair finding is O(values), doc expansion is
        output-sized);
-    2. value-level candidates via the 2-half radius-3 Hamming-ball
-       pigeonhole (see ``_half_ball_codes``): explode each value into
-       2·697 probe variants and equi-join them against the exact half
+    2. value-level candidates via the 2-half (radius-2, radius-3)
+       Hamming-ball pigeonhole (see ``_half_ball_codes``): explode each
+       value into 834 probe variants and equi-join them against the exact half
        values — a BroadcastHashJoin probing a |values|-sized build side,
        zero shuffle of the probe stream;
     3. each qualifying unordered value pair is kept EXACTLY once — via
-       half 0 when its low halves differ in ≤ 3 bits, else via half 1 —
+       half 0 when its low halves differ in ≤ 2 bits, else via half 1 —
        so no distinct/dedup shuffle exists anywhere;
     4. doc expansion: broadcast-join the (value → doc) table onto both
        sides of the qualifying value pairs (plus the intra-value pairs at
@@ -629,13 +636,13 @@ def q_dedup_simhash_pairs(spark, sf_dir):
         )
         .where(F.col("v") < F.col("v2"))
         .withColumn("hamming", F.expr("bit_count(v ^ v2)"))
-        # first-qualifying-half rule: a pair whose BOTH halves are within
-        # radius 3 is found via both probes; keep only the half-0 copy
+        # first-qualifying-half rule: a pair within BOTH balls is found
+        # via both probes; keep the half-0 copy exactly when d0 ≤ r0
         .where(
             (F.col("hamming") <= _SIM_HAM_T)
             & (
                 (F.col("half") == 0)
-                | (F.expr(f"bit_count((v ^ v2) % {_SIM_HALF_MASK + 1})") > _SIM_HALF_RADIUS)
+                | (F.expr(f"bit_count((v ^ v2) % {_SIM_HALF_MASK + 1})") > _SIM_HALF_R0)
             )
         )
         .select("v", "v2", "hamming")

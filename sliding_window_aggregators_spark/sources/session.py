@@ -98,6 +98,17 @@ def get_spark(app: str = "swag-spark", cpus: int | None = None,
         # 65536 default (1M rows ≈ 40 MB/task at the events row width)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1048576")
         .config("spark.sql.session.timeZone", "UTC")
+        # input split size, parameterised (SWAG_MAX_PARTITION_BYTES): the
+        # local corpus ships few-MB..130-MB single files whose row groups
+        # are ~16-22 MB, so the 128 MB default packs a whole table into
+        # 1-2 scan tasks; 16 MB splits one task per row group (measured
+        # ~2x on the lineitem star/aggregate queries). A production
+        # deployment on many-hundred-MB files overrides this upward
+        # (512m-1g per the large-sequential-scan guidance) via the env.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SWAG_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
