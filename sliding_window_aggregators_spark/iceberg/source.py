@@ -61,10 +61,34 @@ def added_files(table: IcebergTable, *, from_snapshot: int | None,
 def materialize_scan(location: str, link_dir: str, *,
                      snapshot_id: int | None = None) -> list[str]:
     """Symlink the snapshot's planned data files into ``link_dir``
-    under stable names; idempotent. Returns newly-created link paths."""
+    under stable names; idempotent. Returns newly-created link paths.
+
+    APPEND-ONLY CONTRACT: links are keyed by file path, so a
+    ``rewrite_data_files`` / ``expire_snapshots`` on the source table
+    would surface compacted files as brand-new links (re-delivering
+    every already-consumed row) while existing links to expired files
+    dangle. This refuses non-append history outright — a table that is
+    compacted/expired while streamed needs the snapshot-incremental
+    planner (:func:`added_files`) instead — and prunes any dangling
+    links left by out-of-band deletion before the file source lists
+    them."""
     table = IcebergTable(location)
+    for s in table.snapshots:
+        op = s.get("summary", {}).get("operation", "append")
+        if op not in ("append",):
+            raise RuntimeError(
+                f"materialize_scan: snapshot {s['snapshot-id']} is "
+                f"{op!r}, not append — this table's history has been "
+                "rewritten (compaction/expiry), so the link-dir file "
+                "stream would re-deliver consumed rows; stream via the "
+                "added_files incremental planner, or do not compact/"
+                "expire a table while it is being streamed")
     os.makedirs(link_dir, exist_ok=True)
     created = []
+    for name in os.listdir(link_dir):
+        dest = os.path.join(link_dir, name)
+        if os.path.islink(dest) and not os.path.exists(dest):
+            os.unlink(dest)  # dangling: target deleted out-of-band
     for f in table.plan_files(snapshot_id=snapshot_id):
         src = os.path.realpath(f["path"])
         name = md5(src.encode()).hexdigest() + ".parquet"

@@ -37,6 +37,14 @@ from . import avro
 from . import spec as icespec
 
 
+class CommitAborted(Exception):
+    """A retrying commit stopped because its ``abort_if`` predicate held
+    on the refreshed table (the work is already committed elsewhere);
+    the caller treats it as an idempotent skip. Any staged-but-
+    unregistered data files remain invisible orphans for
+    remove_orphan_files."""
+
+
 class CommitConflict(Exception):
     """Another writer committed the same metadata version first."""
 
@@ -219,7 +227,8 @@ class IcebergTable:
 
     # -- commit ---------------------------------------------------------------
 
-    def append_files(self, files, *, summary=None, max_retries: int = 10):
+    def append_files(self, files, *, summary=None, max_retries: int = 10,
+                     abort_if=None):
         """Commit an append snapshot registering ``files``.
 
         ``files``: list of dicts with keys
@@ -229,9 +238,16 @@ class IcebergTable:
 
         Retries on CommitConflict with a refreshed base (optimistic
         concurrency per the spec's commit model). Returns the snapshot.
-        """
+
+        ``abort_if``: optional predicate over the REFRESHED table,
+        re-checked after every conflict before retrying — raises
+        :class:`CommitAborted` when true. This closes the
+        zombie-vs-failover double-commit window for idempotent callers
+        (e.g. the exactly-once sink re-checking its batch id): without
+        it, a retry after refresh would happily commit a batch a
+        concurrent driver just committed."""
         return self._commit_with_retry(files, summary or {}, "append",
-                                       True, max_retries)
+                                       True, max_retries, abort_if)
 
     def replace_files(self, files, *, summary=None, max_retries: int = 10):
         """Commit a REPLACE snapshot: ``files`` become the table's whole
@@ -263,7 +279,7 @@ class IcebergTable:
                     raise
 
     def _commit_with_retry(self, files, summary, operation, carry_forward,
-                           max_retries):
+                           max_retries, abort_if=None):
         for attempt in range(max_retries):
             try:
                 return self._try_append(files, summary, operation,
@@ -272,6 +288,12 @@ class IcebergTable:
                 if attempt == max_retries - 1:
                     raise
                 self.refresh()
+                if abort_if is not None and abort_if(self):
+                    raise CommitAborted(
+                        "commit abandoned after conflict: the abort "
+                        "predicate is satisfied on the refreshed table "
+                        "(a concurrent writer already committed this "
+                        "work)")
 
     def _try_append(self, files, summary, operation="append",
                     carry_forward=True):
@@ -418,7 +440,21 @@ class IcebergTable:
             {"timestamp-ms": base["last-updated-ms"],
              "metadata-file": self._meta_path(self._version)}])[-10:]
 
-        self._commit_metadata(new_meta)
+        try:
+            self._commit_metadata(new_meta)
+        except CommitConflict:
+            # the manifest + manifest-list written above reference a
+            # snapshot that will never exist on this base — without this
+            # cleanup every conflict retry (and every aborted replace)
+            # permanently leaks two metadata/*.avro files that no GC
+            # covers (expire_snapshots only walks committed snapshots,
+            # remove_orphan_files only data/*.parquet)
+            for p in (manifest_path, mlist_path):
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+            raise
         return snap
 
     def _commit_metadata(self, new_meta) -> None:

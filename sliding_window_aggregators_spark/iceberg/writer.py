@@ -63,12 +63,19 @@ def _bucket_udf(n: int, iceberg_type: str):
 
     @F.pandas_udf("int")
     def bucket(col: pd.Series) -> pd.Series:
+        isna = col.isna()
         if int_like:
             if pd.api.types.is_datetime64_any_dtype(col):
-                vals = col.astype("int64").to_numpy()  # micros? ns!
-                vals = vals // 1000  # ns -> micros per Iceberg
+                # defensive only: timestamp/date sources are converted to
+                # UTC micros/days JVM-side before this UDF (see the
+                # callsite) so the hash never sees session-local renderings
+                vals = col.astype("int64").to_numpy() // 1000
             else:
-                vals = col.to_numpy(dtype="int64")
+                vals = (
+                    pd.to_numeric(col, errors="coerce")
+                    .fillna(0)
+                    .to_numpy(dtype="int64")
+                )
             h = murmur3_long_np(vals)
         else:
             # strings: hash each UNIQUE value once (conversation ids
@@ -79,8 +86,13 @@ def _bucket_udf(n: int, iceberg_type: str):
                 str(s).encode("utf-8")))
             h = col.map(dict(zip(uniq, hu))).to_numpy(dtype="float64")
             h = np.nan_to_num(h).astype(np.uint32)
-        return pd.Series(((h & np.uint32(0x7FFFFFFF)) % np.uint32(n))
-                         .astype("int32"))
+        out = pd.Series(
+            ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype("int32")
+        ).astype("Int32")
+        # null source values belong to the NULL partition (spec: transforms
+        # of null are null), not to whatever bucket hash(0) lands in
+        out[isna.to_numpy()] = pd.NA
+        return out
 
     return bucket
 
@@ -88,14 +100,18 @@ def _bucket_udf(n: int, iceberg_type: str):
 def write_dataframe(df: DataFrame, table: IcebergTable, *,
                     bounds_columns=("ts",), summary=None,
                     target_partitions: int | None = None,
-                    fault_before_commit: str | None = None):
+                    fault_before_commit: str | None = None,
+                    abort_if=None):
     """Append ``df`` to ``table`` as one snapshot; returns (snapshot,
     files). ``bounds_columns``: columns whose footer min/max feed the
     per-file bounds (scan pruning). ``target_partitions``: optional
     coalesce before write (small-batch streaming sinks).
     ``fault_before_commit``: DR-drill kill switch — die AFTER the data
     files land in data/, BEFORE the snapshot commit (the crash window
-    Iceberg's visibility rule exists for; the files stay orphans)."""
+    Iceberg's visibility rule exists for; the files stay orphans).
+    ``abort_if``: forwarded to :meth:`IcebergTable.append_files` — the
+    idempotence re-check on every conflict retry (raises CommitAborted;
+    the staged files stay invisible orphans)."""
     files = stage_dataframe(df, table, bounds_columns=bounds_columns,
                             target_partitions=target_partitions)
     if fault_before_commit is not None:
@@ -105,7 +121,7 @@ def write_dataframe(df: DataFrame, table: IcebergTable, *,
             os._exit(70)  # driver power cut: data on disk, no snapshot
         except FileExistsError:
             pass
-    snap = table.append_files(files, summary=summary)
+    snap = table.append_files(files, summary=summary, abort_if=abort_if)
     return snap, files
 
 
@@ -130,9 +146,18 @@ def stage_dataframe(df: DataFrame, table: IcebergTable, *,
         cname = f"__pt_{f['name']}"
         tr = f["transform"]
         if tr.name == "bucket":
-            df = df.withColumn(
-                cname, _bucket_udf(tr.n, f["source_type"])(
-                    F.col(f["source"])))
+            src = F.col(f["source"])
+            stype = f["source_type"]
+            # convert time-typed sources to the spec's hash input JVM-side
+            # (UTC micros / epoch days) BEFORE the Arrow bridge: the
+            # pandas rendering of a TIMESTAMP follows the session
+            # timezone, so hashing it directly mis-buckets under any
+            # non-UTC session
+            if stype in ("timestamp", "timestamptz"):
+                src, stype = F.unix_micros(src), "long"
+            elif stype == "date":
+                src, stype = F.unix_date(src), "int"
+            df = df.withColumn(cname, _bucket_udf(tr.n, stype)(src))
         else:
             df = df.withColumn(
                 cname, F.expr(tr.sql_expr(f["source"], f["source_type"])))

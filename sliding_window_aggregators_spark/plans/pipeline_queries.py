@@ -80,8 +80,9 @@ def q_hll_users_by_type(spark, sf_dir):
     you'd drop; it exists here as the sketch's in-query ground truth.)
     """
     pairs = (
-        _events(spark, sf_dir)
-        .select("event_type", "user_id")
+        spread_small_scan(
+            _events(spark, sf_dir).select("event_type", "user_id"), "user_id"
+        )
         .distinct()
         .withColumn("h", F.expr(_SPARK_H60))
         .withColumn("b", F.expr(f"h % {_HLL_M}"))

@@ -34,6 +34,7 @@ import os
 from pyspark.sql import DataFrame, functions as F
 
 from ..iceberg import IcebergTable
+from ..iceberg.table import CommitAborted
 from ..iceberg.writer import write_dataframe
 
 
@@ -77,12 +78,27 @@ class ExactlyOnceIcebergSink:
         stamped = (df.withColumn("_batch_id",
                                  F.lit(batch_id).cast("long"))
                      .withColumn("_partition_id", F.spark_partition_id()))
-        write_dataframe(
-            stamped, table,
-            bounds_columns=self.bounds_columns,
-            summary={"spark-graft.batch-id": batch_id},
-            target_partitions=self.target_partitions,
-            fault_before_commit=self.fault_before_commit)
+        try:
+            write_dataframe(
+                stamped, table,
+                bounds_columns=self.bounds_columns,
+                summary={"spark-graft.batch-id": batch_id},
+                target_partitions=self.target_partitions,
+                fault_before_commit=self.fault_before_commit,
+                # the pre-staging check above is check-then-act: a zombie
+                # driver and its failover can both pass it. The commit
+                # retry loop re-checks the batch id after EVERY conflict
+                # refresh and aborts instead of double-committing — the
+                # second half of the exactly-once argument
+                abort_if=lambda t: t.snapshot_by_batch(batch_id)
+                is not None)
+        except CommitAborted:
+            return  # a concurrent driver committed this batch first
+        # NOTE durability interplay: the replay-skip reads the batch-id
+        # summaries of COMMITTED snapshots, so expire_snapshots must keep
+        # every snapshot whose batch Spark could still replay
+        # (keep_last >= the checkpoint's replay horizon) or a replayed
+        # batch would re-commit rows the expiry erased the evidence for.
 
     # -- reader / introspection (parquet-sink interface parity) ----------
 
@@ -162,21 +178,36 @@ def audit_iceberg_sink(location: str) -> dict:
             "files": len(live), "notes": notes}
 
 
-def remove_orphan_files(location: str) -> list[str]:
+def remove_orphan_files(location: str,
+                        older_than_s: float = 3 * 24 * 3600) -> list[str]:
     """Delete data files referenced by NO snapshot (failed-attempt
-    debris left before a commit — Iceberg's remove_orphan_files)."""
+    debris left before a commit — Iceberg's remove_orphan_files).
+
+    Two in-flight-write guards, matching the real action's semantics:
+    ``_staging-*`` directories (a write staging right now) are never
+    entered, and only files whose mtime is older than ``older_than_s``
+    (default 3 days, Iceberg's default) are deleted — a staged-but-not-
+    yet-committed file of a concurrent writer is younger than any sane
+    cutoff, so the in-flight commit can still register it. Pass
+    ``older_than_s=0`` only when no write can be in flight (tests, DR
+    drills)."""
+    import time as _time
+
     table = IcebergTable(location)
     referenced = set()
     for s in table.snapshots:
         for f in table.plan_files(snapshot_id=s["snapshot-id"]):
             referenced.add(os.path.realpath(f["path"]))
     removed = []
+    cutoff = _time.time() - older_than_s
     data_dir = os.path.join(table.location, "data")
-    for root, _dirs, names in os.walk(data_dir):
+    for root, dirs, names in os.walk(data_dir):
+        dirs[:] = [d for d in dirs if not d.startswith("_staging-")]
         for n in names:
             p = os.path.join(root, n)
-            if n.endswith(".parquet") and \
-                    os.path.realpath(p) not in referenced:
+            if (n.endswith(".parquet")
+                    and os.path.realpath(p) not in referenced
+                    and os.path.getmtime(p) <= cutoff):
                 os.unlink(p)
                 removed.append(p)
     return removed

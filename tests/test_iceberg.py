@@ -715,7 +715,7 @@ def test_iceberg_sink_dr_drill(tmp_path):
 
     from sliding_window_aggregators_spark.streaming.iceberg_sink import \
         remove_orphan_files
-    removed = remove_orphan_files(loc)
+    removed = remove_orphan_files(loc, older_than_s=0)
     assert removed, "orphans from the crashed attempt were removed"
     t.refresh()
     assert t.total_rows() == 100  # live data untouched
