@@ -79,10 +79,12 @@ def q_hll_users_by_type(spark, sf_dir):
     table is 64 rows per type. (In production the exact branch is what
     you'd drop; it exists here as the sketch's in-query ground truth.)
     """
+    # NOT spread: the distinct's map-side partial aggregation reduces the
+    # 1M-row scan to ~|distinct pairs| before any exchange — repartitioning
+    # first would shuffle the raw rows and was measured 2.3x SLOWER
     pairs = (
-        spread_small_scan(
-            _events(spark, sf_dir).select("event_type", "user_id"), "user_id"
-        )
+        _events(spark, sf_dir)
+        .select("event_type", "user_id")
         .distinct()
         .withColumn("h", F.expr(_SPARK_H60))
         .withColumn("b", F.expr(f"h % {_HLL_M}"))
