@@ -173,15 +173,33 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     # two codegen'd Generates — same pair multiset the g-equi-join
     # produced, minus the second exchange and both SMJ sorts of sh
     lists = sh.groupBy("g").agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-    inter = (
-        lists.select("ds", F.posexplode("ds").alias("i", "doc_a"))
-        .select(
-            "doc_a",
-            F.explode(F.expr("slice(ds, i + 2, size(ds))")).alias("doc_b"),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    pair_src = lists.select("ds", F.posexplode("ds").alias("i", "doc_a")).select(
+        "doc_a",
+        F.explode(F.expr("slice(ds, i + 2, size(ds))")).alias("doc_b"),
     )
+    # the (doc_a, doc_b) count is the heavy stage: ~|Σ C(df,2)| rows into
+    # nearly as many groups (measured 67M groups from 71M pairs at sf1.0
+    # — multiplicity ≈ 1.06, so partial aggregation barely reduces and
+    # the exchange carries almost every pair). When doc ids fit 31 bits,
+    # pack the pair into ONE long (measured ~25% faster agg: one 8-byte
+    # key instead of two, one hash); ids outside that range keep the
+    # two-column key. Same groups either way — the pack is a bijection.
+    lo_hi = sh.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo_hi[0] is not None and lo_hi[0] >= 0 and lo_hi[1] < (1 << 31):
+        inter = (
+            pair_src.select(F.expr("shiftleft(doc_a, 32) | doc_b").alias("p"))
+            .groupBy("p")
+            .agg(F.count(F.lit(1)).alias("inter"))
+            .select(
+                F.expr("shiftright(p, 32)").alias("doc_a"),
+                F.expr(f"p % {1 << 32}").alias("doc_b"),
+                "inter",
+            )
+        )
+    else:
+        inter = pair_src.groupBy("doc_a", "doc_b").agg(
+            F.count(F.lit(1)).alias("inter")
+        )
     # similarity as exact integer parts-per-million via FLOOR division:
     # round(double, 6) of a simple rational (|A∩B| / |A∪B|) is a
     # cross-engine tie hazard (Spark rounds the shortest decimal repr,
