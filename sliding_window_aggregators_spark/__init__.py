@@ -22,3 +22,9 @@ as an idiomatic PySpark engine:
 """
 
 __version__ = "0.1.0"
+
+# Cheap per-task worker fix, applied wherever this package is imported
+# (driver and every executor Python worker): see _zipfix docstring.
+from . import _zipfix as _zipfix_mod
+
+_zipfix_mod.apply()

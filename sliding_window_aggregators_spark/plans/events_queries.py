@@ -1133,14 +1133,21 @@ def q_ooo_stream_sum(spark, sf_dir):
     checkpoint-persisted OrderedAggState carrying between micro-batches
     (FiBA bulkInsert/bulkEvict per batch, FiBA.hpp:1866-1918/1746-1835).
 
-    The stream is materialized as 8 time-disjoint file chunks (event-time
-    octiles of the events table) whose ROW ORDER is deterministically
+    The stream is materialized as 4 time-disjoint file chunks (event-time
+    quartiles of the events table) whose ROW ORDER is deterministically
     scrambled (murmur3 of event_id) — every micro-batch arrives
     out-of-order internally, the shape a distributed ingest actually
     produces, while chunk boundaries advance in event time so the
     engine's late-data rule (drop older than youngest − duration,
     cpp/src/benchmark_core.h:577) provably drops nothing and the plain
-    RANGE oracle applies. ``maxFilesPerTrigger=1`` forces 8 real
+    RANGE oracle applies. (Trigger sizing, r6: 8 octile chunks → 4
+    quartile chunks. Per-trigger cost is dominated by FIXED overhead —
+    ~15k key-groups' serializer/state round-trips plus state-store
+    commit, measured ~4 s/trigger vs a 2.4 s zero-row trigger — so
+    fewer, larger micro-batches is the standard streaming throughput
+    lever; each batch now spans MORE internal disorder, and the
+    checkpoint-carried state still crosses 4 real batch boundaries.)
+    ``maxFilesPerTrigger=1`` forces 4 real
     micro-batches through the checkpointed state store; the sink is the
     exactly-once commit-marker sink (streaming/sink.py). Unlike the
     whole-key applyInPandas demo (q_ooo_range_sum), no operator here
@@ -1161,14 +1168,14 @@ def q_ooo_stream_sum(spark, sf_dir):
         lo, hi = df.agg(
             F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
         ).first()
-        width = max((int(hi) - int(lo)) // 8 + 1, 1)
+        width = max((int(hi) - int(lo)) // 4 + 1, 1)
         bucketed = df.withColumn(
             "b", ((F.unix_micros("ts") - F.lit(int(lo))) / F.lit(width)).cast("int")
         )
         # sequential writes: file mtimes increase with the bucket index, so
         # the file source's oldest-first ordering replays chunks in
         # event-time order (mtimes survive the cache's atomic rename)
-        for b in range(8):
+        for b in range(4):
             (
                 bucketed.where(F.col("b") == b).drop("b")
                 .orderBy(F.hash("event_id"), "event_id")  # scrambled arrival
@@ -1181,7 +1188,7 @@ def q_ooo_stream_sum(spark, sf_dir):
     # scrambled-chunk layout is deterministic given the source table, so it
     # lives in the fingerprint-keyed cache like every other derived layout —
     # repeated invocations (bench loops) skip the 8 coalesce(1) write jobs
-    src = _cached_events_layout(sf_dir, "ooostream", build)
+    src = _cached_events_layout(sf_dir, "ooostream4", build)
     # out/ckpt are per-run (the stream must actually re-execute each call)
     # but bounded to ONE reusable path instead of a leaked mkdtemp per call
     base = f"/tmp/swag_ooostream_run_{_events_fingerprint(sf_dir)}"
@@ -1237,7 +1244,7 @@ def q_conv_timeout(spark, sf_dir):
     here is O(1) per key (one triple + one timer) and batches stream
     through bounded.
 
-    The stream replays the events table as 8 time-disjoint, internally
+    The stream replays the events table as 2 time-disjoint, internally
     scrambled chunks (one per micro-batch, like ooo_stream_sum_1h) plus a
     final far-future flush row for a sentinel key (user_id = −1, filtered
     from the output) that advances the watermark past every open
@@ -1258,17 +1265,21 @@ def q_conv_timeout(spark, sf_dir):
         lo, hi = df.agg(
             F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
         ).first()
-        width = max((int(hi) - int(lo)) // 4 + 1, 1)
+        width = max((int(hi) - int(lo)) // 2 + 1, 1)
         bucketed = df.withColumn(
             "b", ((F.unix_micros("ts") - F.lit(int(lo))) / F.lit(width)).cast("int")
         )
         # sequential writes → increasing mtimes → the file source replays
         # chunks in event-time order (scrambled WITHIN each chunk).
-        # 4 chunks (not 8): the timer deadline still extends across
-        # multiple micro-batches, and each RocksDB trigger costs ~3 s of
-        # fixed snapshot/commit overhead — 5 triggers keeps the bench row
-        # honest without doubling dead time
-        for b in range(4):
+        # 2 chunks (r6 trigger sizing, was 4): each stateful trigger costs
+        # ~4 s of FIXED overhead (5 TWS proto round trips/key × 15k keys
+        # plus RocksDB commit; a zero-row trigger alone measures 2.4 s),
+        # so the minimal shape that still exercises the full timer
+        # protocol is 2 data batches (Register in b0; Delete+Register
+        # deadline extension in b1) + the watermark-flush batch (expiry
+        # callbacks fire) — every protocol path crosses a real
+        # checkpointed batch boundary, with half the dead time
+        for b in range(2):
             (
                 bucketed.where(F.col("b") == b).drop("b")
                 .orderBy(F.hash("user_id", "ts"), "ts")  # scrambled arrival
@@ -1288,7 +1299,7 @@ def q_conv_timeout(spark, sf_dir):
         )
         open(os.path.join(tmp, "_SUCCESS"), "w").close()
 
-    src = _cached_events_layout(sf_dir, "timeoutstream4", build)
+    src = _cached_events_layout(sf_dir, "timeoutstream2", build)
     base = f"/tmp/swag_timeoutstream_run_{_events_fingerprint(sf_dir)}"
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base)

@@ -24,6 +24,50 @@ def _ship_package(spark: SparkSession) -> None:
         return
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     root = os.path.dirname(pkg_dir)
+    # Ship mode (guide §4/§6: per-task overhead): addPyFile'd zips make
+    # every Python worker hold live zipimporters that
+    # importlib.invalidate_caches() — run by pyspark once PER TASK —
+    # re-reads in full, a fixed multi-ms tax on every task of every
+    # Python-touching stage (sampled at ~10% of worker busy time on the
+    # 32-task streaming triggers). When the workers can import the
+    # package from the filesystem (local master, or a shared deploy of
+    # the repo — the cluster analog is a preinstalled image/conda env,
+    # the standard production practice), putting the REAL package dirs
+    # on the workers' PYTHONPATH skips both zips and their per-task
+    # re-scan. ``SWAG_SHIP_MODE=pyfiles`` restores --py-files shipping
+    # for cluster runs without a shared filesystem.
+    mode = os.environ.get("SWAG_SHIP_MODE", "auto")
+    is_local = spark.sparkContext.master.startswith("local")
+    if mode != "pyfiles" and (is_local or mode == "pythonpath"):
+        try:
+            from ..compat import ensure_protobuf
+
+            ensure_protobuf()
+        except ImportError:
+            pass
+        vdir = os.path.join(pkg_dir, "_vendor")
+        env = spark.sparkContext.environment
+        parts = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
+        # also resolve pyspark itself from its source DIRECTORY when one
+        # exists next to the zips: a worker that never imports from
+        # pyspark.zip never instantiates its zipimporter, and the
+        # per-task invalidate_caches() re-scan of that zip (measured
+        # 5.5 ms/task on this box) disappears with it
+        spark_py = None
+        try:
+            import pyspark as _ps
+
+            cand = os.path.dirname(os.path.dirname(os.path.abspath(_ps.__file__)))
+            if os.path.isdir(os.path.join(cand, "pyspark")):
+                spark_py = cand
+        except ImportError:
+            pass
+        for d in (spark_py, root, vdir):
+            if d and os.path.isdir(d) and d not in parts:
+                parts.insert(0, d)
+        env["PYTHONPATH"] = os.pathsep.join(parts)
+        spark._swag_shipped = True
+        return
     zpath = os.path.join(tempfile.mkdtemp(prefix="swag_pyfiles_"), "swag_spark.zip")
     with zipfile.ZipFile(zpath, "w") as zf:
         for dirpath, _dirnames, filenames in os.walk(pkg_dir):
