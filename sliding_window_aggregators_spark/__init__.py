@@ -28,3 +28,9 @@ __version__ = "0.1.0"
 from . import _zipfix as _zipfix_mod
 
 _zipfix_mod.apply()
+
+# Env-gated in-worker sampling profiler (no-op unless SWAG_STACK_SAMPLER
+# is set): importing the package in a worker arms it for ANY operator.
+from . import _prof as _prof_mod
+
+_prof_mod.ensure_sampler()

@@ -183,8 +183,13 @@ def q_pack_sequences(spark, sf_dir):
     shard, one Arrow pass per shard; the kernel's Python loop is per
     PACK, not per row. DuckDB oracle: the same recurrence as a recursive
     CTE (exact for test scales)."""
+    # project BEFORE any exchange (guide §2.3): the only text-derived
+    # value downstream is n_tok, so tokenize in the scan stage and let
+    # the narrow (doc_id, shard, n_tok) rows ride the shuffles — spreading
+    # the raw text first shipped the whole corpus through an exchange to
+    # parallelize a trivial split (measured 2.8 s -> ~0.6 s at sf1)
     df = (
-        spread_small_scan(_docs(spark, sf_dir), "doc_id")
+        _docs(spark, sf_dir)
         .select(
             "doc_id",
             (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
