@@ -465,9 +465,6 @@ def sliding_agg_stream(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        from .._prof import ensure_sampler
-
-        ensure_sampler()
         if state.hasTimedOut:
             # chunk expiry (chunked hot keys) or idle-key GC: either
             # armed deadline guarantees no admissible future row can
@@ -1964,9 +1961,6 @@ def conversation_timeout_stream(
         # state field so extending the deadline is ONE deleteTimer plus
         # ONE registerTimer, never a listTimers scan.
         def init(self, handle: StatefulProcessorHandle) -> None:
-            from .._prof import ensure_sampler
-
-            ensure_sampler()
             self._handle = handle
             self._sess = handle.getValueState(
                 "sess", "first_ms long, last_ms long, n long, tmr long"
